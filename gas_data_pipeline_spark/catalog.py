@@ -1,0 +1,80 @@
+"""Table catalog: load the lakehouse tables and register SQL views.
+
+The driver test data is a TPC-H-ish star schema plus ``events``
+(streaming analog of the reference's observation stream),
+``documents`` and ``embeddings`` (training-data operators). See
+/root/repo/FIXTURES.md. At 100 TB these would be partitioned
+Parquet/Delta tables; the loader is path-based so the same code serves
+both layouts (a partitioned table is just a directory of files to
+``spark.read.parquet``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark's TimestampType is microsecond-precision and Spark 4 rejects
+    parquet nanos outright ([PARQUET_TYPE_ILLEGAL]); the ``events``
+    table stores ``ts`` as timestamp[ns]. We read nanos as raw int64
+    (legacy conf, runtime-settable) and floor-divide to micros —
+    exactly DuckDB's ns→us truncation, so oracles agree. Integer
+    division (`div`), not `/`: double division is lossy above 2^53.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Read every catalog table from ``sf_dir`` and (optionally) register
+    each as a temp view so ``spark.sql`` queries can name them directly.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = _read(spark, path)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a single catalog table (no view registration)."""
+    return _read(spark, os.path.join(sf_dir, f"{name}.parquet"))
