@@ -1,1 +1,223 @@
-"""Placeholder — filled in by later build phases."""
+"""Reshaping operators (SURVEY §2.8) + schema discovery (A4) — the
+reference's most distinctive computation, re-expressed set-based.
+
+The reference loops batch × series (run_all.py:91-118, O(series ×
+batch)); every melt here is a single linear pass producing all series
+rows at once (SURVEY R3: "do not loop").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from gas_data_pipeline_spark.catalog import table
+from gas_data_pipeline_spark.functions import make_series_id
+from gas_data_pipeline_spark.registry import register
+
+# R2 exclusion set — stands in for the reference's EXCLUDED_KEYS
+# (gie/constants.py:9-17): bookkeeping fields that never become series.
+EXCLUDED_KEYS = ("o_orderkey", "o_orderdate")
+
+
+def melt_numeric(
+    df: DataFrame, id_cols: list[str], exclude: tuple[str, ...] = ()
+) -> DataFrame:
+    """R1: wide→long unpivot over *dynamically detected* numeric columns
+    (reference series_autoregister.py:26-31 "numeric dtype only" rule —
+    the column set comes from the schema, not a hardcoded list).
+    ``melt`` is a zero-shuffle narrow transformation: each input row
+    yields k output rows in place."""
+    value_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, DoubleType)
+        and f.name not in id_cols
+        and f.name not in exclude
+    ]
+    return df.melt(
+        ids=id_cols,
+        values=sorted(value_cols),
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "melt_wide_to_long",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, value,
+               'NG_LINEITEM_' || upper(metric) AS series_id
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem
+        ) UNPIVOT (value FOR metric IN (l_discount, l_extendedprice, l_quantity, l_tax))
+    """,
+)
+def melt_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+S1: melt lineitem's numeric measures into the long observation
+    format, deriving series_id from the melt keys in the same pass
+    (exactly what replaces the reference's per-series loop R3)."""
+    li = table(spark, sf_dir, "lineitem")
+    long = melt_numeric(li, id_cols=["l_orderkey", "l_linenumber"])
+    return long.withColumn(
+        "series_id", make_series_id("LINEITEM", F.col("metric"))
+    )
+
+
+@register(
+    "json_key_melt",
+    oracle="""
+        SELECT o_orderkey, field AS variable, value
+        FROM (
+            SELECT o_orderkey,
+                   o_orderstatus AS payload_status,
+                   o_orderpriority AS payload_priority,
+                   CAST(o_custkey AS VARCHAR) AS payload_custkey
+            FROM orders
+        ) UNPIVOT (value FOR field IN (payload_custkey, payload_priority, payload_status))
+    """,
+)
+def json_key_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: key-driven melt of a JSON payload — every non-excluded key
+    becomes a (entity, variable, value) row (reference
+    gie/transformer.py:5-64). The key set is *data-driven*: the engine
+    explodes ``map_entries(from_json(payload))`` rather than naming
+    columns, so new upstream fields appear as new series automatically.
+    """
+    o = table(spark, sf_dir, "orders")
+    payload = F.to_json(
+        F.struct(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("o_custkey").cast("string").alias("o_custkey"),
+        )
+    )
+    raw = o.select("o_orderkey", payload.alias("payload"))
+    entries = raw.select(
+        "o_orderkey",
+        F.explode(
+            F.map_entries(F.from_json("payload", "map<string,string>"))
+        ).alias("kv"),
+    )
+    return (
+        entries.filter(~F.col("kv.key").isin(*EXCLUDED_KEYS))
+        .select(
+            "o_orderkey",
+            F.concat(F.lit("payload_"), F.regexp_replace("kv.key", "^o_order|^o_", "")).alias(
+                "variable"
+            ),
+            F.col("kv.value").alias("value"),
+        )
+    )
+
+
+@register(
+    "field_profile",
+    oracle="""
+        WITH cells AS (
+            SELECT 'event_id' AS field, CAST(event_id AS VARCHAR) AS value FROM events
+            UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+            UNION ALL SELECT 'event_type', event_type FROM events
+            UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+            UNION ALL SELECT 'props', CASE WHEN event_type = 'error' THEN NULL ELSE props END FROM events
+        )
+        SELECT field AS field_name,
+               count(*) AS n_rows,
+               count(*) - count(value) AS n_nulls,
+               min(value) AS example_value,
+               CASE
+                 WHEN count(value) = 0 THEN 'null'
+                 WHEN min(value) = max(value) AND min(value) IN ('true','false') THEN 'boolean'
+                 WHEN count(value) = count(CASE WHEN regexp_matches(value, '^-?\\d+$') THEN 1 END) THEN 'integer'
+                 WHEN count(value) = count(CASE WHEN regexp_matches(value, '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$') THEN 1 END) THEN 'float'
+                 WHEN count(value) = count(CASE WHEN regexp_matches(value, '^[\\[{]') THEN 1 END) THEN 'json'
+                 ELSE 'string'
+               END AS inferred_type
+        FROM cells
+        GROUP BY field
+    """,
+)
+def field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: schema-profiling aggregate — per field: row/null counts,
+    deterministic example, inferred type from the reference's lattice
+    ``null|boolean|integer|float|json|string``
+    (field_discovery.py:5-16,30-48). The reference scans payload dicts
+    row-at-a-time in Python; here it is melt + one hash aggregate
+    (map-side combinable, one shuffle of ~|fields| groups).
+    """
+    e = table(spark, sf_dir, "events")
+    # Synthesize some nulls so the null-count path is exercised. The
+    # melt is an explicit explode(array(struct...)) — null cells are
+    # *kept* (SQL UNPIVOT would drop them), because a null is exactly
+    # what the profiler counts.
+    typed = e.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("user_id").cast("string").alias("user_id"),
+        "event_type",
+        F.col("value").cast("string").alias("value"),
+        F.when(F.col("event_type") != "error", F.col("props")).alias("props"),
+    )
+    fields = ["event_id", "user_id", "event_type", "value", "props"]
+    cells = typed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("field_name"), F.col(name).alias("cell")
+                    )
+                    for name in fields
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.field_name", "kv.cell")
+    v = F.col("cell")
+    n_nonnull = F.count(v)
+    all_match = lambda pat: n_nonnull == F.count(  # noqa: E731
+        F.when(v.rlike(pat), F.lit(1))
+    )
+    inferred = (
+        F.when(n_nonnull == 0, F.lit("null"))
+        .when(
+            (F.min(v) == F.max(v)) & F.min(v).isin("true", "false"), F.lit("boolean")
+        )
+        .when(all_match(r"^-?\d+$"), F.lit("integer"))
+        .when(all_match(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"), F.lit("float"))
+        .when(all_match(r"^[\[{]"), F.lit("json"))
+        .otherwise(F.lit("string"))
+    )
+    return cells.groupBy("field_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - n_nonnull).alias("n_nulls"),
+        F.min(v).alias("example_value"),
+        inferred.alias("inferred_type"),
+    )
+
+
+@register(
+    "nest_unnest_roundtrip",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def nest_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 + R4: group-to-nested (the API's points[] — routes.py:40-61)
+    then nested-flatten back (the SRC1-5 explode chains). The roundtrip
+    equals the flat join — proving both directions are lossless."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    nested = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.collect_list(F.struct("o_orderkey", "o_totalprice")).alias("orders")
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey, "inner")
+        .select("c_custkey", "c_name", "orders")
+    )
+    return nested.select(
+        "c_custkey", "c_name", F.explode("orders").alias("o")
+    ).select("c_custkey", "c_name", F.col("o.o_orderkey"), F.col("o.o_totalprice"))
