@@ -1,0 +1,106 @@
+"""Silver layer: typed long-format observation store with upsert (SNK2).
+
+The reference upserts ``(series_id, observation_time)`` via
+``INSERT ... ON CONFLICT DO UPDATE`` (app/ingestion/loader.py:7-35)
+after an in-batch last-write-wins dedup (loader.py:13-18). Without a
+transactional MERGE (no Delta in this container) the engine gets the
+same idempotent semantics from:
+
+1. window dedup inside the incoming batch (explicit, deterministic
+   tie-break — SURVEY §7 #3);
+2. union with the *affected date partitions only* of the existing
+   table, re-dedup (new rows win on ties via a batch_priority column);
+3. dynamic partition overwrite of exactly those partitions.
+
+At 100 TB step 2 never touches unaffected partitions, and the shuffle
+is keyed on the same (series, time) the MERGE would need — no extra
+cost vs Delta MERGE; only atomicity is weaker (single-writer assumed,
+like the reference's ``max_instances=1`` scheduler).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+KEYS = ("series_id", "observation_time")
+PARTITION_COL = "obs_date"
+
+
+def dedup_last_write_wins(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """A5: keep the newest row per (series_id, observation_time);
+    ties broken by ``order_cols`` descending (deterministic, unlike the
+    reference's dict-insertion order)."""
+    w = Window.partitionBy(*KEYS).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_observations(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    order_cols: list[str] | None = None,
+) -> None:
+    """SNK2: idempotent upsert of an observation batch into ``path``.
+
+    ``batch`` columns: series_id, observation_time, value,
+    quality_flag, ingestion_time (+ optional raw_payload).
+    ``order_cols``: descending tie-break for last-write-wins; include a
+    unique column (e.g. event id) after ingestion_time to make ties
+    deterministic.
+    """
+    order_cols = order_cols or ["ingestion_time"]
+    batch = batch.withColumn(PARTITION_COL, F.to_date("observation_time"))
+    batch = dedup_last_write_wins(batch, order_cols).withColumn(
+        "__prio", F.lit(1)
+    )
+
+    if os.path.exists(path):
+        # Only the partitions the batch touches participate in the merge.
+        affected = [r[0] for r in batch.select(PARTITION_COL).distinct().collect()]
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(PARTITION_COL).isin(affected))
+            .withColumn("__prio", F.lit(0))
+        )
+        merged = batch.unionByName(existing, allowMissingColumns=True)
+        # New batch wins over existing on key collision (__prio desc),
+        # then the caller's tie-break.
+        merged = dedup_last_write_wins(merged, ["__prio", *order_cols])
+    else:
+        merged = batch
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        merged.drop("__prio")
+        .write.mode("overwrite")
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+
+
+def read_observations(
+    spark: SparkSession,
+    path: str,
+    series_id: str | None = None,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """The client read path (reference app/client/gas_client.py:31-38):
+    optional key equality + time range, time-ordered. Date-partition
+    pruning stands in for the composite-PK index."""
+    df = spark.read.parquet(path)
+    if series_id is not None:
+        df = df.filter(F.col("series_id") == series_id)
+    if start is not None:
+        df = df.filter(F.col("observation_time") >= start)
+    if end is not None:
+        df = df.filter(F.col("observation_time") <= end)
+    return df.orderBy("observation_time")

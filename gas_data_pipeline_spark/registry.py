@@ -47,6 +47,7 @@ def _load_all() -> None:
         relational,
         scalar,
         reshape,
+        pipeline_suite,
         streaming_suite,
         northstar,
     )

@@ -1,0 +1,112 @@
+"""Driver-facing queries exercising the lakehouse write path
+(SURVEY §2.1 SNK1/SNK2/SNK5 + §3.2 lifecycle): each query performs a
+real write to a scratch directory, reads the result back, and returns
+a DataFrame the DuckDB oracle can reproduce from the source tables —
+proving the write path is lossless/idempotent, not just that it runs.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gas_data_pipeline_spark.catalog import table
+from gas_data_pipeline_spark.pipeline.bronze import bronze_append, read_bronze
+from gas_data_pipeline_spark.pipeline.exports import export_csv
+from gas_data_pipeline_spark.pipeline.silver import upsert_observations
+from gas_data_pipeline_spark.registry import register
+
+
+def _scratch() -> str:
+    d = tempfile.mkdtemp(prefix="gas_pipeline_scratch_")
+    shutil.rmtree(d, ignore_errors=True)  # writers create it themselves
+    return d
+
+
+@register(
+    "bronze_zero_loss_roundtrip",
+    oracle="""
+        SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+               o_orderstatus, o_orderpriority
+        FROM orders
+    """,
+)
+def bronze_zero_loss_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK1 + the reference's only test idea (test.py:1-18): source
+    batch -> bronze JSON envelope -> physical append -> read back ->
+    re-extract payload fields == source. Zero-loss, through disk."""
+    path = _scratch()
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    bronze_append(o, dataset_id="ORDERS", source="testdata", path=path)
+    back = read_bronze(spark, path, dataset_id="ORDERS")
+    return back.select(
+        F.get_json_object("raw_payload", "$.o_orderkey").alias("o_orderkey"),
+        F.get_json_object("raw_payload", "$.o_orderstatus").alias("o_orderstatus"),
+        F.get_json_object("raw_payload", "$.o_orderpriority").alias("o_orderpriority"),
+    )
+
+
+@register(
+    "silver_upsert_idempotent",
+    oracle="""
+        SELECT series_id, observation_time, value
+        FROM (
+            SELECT 'NG_EVENTS_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def silver_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK2: the same batch upserted TWICE into a fresh silver table
+    must equal one clean last-write-wins dedup of the source — the
+    ``ON CONFLICT DO UPDATE`` idempotency contract (reference
+    loader.py:7-35), through disk, with dynamic partition overwrite."""
+    path = _scratch()
+    e = table(spark, sf_dir, "events")
+    batch = e.select(
+        F.concat(F.lit("NG_EVENTS_"), F.col("user_id").cast("string")).alias(
+            "series_id"
+        ),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+    upsert_observations(spark, batch, path, order_cols=["ingestion_time", "event_id"])
+    upsert_observations(spark, batch, path, order_cols=["ingestion_time", "event_id"])
+    return spark.read.parquet(path).select("series_id", "observation_time", "value")
+
+
+@register(
+    "export_csv_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 1000
+    """,
+)
+def export_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK5: newest-first capped CSV export (reference export.py:35-62),
+    read back with an explicit schema — header, ordering cap, and
+    CSV round-trip of doubles all exercised through disk."""
+    path = _scratch()
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    export_csv(o, path, order_col="o_orderdate", tie_col="o_orderkey", limit=1000)
+    back = spark.read.option("header", True).schema(
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+    ).csv(path)
+    return back.select("o_orderkey", "o_orderstatus", "o_totalprice")

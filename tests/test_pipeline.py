@@ -1,0 +1,255 @@
+"""Unit tests for the lakehouse write path and REST source layer —
+the reference-faithful invariants from SURVEY §5 (zero-loss roundtrip,
+upsert idempotency, last-write-wins, insert-if-absent, delete-reload)
+on small in-memory fixtures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def scratch(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _obs_batch(spark, rows):
+    from datetime import datetime
+
+    parsed = [
+        (s, datetime.fromisoformat(t), v, datetime.fromisoformat(i), e)
+        for s, t, v, i, e in rows
+    ]
+    return spark.createDataFrame(
+        parsed,
+        "series_id string, observation_time timestamp, value double, ingestion_time timestamp, event_id long",
+    )
+
+
+def test_upsert_updates_on_conflict(spark, scratch):
+    from gas_data_pipeline_spark.pipeline.silver import upsert_observations
+
+    t0 = "2024-01-01 00:00:00"
+    b1 = _obs_batch(spark, [("s1", t0, 1.0, "2024-01-01 01:00:00", 1)])
+    upsert_observations(spark, b1, scratch, order_cols=["ingestion_time", "event_id"])
+    # Same key, newer ingestion_time -> value must be replaced.
+    b2 = _obs_batch(spark, [("s1", t0, 2.0, "2024-01-01 02:00:00", 2)])
+    upsert_observations(spark, b2, scratch, order_cols=["ingestion_time", "event_id"])
+    rows = spark.read.parquet(scratch).collect()
+    assert len(rows) == 1
+    assert rows[0].value == 2.0
+
+
+def test_upsert_is_idempotent(spark, scratch):
+    from gas_data_pipeline_spark.pipeline.silver import upsert_observations
+
+    b = _obs_batch(
+        spark,
+        [
+            ("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1),
+            ("s2", "2024-01-02 00:00:00", 5.0, "2024-01-01 01:00:00", 2),
+        ],
+    )
+    upsert_observations(spark, b, scratch, order_cols=["ingestion_time", "event_id"])
+    first = sorted(map(tuple, spark.read.parquet(scratch).collect()))
+    upsert_observations(spark, b, scratch, order_cols=["ingestion_time", "event_id"])
+    second = sorted(map(tuple, spark.read.parquet(scratch).collect()))
+    assert first == second
+
+
+def test_upsert_touches_only_affected_partitions(spark, scratch):
+    """Dynamic partition overwrite must leave other dates untouched."""
+    from gas_data_pipeline_spark.pipeline.silver import upsert_observations
+
+    day1 = _obs_batch(spark, [("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1)])
+    day2 = _obs_batch(spark, [("s1", "2024-01-02 00:00:00", 2.0, "2024-01-01 01:00:00", 2)])
+    upsert_observations(spark, day1, scratch)
+    upsert_observations(spark, day2, scratch)
+    vals = {r.value for r in spark.read.parquet(scratch).collect()}
+    assert vals == {1.0, 2.0}
+    assert os.path.isdir(os.path.join(scratch, "obs_date=2024-01-01"))
+
+
+def test_bronze_zero_loss_nested(spark, scratch):
+    """Nested structures must survive the JSON envelope verbatim
+    (reference raw_ingestor.py:8-11 'lists/dicts preserved')."""
+    from gas_data_pipeline_spark.pipeline.bronze import bronze_append, read_bronze
+
+    src = spark.createDataFrame(
+        [(1, {"a": 1, "b": [1, 2]}, ["x", "y"])],
+        "id long, payload map<string,string>, tags array<string>",
+    )
+    bronze_append(src, dataset_id="D", source="s", path=scratch)
+    back = read_bronze(spark, scratch, dataset_id="D").collect()
+    assert len(back) == 1
+    payload = json.loads(back[0].raw_payload)
+    assert payload["id"] == 1
+    assert payload["tags"] == ["x", "y"]
+
+
+def test_insert_if_absent(spark, scratch):
+    from gas_data_pipeline_spark.pipeline.dims import insert_if_absent
+
+    d1 = spark.createDataFrame([("k1", "v1"), ("k2", "v2")], "k string, v string")
+    inserted = insert_if_absent(spark, d1, scratch, keys=["k"])
+    assert inserted.count() == 2
+    d2 = spark.createDataFrame([("k2", "OTHER"), ("k3", "v3")], "k string, v string")
+    inserted = insert_if_absent(spark, d2, scratch, keys=["k"])
+    assert [r.k for r in inserted.collect()] == ["k3"]
+    final = {r.k: r.v for r in spark.read.parquet(scratch).collect()}
+    assert final == {"k1": "v1", "k2": "v2", "k3": "v3"}  # k2 NOT updated
+
+
+def test_delete_reload(spark, scratch):
+    from gas_data_pipeline_spark.pipeline.dims import delete_reload
+
+    base = spark.createDataFrame(
+        [("gie", 1.0), ("gie", 2.0), ("other", 3.0)], "source string, value double"
+    )
+    base.write.parquet(scratch)
+    replacement = spark.createDataFrame([("gie", 9.0)], "source string, value double")
+    delete_reload(spark, replacement, scratch, F.col("source") == "gie")
+    rows = sorted((r.source, r.value) for r in spark.read.parquet(scratch).collect())
+    assert rows == [("gie", 9.0), ("other", 3.0)]
+    assert not os.path.exists(scratch + ".staging")
+
+
+# ---------------------------------------------------------------------------
+# REST source layer: retry/throttle + flatteners on fixtures (no network).
+# ---------------------------------------------------------------------------
+
+
+def test_rest_retry_then_success():
+    from gas_data_pipeline_spark.sources.rest import RestSource
+
+    calls = {"n": 0}
+
+    def flaky(url, params):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("HTTP 503")
+        return {"ok": True, "url": url}
+
+    sleeps = []
+    src = RestSource(flaky, retries=5, backoff_factor=2.0, sleep=sleeps.append)
+    assert src.fetch("u", {})["ok"] is True
+    assert calls["n"] == 3
+    assert sleeps == [1.0, 2.0]  # factor-2 exponential backoff
+
+
+def test_rest_exhausted_retries_raise():
+    from gas_data_pipeline_spark.sources.rest import RestSource
+
+    def dead(url, params):
+        raise IOError("HTTP 500")
+
+    src = RestSource(dead, retries=2, sleep=lambda s: None)
+    with pytest.raises(RuntimeError, match="after 2 tries"):
+        src.fetch("u", {})
+
+
+def test_rest_chunk_throttle():
+    from gas_data_pipeline_spark.sources.rest import RestSource
+
+    sleeps = []
+    src = RestSource(lambda u, p: p, throttle_s=1.5, sleep=sleeps.append)
+    out = src.fetch_chunks("u", [{"c": 1}, {"c": 2}, {"c": 3}])
+    assert out == [{"c": 1}, {"c": 2}, {"c": 3}]
+    assert sleeps == [1.5, 1.5]  # between chunks only
+
+
+def test_flatten_gas_quality(spark):
+    from gas_data_pipeline_spark.sources.rest import flatten_gas_quality, json_batch_to_df
+
+    payload = {
+        "sites": [
+            {
+                "siteId": 1,
+                "siteName": "A",
+                "areaName": "N",
+                "siteGasQualityDetail": [
+                    {"metric": "CV", "value": 39.1},
+                    {"metric": "WI", "value": 51.2},
+                ],
+            },
+            {
+                "siteId": 2,
+                "siteName": "B",
+                "areaName": "S",
+                "siteGasQualityDetail": [{"metric": "CV", "value": 38.7}],
+            },
+        ]
+    }
+    flat = flatten_gas_quality(json_batch_to_df(spark, [payload]))
+    rows = sorted((r.siteId, r.metric, r.value) for r in flat.collect())
+    assert rows == [(1, "CV", 39.1), (1, "WI", 51.2), (2, "CV", 38.7)]
+
+
+def test_flatten_instantaneous_flow(spark):
+    from gas_data_pipeline_spark.sources.rest import (
+        flatten_instantaneous_flow,
+        json_batch_to_df,
+    )
+
+    payload = {
+        "instantaneousFlow": [
+            {
+                "applicableAt": "2024-01-01T00:00:00Z",
+                "sites": [
+                    {
+                        "siteName": "A",
+                        "siteGasDetail": [
+                            {"flowRate": 1.5, "scheduledFlowRate": 1.4, "quality": "OK"}
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    flat = flatten_instantaneous_flow(json_batch_to_df(spark, [payload]))
+    rows = flat.collect()
+    assert len(rows) == 1
+    assert rows[0].siteName == "A" and rows[0].flowRate == 1.5
+
+
+def test_flatten_entsog_normalizes_indicator(spark):
+    from gas_data_pipeline_spark.sources.rest import flatten_entsog, json_batch_to_df
+
+    payload = {
+        "operationaldatas": [
+            {"indicator": "Physical Flow", "pointKey": "P1", "value": 10.0},
+            {"indicator": "Nomination", "pointKey": "P2", "value": 20.0},
+        ]
+    }
+    flat = flatten_entsog(json_batch_to_df(spark, [payload]))
+    inds = sorted(r.indicator for r in flat.collect())
+    assert inds == ["Nomination", "PhysicalFlow"]
+
+
+def test_flatten_publication_catalogue_drops_null_ids(spark):
+    from gas_data_pipeline_spark.sources.rest import (
+        flatten_publication_catalogue,
+        json_batch_to_df,
+    )
+
+    payload = {
+        "data": [
+            {
+                "subCategory": [
+                    {
+                        "catalogueEntries": [
+                            {"publicationId": 1, "publicationName": "x"},
+                            {"publicationId": None, "publicationName": "skip"},
+                        ]
+                    }
+                ]
+            }
+        ]
+    }
+    flat = flatten_publication_catalogue(json_batch_to_df(spark, [payload]))
+    assert [r.publicationId for r in flat.collect()] == [1]
