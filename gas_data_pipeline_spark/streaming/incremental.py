@@ -1,0 +1,123 @@
+"""Structured Streaming layer (SURVEY §2.9 ST1-ST5).
+
+The reference is batch-plus-scheduler: an hourly APScheduler loop
+(app/scheduler/scheduler.py:7-18, ``max_instances=1, coalesce=True``)
+re-fetches a lookback window and upserts (ST3). The engine maps that
+to Structured Streaming:
+
+- ST1 micro-batch trigger: ``Trigger.ProcessingTime("1 hour")`` in
+  production, ``Trigger.AvailableNow`` for deterministic runs/tests
+  (single-query exclusivity ≈ max_instances=1 — one streaming query
+  per checkpoint).
+- ST2 event vs processing time: ``ts`` is event time; watermarks key
+  off it, ``current_timestamp()`` stamps ingestion.
+- ST3 late data: ``withWatermark`` bounds state exactly like the
+  reference's lookback_days bounds re-fetch; the ``foreachBatch``
+  upsert reconciles late rows like ON CONFLICT UPDATE.
+- ST4 stateful dedup: ``dropDuplicatesWithinWatermark`` on the upsert
+  key.
+- ST5 snapshot sources: each poll lands as one micro-batch append.
+
+At 100 TB: the state store only holds keys inside the watermark
+horizon; shuffle partitioning of the windowed agg is the same hash
+partitioning the batch rollup uses.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based readStream over the events table (the streaming analog
+    of the reference's hourly re-poll). Schema is declared (required
+    for file streams); nanosecond timestamps handled as in the batch
+    catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File streams need a directory source; select just the events
+    # table out of the shared dir with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_stream_to_table(
+    df: DataFrame,
+    name: str | None = None,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Run a streaming plan to completion (AvailableNow) into a memory
+    sink and return the materialized result — the deterministic test
+    harness for every streaming operator (SURVEY §7 Phase 4)."""
+    name = name or f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def run_foreach_batch(
+    df: DataFrame, batch_fn, checkpoint: str
+) -> None:
+    """ST3: the production upsert loop — each micro-batch handed to a
+    batch writer (e.g. silver upsert), exactly-once via checkpoint +
+    idempotent MERGE semantics."""
+    q = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """ST1/ST2 + the tumbling-window downsample the reference's
+    intraday->daily frequency split implies (SURVEY §2.9 not-present
+    row): per (user, hour) event count + exact value sum."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("user_id").alias("series_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "series_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """ST4: stateful streaming dedup on the upsert key (series, hour) —
+    ``dropDuplicatesWithinWatermark`` keeps one row per key within the
+    horizon (reference SNK2/A5 across micro-batches)."""
+    keyed = events.select(
+        F.col("user_id").alias("series_id"),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        "ts",
+        "value",
+    ).withWatermark("observation_time", watermark)
+    return keyed.dropDuplicatesWithinWatermark(["series_id", "observation_time"])

@@ -1,1 +1,105 @@
-"""Placeholder — filled in by later build phases."""
+"""Driver-facing streaming queries (SURVEY §2.9): each runs a real
+Structured Streaming job to completion (Trigger.AvailableNow — the
+deterministic form of the reference's hourly scheduler loop) and
+returns the materialized result for the batch oracle to check.
+Streaming vs batch equivalence IS the correctness property: the same
+plan over the same data must give the same answer either way.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gas_data_pipeline_spark.pipeline.silver import upsert_observations
+from gas_data_pipeline_spark.registry import register
+from gas_data_pipeline_spark.streaming.incremental import (
+    dedup_within_watermark,
+    events_stream,
+    hourly_rollup,
+    run_foreach_batch,
+    run_stream_to_table,
+)
+
+
+@register(
+    "stream_hourly_rollup",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               user_id AS series_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST2: tumbling-window rollup computed BY THE STREAM ENGINE
+    (watermark + window agg, complete mode) — must equal the batch
+    group-by. The intraday->daily downsample shape the reference's
+    frequency column implies (series_autoregister.py:50,89)."""
+    rolled = hourly_rollup(events_stream(spark, sf_dir))
+    return run_stream_to_table(rolled, output_mode="complete")
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="""
+        SELECT DISTINCT user_id AS series_id, date_trunc('hour', ts) AS observation_time
+        FROM events
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4: dropDuplicatesWithinWatermark on the upsert key. WHICH row
+    survives depends on arrival order (stream-nondeterministic), so the
+    checked contract is the key set: exactly one row per (series, hour).
+    """
+    deduped = dedup_within_watermark(events_stream(spark, sf_dir))
+    out = run_stream_to_table(deduped, output_mode="append")
+    return out.select("series_id", "observation_time").distinct()
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+        SELECT series_id, observation_time, value
+        FROM (
+            SELECT CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: the full production loop — stream -> foreachBatch -> silver
+    upsert -> lake table. Late/updated rows reconcile exactly like the
+    reference's ON CONFLICT DO UPDATE (loader.py:22-30); the final
+    table must equal the batch last-write-wins dedup."""
+    scratch = tempfile.mkdtemp(prefix="gas_stream_silver_")
+    shutil.rmtree(scratch, ignore_errors=True)
+    silver = scratch + "/silver"
+    ckpt = scratch + "/ckpt"
+
+    batch_shape = events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("series_id"),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        upsert_observations(
+            bdf.sparkSession, bdf, silver, order_cols=["ingestion_time", "event_id"]
+        )
+
+    run_foreach_batch(batch_shape, write_batch, ckpt)
+    return spark.read.parquet(silver).select("series_id", "observation_time", "value")
