@@ -1,0 +1,114 @@
+"""Text-analysis operators (SURVEY §2.11 X3): tokenization, quality
+scoring, language ID, document fingerprinting — all native column
+expressions (regex + array lambdas), zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit
+# heuristic. Deliberately small: the operator shape (argmax of per-lang
+# hit counts over one token array) is what scales; richer lists drop in.
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "for", "with"],
+    "es": ["el", "la", "de", "que", "los", "por", "una", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "une", "pour"],
+    "de": ["der", "die", "und", "das", "von", "mit", "ein", "für"],
+}
+
+# BPE-ish tokenizer: word pieces OR single non-space symbols — the
+# regex form of a byte-pair vocabulary's coarse pass.
+TOKEN_PATTERN = r"[a-z0-9]+|[^\sa-z0-9]"
+
+
+def tokenize(text: Column) -> Column:
+    """Lower-cased token array via regexp extraction (not split — so
+    punctuation becomes tokens, like BPE pre-tokenization)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_stats(text: Column) -> dict[str, Column]:
+    toks = tokenize(text)
+    words = F.filter(toks, lambda t: t.rlike("^[a-z0-9]+$"))
+    return {
+        "n_tokens": F.size(toks).cast("bigint"),
+        "n_words": F.size(words).cast("bigint"),
+        "n_chars": F.length(text).cast("bigint"),
+        "avg_word_len": F.when(
+            F.size(words) > 0,
+            F.aggregate(
+                words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+            )
+            / F.size(words),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Heuristic quality signals (length, punctuation density, stopword
+    ratio) — the standard pre-training corpus filters."""
+    toks = tokenize(text)
+    words = F.filter(toks, lambda t: t.rlike("^[a-z0-9]+$"))
+    n_toks = F.size(toks)
+    n_words = F.size(words)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda t: F.array_contains(sw, t)))
+    punct_ratio = F.when(
+        n_toks > 0, (n_toks - n_words).cast("double") / n_toks
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "n_words": n_words.cast("bigint"),
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        # Composite score: long-enough, low punctuation, some stopwords.
+        "quality_score": (
+            F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
+            + (1.0 - punct_ratio) * 0.3
+            + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        ),
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit argmax language guess. Ties broken by language code
+    order (deterministic)."""
+    toks = tokenize(text)
+    scores = []
+    for code, words in sorted(STOPWORDS.items()):
+        sw = F.array(*[F.lit(s) for s in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(code).alias("code")))
+    # array_max on struct: max by hits, then code — we want max hits,
+    # ties -> smallest code, so order by (hits, negated-code) isn't
+    # expressible; instead sort desc by hits with stable code order.
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("code")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+MOD = 1_000_000_007
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over the token stream:
+    ``h = (h*131 + ascii(first_char)*31 + len(token)) mod 1e9+7``.
+    A fold any engine can reproduce (no engine-specific hash), used for
+    order-sensitive document fingerprinting (near-identical docs with
+    reordered content get different prints, unlike bag-of-shingles)."""
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (
+            acc * 131 + F.ascii(F.substring(t, 1, 1)) * 31 + F.length(t)
+        )
+        % MOD,
+    )

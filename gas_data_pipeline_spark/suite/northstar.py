@@ -1,1 +1,316 @@
-"""Placeholder — filled in by later build phases."""
+"""Driver-facing north-star queries (SURVEY §2.11): dedup, similarity
+search, text analysis, multimodal — over the ``documents`` and
+``embeddings`` tables.
+
+Where the operator depends on engine-specific hashing (xxhash64
+MinHash/SimHash, LSH buckets) the oracle is either the *exact*
+formulation it must agree with (deterministic: seeds and hash salts
+are fixed) or rows-only with pytest ground truth against the exact
+baseline (tests/test_northstar.py).
+
+Near-dup queries plant synthetic near-duplicates (doc_id + 1_000_000,
+text + marker suffix) because the synthetic corpus has none — the
+planted set makes result emptiness impossible and recall checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gas_data_pipeline_spark.catalog import table
+from gas_data_pipeline_spark.operators.dedup import (
+    exact_dedup_ranked,
+    jaccard_pairs_inverted_index,
+    minhash_near_dup_pairs,
+    simhash64,
+    word_shingles,
+)
+from gas_data_pipeline_spark.operators.multimodal import attach_binary, extract_features
+from gas_data_pipeline_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    cosine_topk_lsh,
+)
+from gas_data_pipeline_spark.operators.text import (
+    lang_id,
+    quality_features,
+    rolling_fingerprint,
+    token_stats,
+)
+from gas_data_pipeline_spark.registry import register
+
+PLANT_OFFSET = 1_000_000
+PLANT_SUFFIX = " appended marker words"
+_PLANT_SQL = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {PLANT_OFFSET}, text || '{PLANT_SUFFIX}'
+        FROM documents WHERE doc_id < 20
+"""
+_JACCARD_ORACLE = f"""
+        WITH docs AS ({_PLANT_SQL}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([
+                       words[x] || ' ' || words[x+1] || ' ' || words[x+2]
+                       FOR x IN range(1, greatest(len(words) - 1, 1))
+                   ]) AS shingles
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM docs)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles))
+                 / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))
+                / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+"""
+
+
+def _docs_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+# ---------------------------------------------------------------------------
+# X1 — deduplication.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+        SELECT doc_id, content_hash,
+               CAST(row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS BIGINT) AS dup_rank,
+               row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1 AS is_canonical
+        FROM (SELECT doc_id, sha256(text) AS content_hash FROM documents)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup: sha-256 content groups, deterministic canonical
+    member. One shuffle on the hash; at 100 TB this is the cheapest
+    possible dedup and the first pass before any fuzzy method."""
+    return exact_dedup_ranked(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 n-gram Jaccard similarity join via inverted index (no N²
+    cross join). Planted near-dups guarantee nonempty output; the
+    DuckDB oracle recomputes exact Jaccard from the same shingles."""
+    docs = _docs_with_planted(spark, sf_dir)
+    return jaccard_pairs_inverted_index(
+        docs, "doc_id", word_shingles(F.col("text"), n=3), threshold=0.5
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 MinHash-LSH near-dup: banded-signature candidates + exact
+    verification. Hash salts are fixed, so the output is deterministic;
+    with (k=64, bands=32, rows=2) the per-pair capture probability at
+    jaccard=0.5 is ~0.9999, and on this corpus the candidate set
+    contains every >=0.5 pair (checked empirically against the exact
+    oracle — same oracle as dedup_ngram_jaccard — at sf0.001/0.01/0.1)."""
+    docs = _docs_with_planted(spark, sf_dir)
+    return minhash_near_dup_pairs(
+        docs, "doc_id", word_shingles(F.col("text"), n=3), threshold=0.5
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB equivalent
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 SimHash: 64-bit per-doc fingerprint (narrow, no shuffle).
+    Near-dup banding tested in tests/test_northstar.py against planted
+    pairs; driver check is rows-only by necessity (engine hash)."""
+    from gas_data_pipeline_spark.operators.text import tokenize
+
+    docs = _docs_with_planted(spark, sf_dir)
+    return docs.select("doc_id", simhash64(tokenize(F.col("text"))).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# X2 — similarity search.
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL_FRAGMENT = """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 8
+        ),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_sim
+            FROM c CROSS JOIN q
+            WHERE neighbor_id <> query_id
+        )
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_COSINE_SQL_FRAGMENT
+    + """
+        SELECT query_id, neighbor_id, rank, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact brute-force cosine top-k (query set broadcast, corpus
+    never shuffles; per-query window top-k). Dot products are
+    sequential double folds — bit-identical to the oracle's."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_cosine_near_dup",
+    oracle=_COSINE_SQL_FRAGMENT.replace("WHERE vec_id < 8", "")
+    .replace("neighbor_id <> query_id", "neighbor_id < query_id")
+    + """
+        SELECT query_id AS id_b, neighbor_id AS id_a, cos_sim
+        FROM scored WHERE cos_sim >= 0.45
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 embedding near-dup: all pairs above cosine threshold —
+    exact baseline formulation (LSH-bucketed variant is
+    ann_lsh_bucketed + tests)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.45)
+
+
+@register("ann_lsh_bucketed")  # rows-only: bucket recall tested vs exact in pytest
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path: multi-table random-hyperplane LSH (seeded, fixed)
+    — candidates restricted to shared (table, sign-signature) keys; an
+    equi-join replaces the cross product. Approximate by construction;
+    recall vs the exact top-k asserted in tests/test_northstar.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_lsh(emb, queries, k=10, n_tables=8, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# X3 — text analysis.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_langid",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+|[^\\sa-z0-9]') AS t,
+                   length(text) AS n_chars
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, n_chars,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(t, x -> regexp_matches(x, '^[a-z0-9]+$'))) AS BIGINT) AS n_words,
+                   len(list_filter(t, x -> list_contains(['the','of','and','to','in','is','for','with'], x))) AS n_stop,
+                   len(list_filter(t, x -> list_contains(['el','la','de','que','los','por','una','con'], x))) AS h_es,
+                   len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','une','pour'], x))) AS h_fr,
+                   len(list_filter(t, x -> list_contains(['der','die','und','das','von','mit','ein','für'], x))) AS h_de,
+                   len(list_filter(t, x -> list_contains(['the','of','and','to','in','is','for','with'], x))) AS h_en
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, n_words, n_chars,
+               CASE WHEN n_tokens > 0 THEN CAST(n_tokens - n_words AS DOUBLE) / n_tokens ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio,
+               least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + (1.0 - CASE WHEN n_tokens > 0 THEN CAST(n_tokens - n_words AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.3
+                 + least(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END * 5.0, 1.0) * 0.3 AS quality_score,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de >= greatest(h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_en >= greatest(h_es, h_fr) THEN 'en'
+                    WHEN h_es >= h_fr THEN 'es'
+                    ELSE 'fr' END AS lang_guess
+        FROM feat
+    """,
+)
+def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: token stats + quality score + stopword-argmax language ID in
+    one narrow pass (regex + array lambdas, zero shuffles, zero UDFs).
+    """
+    docs = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    ts = token_stats(text)
+    qf = quality_features(text)
+    return docs.select(
+        "doc_id",
+        ts["n_tokens"].alias("n_tokens"),
+        ts["n_words"].alias("n_words"),
+        ts["n_chars"].alias("n_chars"),
+        qf["punct_ratio"].alias("punct_ratio"),
+        qf["stopword_ratio"].alias("stopword_ratio"),
+        qf["quality_score"].alias("quality_score"),
+        lang_id(text).alias("lang_guess"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN len(vals) = 0 THEN 0
+                    ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+                                     (a, b) -> (a * 131 + b) % 1000000007)
+               END AS fingerprint
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       regexp_extract_all(lower(text), '[a-z0-9]+|[^\\sa-z0-9]'),
+                       t -> CAST(ascii(t[1]) * 31 + length(t) AS BIGINT)
+                   ) AS vals
+            FROM documents
+        )
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: order-sensitive polynomial rolling fingerprint — an
+    engine-portable fold (no engine hash), so the oracle reproduces it
+    exactly. Detects reordered-content docs that bag-of-shingles misses.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — multimodal columns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               ascii(substring(text, 1, 1)) AS first_byte
+        FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: binary payload column + Arrow-batched mapInPandas feature
+    extraction — the real multimodal plumbing (schema, batch iteration)
+    with deterministic stand-in features. The crc32 column is computed
+    too (pytest-checked) but projected out here because DuckDB lacks
+    crc32."""
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary(docs, "doc_id", "text"))
+    return feats.select("doc_id", "n_bytes", "first_byte")

@@ -1,0 +1,183 @@
+"""Ground-truth tests for the north-star operators whose driver checks
+are rows-only (engine-specific hashing: SimHash, LSH) plus the
+multimodal crc path the DuckDB oracle can't cover.
+
+These pin the *semantic* claims the docstrings make: planted near-dups
+separate from random pairs under SimHash; banding honors the pigeonhole
+guarantee; LSH candidates score exactly and recall clears a floor (and
+is 100% for planted exact duplicates); mapInPandas features match a
+local recompute.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _simhash_map(spark):
+    from gas_data_pipeline_spark.operators.dedup import simhash64
+    from gas_data_pipeline_spark.operators.text import tokenize
+    from gas_data_pipeline_spark.suite.northstar import _docs_with_planted
+
+    docs = _docs_with_planted(spark, SF_SMALL)
+    pdf = docs.select(
+        "doc_id", simhash64(tokenize(F.col("text"))).alias("simhash")
+    ).toPandas()
+    return dict(zip(pdf.doc_id, pdf.simhash))
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((int(a) ^ int(b)) & (2**64 - 1)).count("1")
+
+
+def test_simhash_separates_planted_near_dups(spark):
+    from gas_data_pipeline_spark.suite.northstar import PLANT_OFFSET
+
+    m = _simhash_map(spark)
+    planted = [
+        (d, d + PLANT_OFFSET) for d in range(20) if d + PLANT_OFFSET in m
+    ]
+    assert len(planted) == 20
+    planted_ham = [_hamming(m[a], m[b]) for a, b in planted]
+    # Near-identical docs (3 appended words) stay within a few bits.
+    assert max(planted_ham) <= 12, planted_ham
+
+    rng = np.random.default_rng(0)
+    ids = list(m)
+    random_ham = [
+        _hamming(m[ids[i]], m[ids[j]])
+        for i, j in rng.integers(0, len(ids), size=(200, 2))
+        if ids[i] != ids[j]
+    ]
+    # 64-bit fingerprints of unrelated docs differ in ~20+ bits.
+    assert float(np.mean(random_ham)) > 2 * float(np.mean(planted_ham))
+
+
+def test_simhash_band_pairs_pigeonhole(spark):
+    from gas_data_pipeline_spark.operators.dedup import simhash_band_pairs
+    from gas_data_pipeline_spark.suite.northstar import (
+        PLANT_OFFSET,
+        _docs_with_planted,
+    )
+    from gas_data_pipeline_spark.operators.dedup import simhash64
+    from gas_data_pipeline_spark.operators.text import tokenize
+
+    docs = _docs_with_planted(spark, SF_SMALL)
+    sh = docs.select(
+        "doc_id", simhash64(tokenize(F.col("text"))).alias("simhash")
+    )
+    pairs = simhash_band_pairs(sh, "doc_id", "simhash", max_hamming=3).toPandas()
+
+    m = _simhash_map(spark)
+    # Soundness: every returned pair really is within the bound.
+    for row in pairs.itertuples():
+        assert _hamming(m[row.id_a], m[row.id_b]) <= 3
+    # Completeness (pigeonhole): any pair within Hamming<=3 shares a
+    # 16-bit quarter-band, so every qualifying planted pair MUST appear.
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for d in range(20):
+        a, b = d, d + PLANT_OFFSET
+        if b in m and _hamming(m[a], m[b]) <= 3:
+            assert (a, b) in got, f"missed guaranteed pair {(a, b)}"
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(spark):
+    from gas_data_pipeline_spark.catalog import table
+
+    return table(spark, SF_SMALL, "embeddings").toPandas()
+
+
+def test_lsh_topk_scores_exact_and_recall(spark, emb_pdf):
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    lsh = cosine_topk_lsh(emb, queries, k=10, n_tables=8, n_planes=6).toPandas()
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb_pdf.itertuples()}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # Soundness: candidate scores are the exact cosine, ranks contiguous.
+    for row in lsh.itertuples():
+        assert row.cos_sim == pytest.approx(
+            cos(vecs[row.query_id], vecs[row.neighbor_id]), abs=1e-9
+        )
+    for qid, grp in lsh.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+    # Recall floor vs exact top-10 (random 64-dim corpus is the
+    # worst case for LSH; measured ~0.36-0.40 at these settings).
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    l = set(zip(lsh.query_id, lsh.neighbor_id))
+    assert len(e & l) / len(e) >= 0.2
+
+
+def test_lsh_guaranteed_capture_of_exact_duplicate(spark):
+    """A planted copy of a vector collides in EVERY table (cosine=1 →
+    identical sign signature), so LSH must always return it as the
+    top-1 neighbor of its source."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.similarity import cosine_topk_lsh
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(10_000_000).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    corpus = emb.unionByName(clone.select(emb.columns))
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = cosine_topk_lsh(corpus, queries, k=5).toPandas()
+    top1 = out[out["rank"] == 1].iloc[0]
+    assert top1.neighbor_id == 10_000_000
+    assert top1.cos_sim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_multimodal_crc_and_metadata(spark):
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").limit(50)
+    binary = attach_binary(docs, "doc_id", "text")
+    feats = extract_features(binary).toPandas().set_index("doc_id")
+
+    local = docs.select("doc_id", "text").toPandas()
+    for row in local.itertuples():
+        payload = row.text.encode("utf-8")
+        got = feats.loc[row.doc_id]
+        assert got.n_bytes == len(payload)
+        assert got.first_byte == (payload[0] if payload else -1)
+        assert got.crc == (zlib.crc32(payload) & 0xFFFFFFFF)
+
+    # Metadata struct carries byte length, payload is BinaryType.
+    meta = binary.select("doc_id", "media_meta.n_bytes").toPandas().set_index("doc_id")
+    for row in local.itertuples():
+        assert meta.loc[row.doc_id].n_bytes == len(row.text.encode("utf-8"))
+
+
+def test_decode_media_is_explicit_stub(spark):
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        decode_media,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        decode_media(attach_binary(docs, "doc_id", "text"))
