@@ -21,30 +21,48 @@ aggregate) — no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gas_data_pipeline_spark.functions.exprs import bind
+
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lower-cased text."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), k)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + j) for j in range(n)]
-    )
-    return F.array_distinct(F.transform(idx, gram))
+    """Distinct word n-gram shingles of lower-cased text.
+
+    The split word array is let-bound via :func:`bind` — without it,
+    CollapseProject inlines the regex split into every ``element_at``,
+    re-splitting the text ~n times per shingle index (measured 16s vs
+    <1s over 5k docs)."""
+
+    def grams(words: Column) -> Column:
+        k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j) for j in range(n)]
+                ),
+            )
+        )
+
+    return bind(F.split(F.lower(F.trim(text)), r"\s+"), grams)
 
 
 def char_shingles(text: Column, n: int = 4) -> Column:
     """Distinct character n-gram shingles (works for CJK / no-space
-    scripts where word shingles degenerate)."""
-    t = F.lower(text)
-    k = F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(t, i, n))
-    )
+    scripts where word shingles degenerate). Lower-cased text is
+    let-bound so it isn't re-lowered per substring index."""
+
+    def grams(t: Column) -> Column:
+        k = F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(t, i, n))
+        )
+
+    return bind(F.lower(text), grams)
 
 
 def exact_dedup_ranked(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -74,11 +92,21 @@ def jaccard_pairs_inverted_index(
 
     At 100 TB add a df-frequency cap (drop shingles appearing in >p%
     of docs — stopword shingles explode the index) before the join.
+
+    The join key is the shingle's xxhash64, not the shingle string:
+    the shuffle moves 8-byte longs instead of ~20-40-byte UTF-8 grams
+    and the hash-join probe compares longs. A 64-bit collision between
+    distinct shingles of one pair (probability ~(distinct shingles)^2 /
+    2^64 per pair) would perturb the count by 1 — negligible.
     """
     base = df.select(F.col(id_col).alias("id"), shingle_col.alias("shingles"))
     sized = base.withColumn("n_shingles", F.size("shingles"))
     inv = sized.select(
-        "id", "n_shingles", F.explode("shingles").alias("shingle")
+        "id",
+        "n_shingles",
+        F.explode(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("shingle"),
     )
     a, b = inv.alias("a"), inv.alias("b")
     common = (
@@ -97,22 +125,78 @@ def jaccard_pairs_inverted_index(
     return common.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)
 
 
+_MAX_LONG = (1 << 63) - 1
+
+
+def _xor_salts(k: int, seed: int = 42) -> list[int]:
+    """Fixed pseudorandom 63-bit XOR salts (deterministic across runs)."""
+    import random
+
+    rng = random.Random(seed)
+    return [rng.getrandbits(63) for _ in range(k)]
+
+
 def minhash_signature(shingle_col: Column, k: int = 64) -> Column:
-    """k-permutation MinHash signature as an array<bigint>: permutation
-    i is xxhash64 salted with i; signature[i] = min over shingles.
-    Narrow per-row computation — no shuffle.
+    """k-permutation MinHash signature as an array<bigint>: each
+    shingle is xxhash64'd ONCE, then permutation i is XOR with a fixed
+    salt (bijective, so a valid permutation family); signature[i] = min
+    over shingles. One fold pass with a k-wide accumulator — the string
+    hash is paid once per shingle instead of k times (~10x cheaper than
+    the salted-rehash formulation), XORs are single-cycle, and nothing
+    overflows under ANSI mode. Narrow per-row computation — no shuffle.
 
-    NB: the salt must be captured via a closure, NOT a defaulted second
-    lambda parameter — a two-parameter lambda makes ``F.transform``
-    pass the array index as the second argument, silently shadowing
-    the salt (all k slots collapse to one permutation)."""
+    NB: constants must be captured via closures, NOT defaulted extra
+    lambda parameters — pyspark binds every declared lambda parameter
+    to a lambda variable, silently shadowing the default."""
+    salts = _xor_salts(k)
+    hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
 
-    def perm(i: int) -> Column:
-        return F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(F.lit(i), s))
-        )
+    def perms(h: Column) -> Column:
+        return F.array(*[h.bitwiseXOR(F.lit(s)) for s in salts])
 
-    return F.array(*[perm(i) for i in range(k)])
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(_MAX_LONG), k),
+        lambda acc, h: F.zip_with(acc, perms(h), lambda x, y: F.least(x, y)),
+    )
+
+
+def minhash_signature_pandas(k: int = 64, seed: int = 42):
+    """Arrow-vectorized MinHash signature: array<bigint> of shingle
+    hashes in, array<bigint> signature out (min over XOR permutations).
+
+    The expensive string hashing stays JVM-side (one ``xxhash64`` per
+    shingle); this UDF only does int64 XOR+min — numpy runs the
+    (n_shingles × k) matrix at memory bandwidth, ~30x faster than the
+    interpreted fold of :func:`minhash_signature`. Factory-scoped so
+    cloudpickle ships it by value (executors don't import this
+    package)."""
+    from pyspark.sql.functions import pandas_udf
+
+    salts = _xor_salts(k, seed)
+
+    @pandas_udf("array<bigint>")
+    def sig(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        salt_row = np.array(salts, dtype=np.uint64).reshape(1, -1)
+
+        def one(hs) -> list:
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64).reshape(-1, 1)
+            if h.size == 0:
+                return [(1 << 63) - 1] * len(salts)
+            # view() reinterprets back to SIGNED for the min, matching
+            # the expression formulation's F.least on bigint exactly.
+            return (h ^ salt_row).view(np.int64).min(axis=0).tolist()
+
+        return hashes.map(one)
+
+    # The function is pure, but advertising determinism lets
+    # PushProjectionThroughUnion clone the UDF into every Union branch,
+    # where Spark's Python-UDF extraction rewrites only one copy and
+    # the survivor dies at eval time ("Cannot evaluate expression:
+    # sig(...)"). Nondeterministic projections don't push through.
+    return sig.asNondeterministic()
 
 
 def minhash_near_dup_pairs(
@@ -137,10 +221,18 @@ def minhash_near_dup_pairs(
     base = df.select(F.col(id_col).alias("id"), shingle_col.alias("shingles")).filter(
         F.size("shingles") > 0
     )
-    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), k))
+    # Shingle string-hashing stays JVM-side; the k-permutation XOR-min
+    # runs vectorized in numpy (identical output to the expression
+    # formulation, ~30x faster on wide shingle sets).
+    sig_udf = minhash_signature_pandas(k)
+    sig = base.withColumn(
+        "sig", sig_udf(F.transform("shingles", lambda s: F.xxhash64(s)))
+    )
+    # Band keys only — the shingle arrays must NOT ride through the
+    # band explode (a `bands`-fold payload blowup in the shuffle);
+    # they re-attach once per verified candidate below.
     banded = sig.select(
         "id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -157,7 +249,7 @@ def minhash_near_dup_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select("id", "shingles", "bh.band", "bh.band_hash")
+    ).select("id", "bh.band", "bh.band_hash")
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -167,18 +259,20 @@ def minhash_near_dup_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = candidates.join(
+        base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        candidates.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -221,6 +315,38 @@ def simhash64(token_col: Column) -> Column:
             F.when(vote >= 0, 1).otherwise(0).cast("bigint")
         ),
     )
+
+
+def simhash64_pandas():
+    """Arrow-vectorized SimHash: array<bigint> of token hashes in,
+    bigint fingerprint out. Bit-identical to :func:`simhash64` (same
+    MSB-first majority vote), ~20x faster on wide token arrays; string
+    hashing stays JVM-side. Nondeterministic-marked for the same
+    PushProjectionThroughUnion reason as ``minhash_signature_pandas``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def sh(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bitw = np.arange(63, -1, -1, dtype=np.uint64)
+
+        def one(hs) -> int:
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                return 0
+            bits = ((h[:, None] >> bitw) & np.uint64(1)).astype(np.int64)
+            votes = (bits * 2 - 1).sum(axis=0)
+            code = 0
+            for v in votes:
+                code = (code << 1) | (1 if v >= 0 else 0)
+            # Reinterpret the 64-bit pattern as signed (matches the
+            # expression version's bigint).
+            return code - (1 << 64) if code >= (1 << 63) else code
+
+        return hashes.map(one)
+
+    return sh.asNondeterministic()
 
 
 def simhash_band_pairs(df: DataFrame, id_col: str, sim_col: str, max_hamming: int = 3) -> DataFrame:

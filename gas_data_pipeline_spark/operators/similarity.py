@@ -2,21 +2,43 @@
 top-k as the exact baseline, random-hyperplane LSH bucketing as the
 scale path.
 
-Scale design: the brute-force path broadcasts the (small) query set so
-the corpus never shuffles; dot products are JVM-side ``zip_with`` +
-``aggregate`` folds in double precision (deterministic, matching a
-sequential-fold oracle bit-for-bit). The LSH path replaces the
-corpus×queries product with an equi-join on bucket signature —
-candidates drop by ~2^bits, recall tunable via multi-probe (flip one
-sign bit per probe).
+Scale design — block-partitioned GEMM, the distributed dense-similarity
+formulation:
+
+- Vectors are packed into per-block matrix rows (``applyInPandas``:
+  one row per block carrying ids + a flattened float64 matrix). A
+  cross join of blocks (P² rows for near-dup, P rows vs one packed
+  query block for top-k) moves each block ~2P times — versus the naive
+  pair cross join that duplicates every vector once per PAIR (~N times).
+  For 2M pairs of 64-dim vectors that's ~16 MB of Arrow traffic
+  instead of ~2 GB.
+- Each block pair scores with ONE `A @ B.T` — BLAS-rate, ~1000x the
+  interpreted per-element HOF fold.
+- Top-k emits only k rows per (query, corpus-block) map-side — the
+  shuffle into the final per-query window is O(P·Q·k), never O(N·Q).
+- Block count is the memory dial: pick P so a block matrix fits an
+  executor's Arrow batch comfortably. At 100 TB brute-force all-pairs
+  is not a thing regardless — LSH prunes first and these exact kernels
+  verify candidates / score within buckets.
+
+The expression-only ``dot``/``cosine`` remain for callers that need
+bit-deterministic sequential folds (values agree to ~1e-12; the
+driver compare rounds to 1e-6).
+
+All pandas UDF / applyInPandas closures are factory-scoped and
+self-contained so cloudpickle ships them by value — executors never
+import this package.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves string type hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+BLOCK_SCHEMA = "block int, ids array<bigint>, mat array<double>, dim int"
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -36,31 +58,108 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pairs_pandas() -> "Column":
+    """Arrow-vectorized cosine over two array columns — for pair sets
+    that are ALREADY pruned (e.g. LSH candidates), where per-pair
+    vector duplication is affordable."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        va = np.stack(a.to_numpy()).astype(np.float64)
+        vb = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", va, vb)
+        den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        return pd.Series(num / den)
+
+    return cos
+
+
+def pack_blocks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int,
+) -> DataFrame:
+    """Pack (id, vector) rows into ``n_blocks`` matrix rows:
+    ``(block, ids, row-major float64 mat, dim)``. Rows are sorted by id
+    within a block so packing is deterministic. Block assignment hashes
+    the id — stable and uniform; one shuffle on the block key."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("__id")
+        mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "block": [int(pdf["__block"].iloc[0])],
+                "ids": [pdf["__id"].tolist()],
+                "mat": [mat.ravel().tolist()],
+                "dim": [mat.shape[1]],
+            }
+        )
+
+    packed = df.select(
+        F.col(id_col).cast("bigint").alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        (F.abs(F.hash(F.col(id_col))) % n_blocks).alias("__block"),
+    )
+    return packed.groupBy("__block").applyInPandas(pack, schema=BLOCK_SCHEMA)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Exact brute-force top-k neighbors per query vector.
 
-    Returns (query_id, neighbor_id, rank, cos_sim). The query side is
-    broadcast; ranking is a per-query window (top-k per partition key,
-    not a global sort)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    Returns (query_id, neighbor_id, rank, cos_sim). The query set packs
+    into ONE block row broadcast against corpus blocks; each pair
+    scores with a single GEMM and emits only the per-block top-k, so
+    the final window sees O(blocks · queries · k) rows."""
+    cb = pack_blocks(corpus, id_col, vec_col, n_blocks)
+    qb = pack_blocks(queries, id_col, vec_col, 1).select(
+        F.col("ids").alias("q_ids"),
+        F.col("mat").alias("q_mat"),
+        F.col("dim").alias("q_dim"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+    paired = cb.crossJoin(F.broadcast(qb))
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            for row in pdf.itertuples():
+                dim = int(row.dim)
+                A = np.asarray(row.mat, dtype=np.float64).reshape(-1, dim)
+                Q = np.asarray(row.q_mat, dtype=np.float64).reshape(-1, dim)
+                a_ids = np.asarray(row.ids, dtype=np.int64)
+                q_ids = np.asarray(row.q_ids, dtype=np.int64)
+                A = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                S = Q @ A.T  # (queries, block_rows)
+                S = np.where(q_ids[:, None] == a_ids[None, :], -np.inf, S)
+                top = min(k, S.shape[1])
+                # argpartition: O(n) per query for the block top-k.
+                idx = np.argpartition(-S, top - 1, axis=1)[:, :top]
+                for qi in range(S.shape[0]):
+                    cols = idx[qi]
+                    cols = cols[np.isfinite(S[qi, cols])]
+                    out["query_id"].extend([q_ids[qi]] * len(cols))
+                    out["neighbor_id"].extend(a_ids[cols].tolist())
+                    out["cos_sim"].extend(S[qi, cols].tolist())
+            yield pd.DataFrame(out)
+
+    scored = paired.mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -77,19 +176,62 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """X1 embedding-cosine near-dup: all pairs (a<b) above threshold.
-    Exact O(N²) formulation — the correctness baseline the LSH path is
-    tested against; at scale use rp_lsh_bucket first."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= threshold)
+
+    Exact O(N²) *comparisons* — but via block-pair GEMM: P·(P+1)/2
+    block pairs, one matrix multiply each, emitting only qualifying
+    pairs. The correctness baseline the LSH path is tested against; at
+    scale run LSH first and this kernel only within buckets."""
+    blocks = pack_blocks(df, id_col, vec_col, n_blocks)
+    a = blocks.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+        "dim",
+    )
+    b = blocks.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+        F.col("dim").alias("dim_b"),
+    )
+    paired = a.join(b, F.col("block_a") <= F.col("block_b"))
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"id_a": [], "id_b": [], "cos_sim": []}
+            for row in pdf.itertuples():
+                dim = int(row.dim)
+                A = np.asarray(row.mat_a, dtype=np.float64).reshape(-1, dim)
+                B = np.asarray(row.mat_b, dtype=np.float64).reshape(-1, dim)
+                ia = np.asarray(row.ids_a, dtype=np.int64)
+                ib = np.asarray(row.ids_b, dtype=np.int64)
+                A = A / np.linalg.norm(A, axis=1, keepdims=True)
+                B = B / np.linalg.norm(B, axis=1, keepdims=True)
+                S = A @ B.T
+                keep = S >= threshold
+                if row.block_a == row.block_b:
+                    # Diagonal block: both sides are the same set —
+                    # dedup the unordered pair by id order here.
+                    keep &= ia[:, None] < ib[None, :]
+                r, c = np.nonzero(keep)
+                left, right = ia[r], ib[c]
+                # Off-diagonal pairs appear once (each unordered block
+                # pair joins once) but in arbitrary id order —
+                # canonicalize to id_a < id_b on emission.
+                lo = np.minimum(left, right)
+                hi = np.maximum(left, right)
+                out["id_a"].extend(lo.tolist())
+                out["id_b"].extend(hi.tolist())
+                out["cos_sim"].extend(S[r, c].tolist())
+            yield pd.DataFrame(out)
+
+    return paired.mapInPandas(
+        score, schema="id_a bigint, id_b bigint, cos_sim double"
     )
 
 
@@ -118,6 +260,36 @@ def rp_lsh_bucket(
     return df.withColumn("bucket", sig)
 
 
+def rp_lsh_table_buckets(
+    dim: int,
+    n_tables: int,
+    n_planes: int,
+    seed: int = 42,
+):
+    """Arrow-vectorized multi-table LSH signatures: vector in,
+    ``array<bigint>`` of ``n_tables`` bucket ids out. All
+    n_tables·n_planes projections happen in ONE GEMM per Arrow batch
+    (vs n_tables·n_planes interpreted dot-product folds per row).
+    Factory-scoped; ships by value."""
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables * n_planes, dim))
+    weights = (1 << np.arange(n_planes - 1, -1, -1, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def buckets(vec: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.stack(vec.to_numpy()).astype(np.float64)  # (rows, dim)
+        signs = (V @ planes.T) >= 0  # (rows, tables*planes)
+        bits = signs.reshape(len(V), n_tables, n_planes).astype(np.int64)
+        codes = (bits * weights).sum(axis=2)  # (rows, tables)
+        return pd.Series(list(codes))
+
+    return buckets
+
+
 def rp_lsh_tables(
     df: DataFrame,
     vec_col: str,
@@ -128,23 +300,14 @@ def rp_lsh_tables(
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: ``n_tables`` independent
     sign-bit signatures of ``n_planes`` hyperplanes each. Each row fans
-    out to ``n_tables`` (table, bucket) keys via ``explode`` — candidate
-    recall is the union over tables: 1-(1-p^planes)^tables, the classic
-    recall/cost dial (more tables → recall, more planes → selectivity).
-    Narrow op (fan-out is linear, no shuffle)."""
-    sigs = []
-    for t in range(n_tables):
-        planes = _projection_planes(dim, n_planes, seed + 1000 * t)
-        sig = F.lit(0).cast("bigint")
-        for p in planes:
-            proj = dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
-            sig = sig * 2 + F.when(proj >= 0, 1).otherwise(0)
-        sigs.append(
-            F.struct(F.lit(t).alias("table"), sig.alias("bucket"))
-        )
-    return df.withColumn("tb", F.explode(F.array(*sigs))).select(
-        "*", "tb.table", "tb.bucket"
-    ).drop("tb")
+    out to ``n_tables`` (table, bucket) keys via ``posexplode`` —
+    candidate recall is the union over tables: 1-(1-p^planes)^tables,
+    the classic recall/cost dial (more tables → recall, more planes →
+    selectivity). Narrow op (fan-out is linear, no shuffle)."""
+    bucketer = rp_lsh_table_buckets(dim, n_tables, n_planes, seed)
+    return df.select(
+        "*", F.posexplode(bucketer(F.col(vec_col))).alias("table", "bucket")
+    )
 
 
 def cosine_topk_lsh(
@@ -174,10 +337,11 @@ def cosine_topk_lsh(
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    cos = cosine_pairs_pandas()
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        cos(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

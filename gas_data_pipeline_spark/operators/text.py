@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from gas_data_pipeline_spark.functions.exprs import bind
+
 # Tiny per-language stopword lists for the n-gram/stopword-hit
 # heuristic. Deliberately small: the operator shape (argmax of per-lang
 # hit counts over one token array) is what scales; richer lists drop in.
@@ -23,6 +25,15 @@ STOPWORDS = {
 TOKEN_PATTERN = r"[a-z0-9]+|[^\sa-z0-9]"
 
 
+def is_word(tok: Column) -> Column:
+    """True iff a token is a word piece. By TOKEN_PATTERN construction
+    a token is either all-[a-z0-9] or a single other symbol, so the
+    first character decides — an ascii() range check, ~10x cheaper than
+    re-running a regex per token."""
+    a = F.ascii(tok)
+    return ((a >= 97) & (a <= 122)) | ((a >= 48) & (a <= 57))
+
+
 def tokenize(text: Column) -> Column:
     """Lower-cased token array via regexp extraction (not split — so
     punctuation becomes tokens, like BPE pre-tokenization)."""
@@ -31,7 +42,7 @@ def tokenize(text: Column) -> Column:
 
 def token_stats(text: Column) -> dict[str, Column]:
     toks = tokenize(text)
-    words = F.filter(toks, lambda t: t.rlike("^[a-z0-9]+$"))
+    words = F.filter(toks, is_word)
     return {
         "n_tokens": F.size(toks).cast("bigint"),
         "n_words": F.size(words).cast("bigint"),
@@ -50,7 +61,7 @@ def quality_features(text: Column) -> dict[str, Column]:
     """Heuristic quality signals (length, punctuation density, stopword
     ratio) — the standard pre-training corpus filters."""
     toks = tokenize(text)
-    words = F.filter(toks, lambda t: t.rlike("^[a-z0-9]+$"))
+    words = F.filter(toks, is_word)
     n_toks = F.size(toks)
     n_words = F.size(words)
     sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
@@ -92,6 +103,69 @@ def lang_id(text: Column) -> Column:
         lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
     )
     return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def text_profile(text: Column) -> Column:
+    """All X3 text-analysis features in ONE pass: a struct of
+    (n_tokens, n_words, n_chars, punct_ratio, stopword_ratio,
+    quality_score, lang_guess).
+
+    The token array and the word subset are let-bound via
+    :func:`~gas_data_pipeline_spark.functions.exprs.bind`, so the
+    tokenizer regex runs once per row instead of once per feature
+    reference (~8x for the full profile — CollapseProject would
+    otherwise inline it into every consumer). Expand to columns with
+    ``F.inline(F.array(text_profile(c)))`` — the generator is also the
+    barrier that stops downstream re-inlining."""
+
+    def with_words(toks: Column, words: Column) -> Column:
+        n_toks = F.size(toks)
+        n_words = F.size(words)
+        sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+        n_stop = F.size(F.filter(words, lambda t: F.array_contains(sw, t)))
+        punct_ratio = F.when(
+            n_toks > 0, (n_toks - n_words).cast("double") / n_toks
+        ).otherwise(F.lit(0.0))
+        stop_ratio = F.when(
+            n_words > 0, n_stop.cast("double") / n_words
+        ).otherwise(F.lit(0.0))
+
+        lang_scores = []
+        for code, lang_words in sorted(STOPWORDS.items()):
+            lsw = F.array(*[F.lit(s) for s in lang_words])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(lsw, t)))
+            lang_scores.append(
+                F.struct(hits.alias("hits"), F.lit(code).alias("code"))
+            )
+        best = F.aggregate(
+            F.array(*lang_scores),
+            F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("code")),
+            lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+        )
+
+        return F.struct(
+            n_toks.cast("bigint").alias("n_tokens"),
+            n_words.cast("bigint").alias("n_words"),
+            F.length(text).cast("bigint").alias("n_chars"),
+            punct_ratio.alias("punct_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            (
+                F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
+                + (1.0 - punct_ratio) * 0.3
+                + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+            ).alias("quality_score"),
+            F.when(best["hits"] > 0, best["code"])
+            .otherwise(F.lit("und"))
+            .alias("lang_guess"),
+        )
+
+    return bind(
+        tokenize(text),
+        lambda toks: bind(
+            F.filter(toks, is_word),
+            lambda words: with_words(toks, words),
+        ),
+    )
 
 
 MOD = 1_000_000_007

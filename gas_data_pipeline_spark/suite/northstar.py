@@ -32,12 +32,7 @@ from gas_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
 )
-from gas_data_pipeline_spark.operators.text import (
-    lang_id,
-    quality_features,
-    rolling_fingerprint,
-    token_stats,
-)
+from gas_data_pipeline_spark.operators.text import rolling_fingerprint
 from gas_data_pipeline_spark.registry import register
 
 PLANT_OFFSET = 1_000_000
@@ -126,13 +121,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB equivalent
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 SimHash: 64-bit per-doc fingerprint (narrow, no shuffle).
+    """X1 SimHash: 64-bit per-doc fingerprint (narrow, no shuffle;
+    token hashing JVM-side, majority vote numpy-side — bit-identical
+    to the pure-expression :func:`simhash64`, which pytest asserts).
     Near-dup banding tested in tests/test_northstar.py against planted
     pairs; driver check is rows-only by necessity (engine hash)."""
+    from gas_data_pipeline_spark.operators.dedup import simhash64_pandas
     from gas_data_pipeline_spark.operators.text import tokenize
 
     docs = _docs_with_planted(spark, sf_dir)
-    return docs.select("doc_id", simhash64(tokenize(F.col("text"))).alias("simhash"))
+    sh = simhash64_pandas()
+    return docs.select(
+        "doc_id",
+        sh(F.transform(tokenize(F.col("text")), lambda t: F.xxhash64(t))).alias(
+            "simhash"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -168,8 +172,9 @@ _COSINE_SQL_FRAGMENT = """
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact brute-force cosine top-k (query set broadcast, corpus
-    never shuffles; per-query window top-k). Dot products are
-    sequential double folds — bit-identical to the oracle's."""
+    never shuffles; per-query window top-k). Scoring is an Arrow
+    einsum batch — agrees with the oracle's sequential fold to ~1e-12,
+    inside the compare's 1e-6 rounding."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return cosine_topk(emb, queries, k=10)
@@ -244,22 +249,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: token stats + quality score + stopword-argmax language ID in
-    one narrow pass (regex + array lambdas, zero shuffles, zero UDFs).
-    """
+    one narrow pass (regex + array lambdas, zero shuffles, zero UDFs;
+    the tokenization is let-bound so it runs once per row, and
+    F.inline expands the profile struct without re-inlining it)."""
+    from gas_data_pipeline_spark.operators.text import text_profile
+
     docs = table(spark, sf_dir, "documents")
-    text = F.col("text")
-    ts = token_stats(text)
-    qf = quality_features(text)
-    return docs.select(
-        "doc_id",
-        ts["n_tokens"].alias("n_tokens"),
-        ts["n_words"].alias("n_words"),
-        ts["n_chars"].alias("n_chars"),
-        qf["punct_ratio"].alias("punct_ratio"),
-        qf["stopword_ratio"].alias("stopword_ratio"),
-        qf["quality_score"].alias("quality_score"),
-        lang_id(text).alias("lang_guess"),
-    )
+    return docs.select("doc_id", F.inline(F.array(text_profile(F.col("text")))))
 
 
 @register(

@@ -36,6 +36,27 @@ def _hamming(a: int, b: int) -> int:
     return bin((int(a) ^ int(b)) & (2**64 - 1)).count("1")
 
 
+def test_simhash_pandas_matches_expression(spark):
+    """The numpy fast path must be bit-identical to the pure-expression
+    formulation (same MSB-first majority vote over token xxhash64s)."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.dedup import (
+        simhash64,
+        simhash64_pandas,
+    )
+    from gas_data_pipeline_spark.operators.text import tokenize
+
+    docs = table(spark, SF_SMALL, "documents").limit(50)
+    sh = simhash64_pandas()
+    both = docs.select(
+        simhash64(tokenize(F.col("text"))).alias("expr"),
+        sh(F.transform(tokenize(F.col("text")), lambda t: F.xxhash64(t))).alias(
+            "pd"
+        ),
+    ).toPandas()
+    assert (both["expr"] == both["pd"]).all()
+
+
 def test_simhash_separates_planted_near_dups(spark):
     from gas_data_pipeline_spark.suite.northstar import PLANT_OFFSET
 
