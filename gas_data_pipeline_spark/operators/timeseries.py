@@ -1,0 +1,154 @@
+"""Time-series operators the reference's domain (gas-market series)
+implies but its Postgres layer cannot express: as-of join,
+sessionization, gap-filled resampling.
+
+Reference grounding: the observation store is a long-format time
+series keyed (series_id, observation_time) (reference
+app/db/models.py:42-62); "latest value at time T" lookups and
+daily downsampling are the natural queries over it (reference
+app/ingestion/series_autoregister.py:50,89 distinguishes
+intraday/daily frequencies). These operators give that surface
+first-class, scalable form.
+
+Scale design: every operator here is ONE shuffle on the series key
+followed by a per-partition sort (window) — the canonical Spark
+time-series shape. No driver-side state, no UDFs; at 1000 executors
+the partitioning column is the series/user key, so skew tooling
+(AQE skew-join, salting) applies untouched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    prefix: str = "matched_",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` within the same key group (the "price as
+    of trade time" / "observation as of event time" join).
+
+    Implemented as the union-tag trick — NOT a range join: tag sides,
+    union, one window ``last(payload, ignorenulls)`` ordered by
+    (ts, side) per key. Exactly one shuffle on the keys and one
+    partition-local sort, O(n log n) per key group; a range-join
+    formulation would be O(n·m) per key. Right rows at exactly
+    left.ts match (side tag orders right first on ties).
+
+    Left rows with no prior right row keep null payload columns
+    (left-join semantics). Ties *within* the right side at one
+    timestamp should be pre-deduplicated by the caller for
+    deterministic output.
+    """
+    payload = F.struct(*[F.col(c) for c in right_payload]).alias("__payload")
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload,
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out_cols = [
+        F.col(f"__l_{c}").alias(c) for c in left.columns
+    ] + [
+        F.col("__match").getField(c).alias(f"{prefix}{c}") for c in right_payload
+    ]
+    return matched.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap since the
+    previous event of the same key exceeds ``gap_seconds``.
+
+    Batch analog of Structured Streaming's ``session_window`` —
+    lag-compare + running sum of session starts; one shuffle on the
+    key. Adds ``session_seq`` (1-based per key)."""
+    order_cols = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w_order = Window.partitionBy(key).orderBy(*order_cols)
+    w_running = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag(ts_col).over(w_order)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+            > gap_seconds * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        "session_seq", F.sum(new_session).over(w_running).cast("bigint")
+    )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily downsample with gap filling: sum per (series, day) over a
+    dense day grid spanning the observed range — missing days emit 0.
+
+    The grid is sequence(min_day, max_day) exploded from a 1-row
+    bounds aggregate cross-joined with the distinct series set — both
+    sides tiny, both broadcast; the only real shuffle is the daily
+    pre-aggregation (map-side partials first). This is the
+    intraday→daily downsampling the reference's frequency column
+    implies (reference app/ingestion/series_autoregister.py:50,89),
+    made gap-complete."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = df.groupBy(F.col(series_col).alias("series"), day).agg(
+        F.sum(value_col).alias("total"), F.count(F.lit(1)).alias("n_obs")
+    )
+    bounds = df.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("d1"),
+    )
+    grid_days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    series = df.select(F.col(series_col).alias("series")).distinct()
+    grid = grid_days.crossJoin(F.broadcast(series))
+    return (
+        grid.join(daily, ["series", "day"], "left")
+        .select(
+            "series",
+            "day",
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+        )
+    )

@@ -50,6 +50,7 @@ def _load_all() -> None:
         pipeline_suite,
         streaming_suite,
         northstar,
+        analytics_suite,
     )
 
 

@@ -1,0 +1,112 @@
+"""Physical-plan hygiene: the properties that make queries survive a
+100x scale-up, asserted against `.explain` output so a regression in
+plan shape fails CI even while results stay correct at test scale.
+
+What matters at 100 TB (SURVEY §4): filters reach the parquet scan
+(row-group pruning), projections prune the read schema, dimension
+joins broadcast instead of shuffling the fact side, aggregations run
+map-side partials before the exchange, and narrow per-row operators
+introduce no exchange at all.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    from gas_data_pipeline_spark.registry import all_queries
+
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_pushes_filters_and_broadcasts(spark):
+    plan = _plan(spark, "flagship_data_query")
+    # Optional-parameter filters must reach the orders scan as parquet
+    # pushed filters (the reference's `(:p IS NULL OR ...)` pattern
+    # would defeat this — conditional plan construction is the point).
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual" in plan or "GreaterThan" in plan
+    # customer is a dimension: must broadcast, never shuffle the facts.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_both_dims(spark):
+    plan = _plan(spark, "star_join_3way")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan(spark, "pricing_summary")
+    # Map-side partial aggregation before the exchange: the shuffle
+    # carries one row per (group, task), not one per input row.
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_melt_is_narrow(spark):
+    # Wide→long melt is a per-row generator — any Exchange here would
+    # shuffle the full fact table for nothing.
+    plan = _plan(spark, "melt_wide_to_long")
+    assert "Exchange" not in plan
+
+
+def test_text_profile_is_narrow(spark):
+    plan = _plan(spark, "text_quality_langid")
+    assert "Exchange" not in plan
+
+
+def test_band_join_is_broadcast_nested_loop(spark):
+    # 4-row build side with a range predicate: BNLJ over broadcast is
+    # the right plan; a shuffled cartesian would be wrong.
+    plan = _plan(spark, "band_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_scan_prunes_columns_and_pushes_range(spark):
+    plan = _plan(spark, "range_scan_history")
+    # Projection pruning: the events scan must not read event_type or
+    # props for a (ts, value) projection.
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan
+    assert "props" not in scan[0]
+    assert "event_type" not in scan[0]
+    # Equality + range predicates pushed to parquet.
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(user_id,7)" in plan.replace(" ", "").replace("`", "") or "EqualTo" in plan
+
+
+def test_topn_is_take_ordered(spark):
+    # ORDER BY ... LIMIT k must plan TakeOrderedAndProject (true
+    # top-k), not a global sort.
+    plan = _plan(spark, "topn_recency")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_approx_distinct_accuracy(spark):
+    """HLL++ at rsd=0.01 must land within 2% of exact distinct."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.registry import all_queries
+
+    import pyspark.sql.functions as F
+
+    approx = (
+        all_queries()["approx_distinct_users"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")["approx_users"]
+    )
+    exact = (
+        table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .toPandas()
+        .set_index("event_type")["exact"]
+    )
+    for et in exact.index:
+        assert abs(approx[et] - exact[et]) <= max(2, 0.02 * exact[et])
