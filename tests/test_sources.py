@@ -1,0 +1,138 @@
+"""SRC1-SRC5 flattener tests on synthetic JSON fixtures shaped like the
+reference's API envelopes (reference app/ingestion/national_gas_client.py
+:106-116, :176-183, :207-218, :249-259; app/api/v2/ingestion.py:113-128).
+No network — ``json_batch_to_df`` turns dicts into DataFrames."""
+
+from __future__ import annotations
+
+from gas_data_pipeline_spark.sources.rest import (
+    flatten_entsog,
+    flatten_gas_quality,
+    flatten_instantaneous_flow,
+    flatten_publication_catalogue,
+    flatten_publications,
+    json_batch_to_df,
+)
+
+GAS_QUALITY = {
+    "sites": [
+        {
+            "siteId": 1,
+            "siteName": "St Fergus",
+            "areaName": "North",
+            "siteGasQualityDetail": [
+                {"applicableAt": "2024-01-01T00:00:00Z", "CV": 39.1, "WI": 51.2},
+                {"applicableAt": "2024-01-01T01:00:00Z", "CV": 39.2, "WI": 51.1},
+            ],
+        },
+        {
+            "siteId": 2,
+            "siteName": "Bacton",
+            "areaName": "East",
+            "siteGasQualityDetail": [
+                {"applicableAt": "2024-01-01T00:00:00Z", "CV": 38.9, "WI": 50.8}
+            ],
+        },
+    ]
+}
+
+ENTSOG = {
+    "operationaldatas": [
+        {"indicator": "Physical Flow", "pointKey": "P1", "value": 10.5},
+        {"indicator": "Nomination", "pointKey": "P2", "value": 4.2},
+    ]
+}
+
+INSTANTANEOUS = {
+    "instantaneousFlow": [
+        {
+            "applicableAt": "2024-01-01T12:00:00Z",
+            "sites": [
+                {
+                    "siteName": "St Fergus",
+                    "siteGasDetail": [
+                        {"flowRate": 12.3, "scheduledFlowRate": 12.0, "quality": "OK"},
+                        {"flowRate": 12.4, "scheduledFlowRate": 12.0, "quality": "OK"},
+                    ],
+                },
+                {
+                    "siteName": "Bacton",
+                    "siteGasDetail": [
+                        {"flowRate": 5.0, "scheduledFlowRate": 5.5, "quality": "EST"}
+                    ],
+                },
+            ],
+        }
+    ]
+}
+
+PUBLICATIONS = {
+    "data": [
+        {
+            "publicationId": 101,
+            "publicationName": "Demand Forecast",
+            "publications": [
+                {"applicableAt": "2024-01-01", "value": 250.0},
+                {"applicableAt": "2024-01-02", "value": 255.0},
+            ],
+        }
+    ]
+}
+
+CATALOGUE = {
+    "data": [
+        {
+            "subCategory": [
+                {
+                    "catalogueEntries": [
+                        {"publicationId": 101, "publicationName": "Demand Forecast"},
+                        {"publicationId": None, "publicationName": "orphan"},
+                        {"publicationId": 102, "publicationName": "Supply Forecast"},
+                    ]
+                }
+            ]
+        }
+    ]
+}
+
+
+def test_flatten_gas_quality_carries_parent_attrs(spark):
+    out = flatten_gas_quality(json_batch_to_df(spark, [GAS_QUALITY])).toPandas()
+    assert len(out) == 3  # 2 + 1 detail rows
+    assert set(out.columns) >= {"siteId", "siteName", "areaName", "CV", "WI"}
+    fergus = out[out.siteId == 1]
+    assert (fergus.siteName == "St Fergus").all()
+    assert sorted(fergus.CV) == [39.1, 39.2]
+
+
+def test_flatten_entsog_unwraps_and_normalizes(spark):
+    out = flatten_entsog(json_batch_to_df(spark, [ENTSOG])).toPandas()
+    assert len(out) == 2
+    # "Physical Flow" -> "PhysicalFlow" (reference :163-165)
+    assert set(out.indicator) == {"PhysicalFlow", "Nomination"}
+
+
+def test_flatten_instantaneous_three_levels(spark):
+    out = flatten_instantaneous_flow(
+        json_batch_to_df(spark, [INSTANTANEOUS])
+    ).toPandas()
+    assert len(out) == 3  # 2 + 1 innermost rows
+    assert (out.applicableAt == "2024-01-01T12:00:00Z").all()
+    assert set(out.siteName) == {"St Fergus", "Bacton"}
+    assert list(out.columns) == [
+        "applicableAt", "siteName", "flowRate", "scheduledFlowRate", "quality",
+    ]
+
+
+def test_flatten_publications_carries_pub_id(spark):
+    out = flatten_publications(json_batch_to_df(spark, [PUBLICATIONS])).toPandas()
+    assert len(out) == 2
+    assert (out.publicationId == 101).all()
+    assert sorted(out.value) == [250.0, 255.0]
+
+
+def test_flatten_catalogue_drops_null_ids(spark):
+    out = flatten_publication_catalogue(
+        json_batch_to_df(spark, [CATALOGUE])
+    ).toPandas()
+    assert sorted(out.publicationId) == [101, 102]  # null id dropped
