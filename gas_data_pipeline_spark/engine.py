@@ -1,0 +1,310 @@
+"""GasDataEngine — the user-facing facade: the reference's full public
+API surface over a Spark lakehouse.
+
+A user of the reference talks to (a) the ingest endpoints
+(``POST /v2/ingest/*`` — reference app/api/v2/ingestion.py), (b) the
+query API (``GET /v2/data`` — app/api/v2/routes.py:12-61), (c) the
+Python client (``gas_client.get_history`` — app/client/gas_client.py:
+7-52), (d) discovery (``GET /v2/discovery/*`` — app/api/v2/discovery.py)
+and (e) exports (``GET /v2/export/*`` — app/api/v2/export.py). This
+class exposes each of those, one method per endpoint, over a lakehouse
+root::
+
+    root/
+    ├── bronze/                 raw zero-loss event store (SNK1)
+    ├── silver/observations/    long-format typed series (SNK2 upsert)
+    ├── dims/meta_series/       auto-registered series catalog (SNK3)
+    └── dims/field_catalog/     inferred schema registry (A4)
+
+The ingest path is ONE linear DataFrame job (SURVEY §3.2): land bronze
+→ melt wide→long with the series id derived in the same pass → window
+dedup → partition-scoped upsert. The reference's per-series loop
+(run_all.py:91-118, O(series × batch)) does not exist here.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gas_data_pipeline_spark.functions import make_series_id
+from gas_data_pipeline_spark.pipeline.bronze import bronze_append, read_bronze
+from gas_data_pipeline_spark.pipeline.dims import insert_if_absent
+from gas_data_pipeline_spark.pipeline.silver import (
+    read_observations,
+    upsert_observations,
+)
+from gas_data_pipeline_spark.suite.reshape import melt_numeric
+
+
+class GasDataEngine:
+    """One engine instance per lakehouse root (single-writer, like the
+    reference scheduler's ``max_instances=1``)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.bronze_path = os.path.join(root, "bronze")
+        self.obs_path = os.path.join(root, "silver", "observations")
+        self.series_path = os.path.join(root, "dims", "meta_series")
+        self.fields_path = os.path.join(root, "dims", "field_catalog")
+
+    # ------------------------------------------------------------------
+    # Write path (reference §3.2: POST /v2/ingest/*)
+    # ------------------------------------------------------------------
+
+    def ingest_batch(
+        self,
+        batch: DataFrame,
+        dataset_id: str,
+        source: str,
+        id_cols: list[str],
+        time_col: str,
+        quality_col: str | None = None,
+    ) -> dict[str, int]:
+        """Full ingest: bronze landing, schema discovery, series
+        auto-registration, melt, silver upsert — the reference's
+        fetch→raw→discover→register→transform→load chain
+        (run_all.py:70-118) as one set-based job per stage.
+
+        ``id_cols`` are the entity keys (reference: siteId etc.);
+        every OTHER numeric column melts into a series (R1 rule,
+        series_autoregister.py:26-31). Returns row counts per stage.
+        """
+        # SNK1 — zero-loss raw landing.
+        bronze_append(batch, dataset_id, source, self.bronze_path)
+
+        # A4 — incremental schema discovery on this batch's payloads.
+        self._discover_and_register_fields(batch, dataset_id)
+
+        # R1 + S1 — one-pass melt with derived series identity.
+        long = melt_numeric(batch, id_cols=[*id_cols, time_col])
+        long = long.withColumn(
+            "series_id",
+            make_series_id(dataset_id, *[F.col(c) for c in id_cols], F.col("metric")),
+        )
+        observations = long.select(
+            "series_id",
+            F.col(time_col).cast("timestamp").alias("observation_time"),
+            F.col("value").cast("double").alias("value"),
+            (
+                F.col(quality_col) if quality_col else F.lit("ok")
+            ).alias("quality_flag"),
+            F.current_timestamp().alias("ingestion_time"),
+        ).filter(F.col("value").isNotNull() & F.col("observation_time").isNotNull())
+
+        # SNK3 — series catalog insert-if-absent (B: auto-registration).
+        series_dim = observations.select("series_id").distinct().select(
+            "series_id",
+            F.lit(dataset_id).alias("dataset_id"),
+            F.lit(source).alias("source"),
+            F.lit("daily").alias("frequency"),
+            F.lit(30).alias("lookback_days"),
+            F.lit(True).alias("is_active"),
+            F.current_timestamp().alias("first_seen_at"),
+        )
+        new_series = insert_if_absent(
+            self.spark, series_dim, self.series_path, keys=["series_id"]
+        )
+
+        # SNK2 — idempotent last-write-wins upsert.
+        n_obs = observations.count()
+        upsert_observations(self.spark, observations, self.obs_path)
+        return {
+            "bronze_rows": batch.count(),
+            "observations": n_obs,
+            "new_series": new_series.count(),
+        }
+
+    def _discover_and_register_fields(self, batch: DataFrame, dataset_id: str) -> None:
+        """A4: profile every column of the batch (type lattice
+        null|boolean|integer|float|json|string — field_discovery.py:5-16)
+        and upsert the field catalog insert-if-absent (SNK3)."""
+        cells = batch.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("field_name"),
+                            F.col(c).cast("string").alias("cell"),
+                        )
+                        for c in batch.columns
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.field_name", "kv.cell")
+        v = F.col("cell")
+        n_nonnull = F.count(v)
+        all_match = lambda pat: n_nonnull == F.count(  # noqa: E731
+            F.when(v.rlike(pat), F.lit(1))
+        )
+        inferred = (
+            F.when(n_nonnull == 0, F.lit("null"))
+            .when(
+                (F.min(v) == F.max(v)) & F.min(v).isin("true", "false"),
+                F.lit("boolean"),
+            )
+            .when(all_match(r"^-?\d+$"), F.lit("integer"))
+            .when(all_match(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"), F.lit("float"))
+            .when(all_match(r"^[\[{]"), F.lit("json"))
+            .otherwise(F.lit("string"))
+        )
+        profile = cells.groupBy("field_name").agg(
+            inferred.alias("inferred_type"),
+            (F.count(F.lit(1)) > n_nonnull).alias("nullable"),
+            # Example truncated to 200 chars (field_discovery.py:62).
+            F.substring(F.min(v), 1, 200).alias("example_value"),
+            F.current_timestamp().alias("first_seen_at"),
+        ).withColumn("dataset_id", F.lit(dataset_id))
+        insert_if_absent(
+            self.spark, profile, self.fields_path, keys=["dataset_id", "field_name"]
+        )
+
+    # ------------------------------------------------------------------
+    # Read path (reference §3.1: GET /v2/data; §3.3: get_history)
+    # ------------------------------------------------------------------
+
+    def get_data(
+        self,
+        series_id: str | None = None,
+        dataset_id: str | None = None,
+        quality_flag: str | None = None,
+        start=None,
+        end=None,
+        min_value: float | None = None,
+        max_value: float | None = None,
+        limit: int = 1000,
+        offset: int = 0,
+        nested: bool = False,
+    ) -> DataFrame:
+        """The flagship DATA_QUERY (queries.py:3-26): dim⋈fact with 7
+        optional filters, time-ordered, paginated. Filters enter the
+        plan only when provided (pushdown-eligible); the series dim is
+        broadcast. ``nested=True`` returns the API's response shape —
+        one row per series with an ordered ``points`` array (A1)."""
+        limit = min(limit, 5000)  # routes.py:20 cap
+        obs = self.spark.read.parquet(self.obs_path)
+        meta = self.spark.read.parquet(self.series_path)
+        if series_id is not None:
+            obs = obs.filter(F.col("series_id") == series_id)
+        if quality_flag is not None:
+            obs = obs.filter(F.col("quality_flag") == quality_flag)
+        if start is not None:
+            obs = obs.filter(F.col("observation_time") >= start)
+        if end is not None:
+            obs = obs.filter(F.col("observation_time") <= end)
+        if min_value is not None:
+            obs = obs.filter(F.col("value") >= min_value)
+        if max_value is not None:
+            obs = obs.filter(F.col("value") <= max_value)
+        if dataset_id is not None:
+            meta = meta.filter(F.col("dataset_id") == dataset_id)
+        joined = obs.join(
+            F.broadcast(meta.select("series_id", "dataset_id", "source", "frequency")),
+            "series_id",
+            "inner",
+        )
+        flat = joined.select(
+            "series_id",
+            "dataset_id",
+            "source",
+            "frequency",
+            "observation_time",
+            "value",
+            "quality_flag",
+        )
+        if nested:
+            return (
+                flat.groupBy("series_id", "dataset_id", "source", "frequency")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("observation_time", "value", "quality_flag")
+                        )
+                    ).alias("points")
+                )
+            )
+        # W3: stable pagination needs a total order (SURVEY §7 #2).
+        w = Window.orderBy("observation_time", "series_id")
+        paged = flat.withColumn("__rn", F.row_number().over(w)).filter(
+            (F.col("__rn") > offset) & (F.col("__rn") <= offset + limit)
+        )
+        return paged.drop("__rn")
+
+    def get_history(
+        self,
+        series_id: str,
+        last_days: int | None = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """The Python client read (gas_client/client.py:8-48):
+        ``last_days`` resolves to [now-Δ, now] UTC, else explicit
+        start/end; key + range scan, time-ordered."""
+        if last_days is not None:
+            now = datetime.now(timezone.utc)
+            start, end = now - timedelta(days=last_days), now
+        return read_observations(
+            self.spark, self.obs_path, series_id=series_id, start=start, end=end
+        )
+
+    # ------------------------------------------------------------------
+    # Discovery (reference app/api/v2/discovery.py)
+    # ------------------------------------------------------------------
+
+    def list_datasets(self) -> DataFrame:
+        """A2: SELECT DISTINCT dataset_id FROM raw_events ORDER BY 1."""
+        return (
+            read_bronze(self.spark, self.bronze_path)
+            .select("dataset_id")
+            .distinct()
+            .orderBy("dataset_id")
+        )
+
+    def discover_fields(self, dataset_id: str) -> DataFrame:
+        """The persisted field catalog for a dataset (discovery.py:17-38)."""
+        return (
+            self.spark.read.parquet(self.fields_path)
+            .filter(F.col("dataset_id") == dataset_id)
+            .orderBy("field_name")
+        )
+
+    def sample_raw(self, dataset_id: str, limit: int = 5) -> DataFrame:
+        """Newest-first raw payload sample (discovery.py:42-51), capped
+        at 50 (reference ``Query(5, le=50)``)."""
+        limit = min(limit, 50)
+        return (
+            read_bronze(self.spark, self.bronze_path, dataset_id)
+            .orderBy(F.desc("ingested_at"), F.desc("event_id"))
+            .limit(limit)
+            .select("event_id", "dataset_id", "source", "ingested_at", "raw_payload")
+        )
+
+    # ------------------------------------------------------------------
+    # Exports (reference app/api/v2/export.py)
+    # ------------------------------------------------------------------
+
+    def export_raw(
+        self, dataset_id: str, path: str, fmt: str = "json", limit: int = 1000
+    ) -> None:
+        """SNK5/SNK6: newest-first raw export, limit ≤ 50 000
+        (export.py:16,38)."""
+        limit = min(limit, 50_000)
+        df = (
+            read_bronze(self.spark, self.bronze_path, dataset_id)
+            .orderBy(F.desc("ingested_at"), F.desc("event_id"))
+            .limit(limit)
+        )
+        if fmt == "json":
+            df.select("raw_payload").write.mode("overwrite").text(path)
+        elif fmt == "csv":
+            flat = df.select(
+                "event_id", "dataset_id", "source", "raw_payload"
+            )
+            flat.write.mode("overwrite").option("header", True).csv(path)
+        else:
+            raise ValueError(f"unknown export format: {fmt}")

@@ -1,0 +1,163 @@
+"""End-to-end GasDataEngine tests: the reference's API lifecycle
+(ingest → discover → query → history → export) against a scratch
+lakehouse, including the upsert-idempotency invariant the reference's
+own ``test.py`` gestures at (zero-loss + re-ingest changes nothing).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def engine(spark):
+    from gas_data_pipeline_spark.engine import GasDataEngine
+
+    root = tempfile.mkdtemp(prefix="gas_engine_")
+    yield GasDataEngine(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _wide_batch(spark):
+    """A gas-quality-shaped wide batch derived from events: entity key
+    (user_id), event time, and two numeric measure columns."""
+    from gas_data_pipeline_spark.catalog import table
+
+    e = table(spark, SF_SMALL, "events").filter(F.col("user_id") < 5)
+    return e.select(
+        F.col("user_id").alias("site_id"),
+        F.col("ts").alias("observed_at"),
+        F.col("value").alias("flow_rate"),
+        (F.col("value") * 2).alias("energy"),
+    )
+
+
+def test_ingest_then_query_roundtrip(engine, spark):
+    batch = _wide_batch(spark)
+    stats = engine.ingest_batch(
+        batch,
+        dataset_id="GAS_QUALITY",
+        source="national_gas",
+        id_cols=["site_id"],
+        time_col="observed_at",
+    )
+    n_rows = batch.count()
+    assert stats["bronze_rows"] == n_rows
+    # Two numeric measure columns melt to 2 observations per row.
+    assert stats["observations"] == 2 * n_rows
+    # 5 sites x 2 metrics series auto-registered.
+    assert stats["new_series"] == 10
+
+    # Flagship query: filters + broadcast dim join + pagination.
+    out = engine.get_data(dataset_id="GAS_QUALITY", limit=50).toPandas()
+    assert len(out) == 50
+    assert set(out.dataset_id) == {"GAS_QUALITY"}
+    assert list(out.observation_time) == sorted(out.observation_time)
+
+    # Offset pagination is stable and disjoint.
+    p1 = engine.get_data(limit=20).toPandas()
+    p2 = engine.get_data(limit=20, offset=20).toPandas()
+    k1 = set(zip(p1.series_id, p1.observation_time))
+    k2 = set(zip(p2.series_id, p2.observation_time))
+    assert not (k1 & k2)
+
+    # Nested API shape: one row per series, ordered points.
+    nested = engine.get_data(nested=True).toPandas()
+    assert len(nested) == 10
+    pts = nested.iloc[0].points
+    times = [p["observation_time"] for p in pts]
+    assert times == sorted(times)
+
+
+def test_reingest_is_idempotent(engine, spark):
+    batch = _wide_batch(spark)
+    engine.ingest_batch(
+        batch, "GAS_QUALITY", "national_gas", ["site_id"], "observed_at"
+    )
+    first = engine.get_data(limit=5000).toPandas()
+
+    stats2 = engine.ingest_batch(
+        batch, "GAS_QUALITY", "national_gas", ["site_id"], "observed_at"
+    )
+    assert stats2["new_series"] == 0  # insert-if-absent: nothing new
+    second = engine.get_data(limit=5000).toPandas()
+    # Upsert of identical data changes nothing (values identical; only
+    # ingestion_time advanced, which get_data doesn't project).
+    assert len(first) == len(second)
+    a = first.sort_values(["series_id", "observation_time"]).reset_index(drop=True)
+    b = second.sort_values(["series_id", "observation_time"]).reset_index(drop=True)
+    assert (a.value == b.value).all()
+
+
+def test_series_id_and_history(engine, spark):
+    batch = _wide_batch(spark)
+    engine.ingest_batch(
+        batch, "GAS_QUALITY", "national_gas", ["site_id"], "observed_at"
+    )
+    # S1 slug: NG_<dataset>_<site>_<metric>
+    sid = "NG_GAS_QUALITY_3_FLOW_RATE"
+    series = spark.read.parquet(engine.series_path).toPandas()
+    assert sid in set(series.series_id)
+
+    hist = engine.get_history(sid, start="2024-01-01", end="2025-01-01").toPandas()
+    expected = (
+        batch.filter(F.col("site_id") == 3).count()
+    )
+    assert len(hist) == expected
+    assert list(hist.observation_time) == sorted(hist.observation_time)
+
+    # Relative window (last_days): events are in 2024, so empty now.
+    assert engine.get_history(sid, last_days=30).count() == 0
+
+
+def test_discovery_and_field_catalog(engine, spark):
+    batch = _wide_batch(spark)
+    engine.ingest_batch(
+        batch, "GAS_QUALITY", "national_gas", ["site_id"], "observed_at"
+    )
+    datasets = engine.list_datasets().toPandas()
+    assert list(datasets.dataset_id) == ["GAS_QUALITY"]
+
+    fields = engine.discover_fields("GAS_QUALITY").toPandas().set_index("field_name")
+    assert fields.loc["site_id"].inferred_type == "integer"
+    assert fields.loc["flow_rate"].inferred_type == "float"
+    assert not fields.loc["site_id"].nullable
+
+    sample = engine.sample_raw("GAS_QUALITY", limit=3).toPandas()
+    assert len(sample) == 3
+    payload = json.loads(sample.iloc[0].raw_payload)
+    assert {"site_id", "flow_rate", "energy"} <= set(payload)
+
+
+def test_export_zero_loss(engine, spark):
+    """The reference's own test.py invariant: exported raw payloads
+    reconstruct the source batch exactly (zero loss)."""
+    batch = _wide_batch(spark).limit(20)
+    engine.ingest_batch(
+        batch, "GAS_QUALITY", "national_gas", ["site_id"], "observed_at"
+    )
+    out_dir = os.path.join(engine.root, "export_json")
+    engine.export_raw("GAS_QUALITY", out_dir, fmt="json", limit=1000)
+    payloads = []
+    for f in glob.glob(os.path.join(out_dir, "part-*")):
+        with open(f) as fh:
+            payloads += [json.loads(ln) for ln in fh if ln.strip()]
+    assert len(payloads) == 20
+    exported = {
+        (p["site_id"], round(p["flow_rate"], 9), round(p["energy"], 9))
+        for p in payloads
+    }
+    source = {
+        (r.site_id, round(r.flow_rate, 9), round(r.energy, 9))
+        for r in batch.toPandas().itertuples()
+    }
+    assert exported == source
