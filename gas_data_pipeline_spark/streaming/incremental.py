@@ -121,3 +121,60 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataF
         "value",
     ).withWatermark("observation_time", watermark)
     return keyed.dropDuplicatesWithinWatermark(["series_id", "observation_time"])
+
+
+def stateful_series_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    — the engine's arbitrary-state extension point (running per-series
+    count/total/min/max carried in the state store across micro-batches;
+    the reference's ``last_ingested_at`` bookkeeping generalized).
+
+    Emits one updated row per (series, batch) in update mode; the
+    latest row per series is the live aggregate. State is a flat tuple
+    (count, total, vmin, vmax) — O(|series|) store, bounded and
+    shuffle-partitioned on the series key like every other stateful op.
+
+    The update closure is self-contained (imports inside, no module
+    globals) so executors never import this package.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "series_id STRING, n_events BIGINT, total DOUBLE, "
+        "vmin DOUBLE, vmax DOUBLE"
+    )
+    state_schema = "n BIGINT, total DOUBLE, vmin DOUBLE, vmax DOUBLE"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, vmin, vmax = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            if len(vals):
+                n += len(vals)
+                total += float(vals.sum())
+                bmin, bmax = float(vals.min()), float(vals.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+        state.update((n, total, vmin, vmax))
+        yield pd.DataFrame(
+            {
+                "series_id": [key[0]],
+                "n_events": [n],
+                "total": [total],
+                "vmin": [vmin],
+                "vmax": [vmax],
+            }
+        )
+
+    keyed = events.select(F.col("event_type").alias("series_id"), "value")
+    return keyed.groupBy("series_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

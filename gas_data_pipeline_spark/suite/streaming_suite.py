@@ -103,3 +103,45 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_foreach_batch(batch_shape, write_batch, ckpt)
     return spark.read.parquet(silver).select("series_id", "observation_time", "value")
+
+
+@register(
+    "stream_stateful_stats",
+    oracle="""
+        SELECT event_type AS series_id,
+               CAST(count(value) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-series stats accumulated in the state store across
+    micro-batches. The batch GROUP BY is the oracle — after the stream
+    drains, the latest update per series must equal the batch answer.
+    (Total rounded: state accumulates in arrival order, the oracle in
+    scan order; double addition is order-sensitive at ~1e-12.)"""
+    from pyspark.sql.window import Window
+
+    from gas_data_pipeline_spark.streaming.incremental import (
+        stateful_series_stats,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    updates = run_stream_to_table(
+        stateful_series_stats(stream), output_mode="update"
+    )
+    w = Window.partitionBy("series_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "series_id",
+            "n_events",
+            F.round("total", 4).alias("total"),
+            "vmin",
+            "vmax",
+        )
+    )

@@ -253,3 +253,64 @@ def test_flatten_publication_catalogue_drops_null_ids(spark):
     }
     flat = flatten_publication_catalogue(json_batch_to_df(spark, [payload]))
     assert [r.publicationId for r in flat.collect()] == [1]
+
+
+def test_stateful_stats_carry_state_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState must accumulate across micro-batches:
+    split events into 3 files, force one file per trigger, and check
+    the final update per series equals the whole-data batch aggregate
+    while intermediate updates show monotone growth."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.streaming.incremental import (
+        EVENTS_SCHEMA,
+        stateful_series_stats,
+    )
+    from tests.conftest import SF_SMALL
+
+    src = str(tmp_path / "events_parts")
+    table(spark, SF_SMALL, "events").repartition(3).write.parquet(src)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_series_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table(name).toPandas()
+
+    # 3 micro-batches -> up to 3 updates per series, counts monotone.
+    per_series = updates.groupby("series_id")["n_events"].apply(list)
+    assert any(len(v) > 1 for v in per_series)
+
+    final = updates.sort_values("n_events").groupby("series_id").last()
+    exact = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et in exact.index:
+        assert final.loc[et].n_events == exact.loc[et].n
+        assert abs(final.loc[et].total - exact.loc[et].total) < 1e-6
+        assert final.loc[et].vmin == exact.loc[et].vmin
+        assert final.loc[et].vmax == exact.loc[et].vmax
