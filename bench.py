@@ -45,6 +45,15 @@ def main() -> None:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).count()
+    # Start the Python UDF worker pool so the first Arrow-UDF query
+    # isn't billed its cold-start.
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(x):
+        return x
+
+    spark.range(1000).select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -108,17 +108,26 @@ def jaccard_pairs_inverted_index(
             F.transform("shingles", lambda s: F.xxhash64(s))
         ).alias("shingle"),
     )
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Posting-list pair generation instead of a self-join (which would
+    # re-evaluate the shingle explode on both sides — no common-subplan
+    # sharing in Spark).
+    members = F.struct(F.col("id"), F.col("n_shingles"))
+    postings = (
+        inv.groupBy("shingle")
+        .agg(F.collect_list(members).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
+    pairs = (
+        postings.select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
+    common = pairs.groupBy(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.n_shingles").alias("na"),
+        F.col("b.n_shingles").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("n_common"))
     jac = (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
         "jaccard"
     )
@@ -251,15 +260,18 @@ def minhash_near_dup_pairs(
         ).alias("bh"),
     ).select("id", "bh.band", "bh.band_hash")
 
-    a, b = banded.alias("a"), banded.alias("b")
+    # Bucket-group pair generation, NOT a self-join: a self-join
+    # re-evaluates the whole signature subtree on both sides (Spark
+    # has no common-subplan sharing), doubling the dominant cost.
+    # groupBy bucket + double explode touches each signature once;
+    # pairs per bucket are inherent to LSH either way.
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = candidates.join(

@@ -287,6 +287,75 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(
+                list_filter(
+                    regexp_extract_all(lower(text), '[a-z0-9]+|[^\\sa-z0-9]'),
+                    t -> regexp_matches(t, '^[a-z0-9]')
+                )
+            ) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                     AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, tfidf, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 tf-idf: top-3 characteristic terms per document (smoothed
+    idf = ln((N+1)/(df+1))+1, sklearn's formulation). Pure DataFrame:
+    token explode → (doc, term) counts → broadcast document-frequency
+    join → per-doc window top-k. The df table is |vocab|-sized —
+    broadcast; the only big shuffle is the (doc, term) count, which is
+    map-side combinable."""
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokenize(F.col("text")), is_word)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X4 — multimodal columns.
 # ---------------------------------------------------------------------------
