@@ -197,6 +197,20 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.45)
 
 
+@register("ann_ivf")  # rows-only: k-means partitions are engine-derived
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 IVF scale path: k-means inverted lists (seeded, trained on a
+    bounded sample), queries probe their 4 nearest of 16 centroids —
+    ~25% corpus scan per query instead of 100%. Complementary to LSH
+    (data-adapted vs oblivious partitions); recall asserted vs exact
+    top-k in tests/test_northstar.py."""
+    from gas_data_pipeline_spark.operators.similarity import cosine_topk_ivf
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_ivf(emb, queries, k=10, n_clusters=16, n_probe=4)
+
+
 @register("ann_lsh_bucketed")  # rows-only: bucket recall tested vs exact in pytest
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 scale path: multi-table random-hyperplane LSH (seeded, fixed)

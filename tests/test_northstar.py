@@ -147,6 +147,33 @@ def test_lsh_topk_scores_exact_and_recall(spark, emb_pdf):
     assert len(e & l) / len(e) >= 0.2
 
 
+def test_ivf_topk_scores_exact_and_recall(spark, emb_pdf):
+    """IVF candidates score exactly; probing 4/16 centroids (~25% of
+    the corpus) must beat that scan fraction on recall — the whole
+    point of data-adapted partitions (measured ~0.8+ here)."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    ivf = cosine_topk_ivf(emb, queries, k=10, n_clusters=16, n_probe=4).toPandas()
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb_pdf.itertuples()}
+    for row in ivf.itertuples():
+        a, b = vecs[row.query_id], vecs[row.neighbor_id]
+        expect = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert row.cos_sim == pytest.approx(expect, abs=1e-9)
+
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    i = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(e & i) / len(e)
+    assert recall >= 0.5, recall
+
+
 def test_lsh_guaranteed_capture_of_exact_duplicate(spark):
     """A planted copy of a vector collides in EVERY table (cosine=1 →
     identical sign signature), so LSH must always return it as the
