@@ -54,6 +54,14 @@ def main() -> None:
         return x
 
     spark.range(1000).select(_warm(F.col("id").cast("double"))).count()
+    # Grouped-map (applyInPandas) workers warm separately.
+    (
+        spark.range(1000)
+        .withColumn("g", F.col("id") % 4)
+        .groupBy("g")
+        .applyInPandas(lambda pdf: pdf[["id"]], schema="id bigint")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
