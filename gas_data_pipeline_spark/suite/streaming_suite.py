@@ -145,3 +145,70 @@ def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vmax",
         )
     )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, value,
+                   CAST(date_trunc('microsecond', ts) AS TIMESTAMP) AS ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id AS series_id,
+               min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+        -- Append-mode closure rule: a session emits only once the
+        -- watermark (global max ts - 1s delay) passes its end
+        -- (last event + 30min gap). Trailing open sessions don't.
+        HAVING max(ts) + INTERVAL 30 MINUTE
+                 <= (SELECT max(ts) FROM ev) - INTERVAL 1 SECOND
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ``session_window`` (30-min gap, watermarked)
+    drained with AvailableNow — must produce exactly the sessions the
+    batch lag/cumsum sessionizer defines, which is the oracle. Session
+    end is gap-padded by Spark's session_window (last event + gap), so
+    the comparable columns are start/count/total."""
+    stream = events_stream(spark, sf_dir)
+    # Append mode emits a session only once the watermark passes its
+    # end; a tiny delay lets the AvailableNow drain finalize everything
+    # (production would trade this for late-data tolerance).
+    sessions = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id").alias("series_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_dec"),
+        )
+    )
+    out = run_stream_to_table(sessions, output_mode="append")
+    return out.select(
+        "series_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        F.round(F.col("total_dec").cast("double"), 4).alias("total_value"),
+    )

@@ -1,0 +1,173 @@
+"""Property-based tests (hypothesis): engine expressions vs
+independent Python reimplementations over arbitrary generated inputs.
+
+These pin the scalar semantics (SURVEY §2.7/§2.10) much harder than
+fixtures: slugging, value cleaning, fingerprints, melt completeness,
+and last-write-wins dedup hold for ANY input, not just the corpus.
+Each property runs a real Spark job per example, so example counts
+stay small and the data tiny.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Latin-range text without surrogates. The mirrors reimplement JAVA
+# regex/trim semantics (Spark is the spec): Java `\s` is ASCII-only
+# ([ \t\n\x0B\f\r] — \x1c-\x1f are NOT whitespace, unlike Python's
+# unicode `\s`), and F.trim strips only the space character. Codepoints
+# are capped below exotic case-mapping ranges so upper()/lower() agree.
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x24F),
+    max_size=40,
+)
+
+
+def _slug_py(part: str) -> str:
+    up = part.strip(" ").upper()
+    cleaned = re.sub(r"[,()]", "", up)
+    return re.sub(r"\s+", "_", cleaned, flags=re.ASCII)
+
+
+@given(parts=st.lists(TEXT, min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_make_series_id_matches_python_mirror(spark, parts):
+    from gas_data_pipeline_spark.functions import make_series_id
+
+    df = spark.createDataFrame([tuple(parts)], [f"p{i}" for i in range(len(parts))])
+    got = df.select(
+        make_series_id("DS", *[F.col(f"p{i}") for i in range(len(parts))]).alias("sid")
+    ).collect()[0].sid
+    expected = "_".join(["NG", _slug_py("DS"), *[_slug_py(p) for p in parts]])
+    # concat_ws skips empty-after-slug parts the same way on both sides
+    # only when the slug is non-empty; mirror that.
+    expected = "_".join([s for s in expected.split("_")])
+    assert got == expected
+
+
+@given(
+    raws=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=8),
+            st.floats(allow_nan=False, allow_infinity=False, width=32).map(str),
+            st.integers(-10**6, 10**6).map(str),
+            st.just("  "),
+            st.just(""),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_clean_value_matches_python_mirror(spark, raws):
+    from gas_data_pipeline_spark.functions import clean_value
+
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    got = [r.v for r in df.select(clean_value(F.col("raw")).alias("v")).collect()]
+
+    def mirror(r):
+        if r is None or r.strip() == "":
+            return None
+        try:
+            return float(r.strip())
+        except ValueError:
+            return None
+
+    # Spark try_cast accepts a superset of Python float() only for
+    # whitespace forms already trimmed; compare value-wise.
+    for g, r in zip(got, raws):
+        m = mirror(r)
+        if m is None:
+            assert g is None or g != g  # null (or NaN from 'nan' text)
+        else:
+            assert g == pytest.approx(m, rel=1e-6)
+
+
+@given(text=TEXT)
+@settings(**SETTINGS)
+def test_rolling_fingerprint_matches_python_fold(spark, text):
+    from gas_data_pipeline_spark.operators.text import (
+        MOD,
+        TOKEN_PATTERN,
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(rolling_fingerprint(F.col("t")).alias("fp")).collect()[0].fp
+
+    toks = re.findall(TOKEN_PATTERN, text.lower(), flags=re.ASCII)
+    acc = 0
+    for t in toks:
+        acc = (acc * 131 + ord(t[0]) * 31 + len(t)) % MOD
+    assert got == acc
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.floats(-100, 100, allow_nan=False),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_melt_completeness(spark, rows):
+    """R1 invariant: every numeric cell appears exactly once in the
+    long format; row count = rows x value-columns."""
+    from gas_data_pipeline_spark.suite.reshape import melt_numeric
+
+    df = spark.createDataFrame(
+        [(i, k, a, b) for i, (k, a, b) in enumerate(rows)],
+        "rid bigint, key bigint, m1 double, m2 double",
+    )
+    long = melt_numeric(df, id_cols=["rid", "key"]).toPandas()
+    assert len(long) == 2 * len(rows)
+    for i, (k, a, b) in enumerate(rows):
+        cell = long[(long.rid == i) & (long.metric == "m1")]
+        assert len(cell) == 1 and cell.iloc[0].value == pytest.approx(a)
+        cell = long[(long.rid == i) & (long.metric == "m2")]
+        assert len(cell) == 1 and cell.iloc[0].value == pytest.approx(b)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_last_write_wins_keeps_max_order(spark, rows):
+    """A5 invariant: one row per key; the survivor carries the maximum
+    order column (deterministic, unlike the reference's dict order)."""
+    from gas_data_pipeline_spark.pipeline.silver import dedup_last_write_wins
+
+    df = spark.createDataFrame(
+        [(f"s{k}", t, o, float(o)) for k, t, o in rows],
+        "series_id string, observation_time bigint, ord bigint, value double",
+    )
+    out = dedup_last_write_wins(df, ["ord"]).toPandas()
+    keys = list(zip(out.series_id, out.observation_time))
+    assert len(keys) == len(set(keys))
+    import collections
+
+    best = collections.defaultdict(int)
+    for k, t, o in rows:
+        best[(f"s{k}", t)] = max(best[(f"s{k}", t)], o)
+    for row in out.itertuples():
+        assert row.ord == best[(row.series_id, row.observation_time)]
