@@ -263,3 +263,158 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_partial").cast("bigint").alias("n_events"),
         F.round(F.sum("sum_partial").cast("double"), 4).alias("total"),
     )
+
+
+@register(
+    "rolling_time_average",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, value,
+                   CAST(date_trunc('microsecond', ts) AS TIMESTAMP) AS ts
+            FROM events WHERE user_id < 10
+        )
+        SELECT user_id, event_id, ts,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+               ), 4) AS avg_24h,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_24h
+        FROM ev
+    """,
+)
+def rolling_time_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour rolling mean per series — a RANGE frame over
+    event time (peers included, exactly SQL RANGE semantics), the
+    canonical smoothing query over the observation store. One shuffle
+    on the series key; the frame is evaluated in a single sorted pass
+    per partition."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    micros = F.unix_micros(F.col("ts"))
+    day_us = 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-day_us, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.avg("value").over(w), 4).alias("avg_24h"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+    )
+
+
+@register(
+    "interpolate_daily_gaps",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day, value
+            FROM events
+        ),
+        daily AS (
+            SELECT series, day, round(avg(value), 6) AS obs
+            FROM ev WHERE day <= DATE '2024-01-20' GROUP BY series, day
+        ),
+        bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        grid AS (
+            SELECT s.series, CAST(g.day AS DATE) AS day
+            FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                  FROM bounds) g
+            CROSS JOIN (SELECT DISTINCT series FROM ev) s
+        ),
+        joined AS (
+            SELECT grid.series, grid.day, daily.obs FROM grid
+            LEFT JOIN daily ON grid.series = daily.series AND grid.day = daily.day
+        ),
+        bracketed AS (
+            SELECT series, day, obs,
+                   last_value(obs IGNORE NULLS) OVER (
+                       PARTITION BY series ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_obs,
+                   last_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                       PARTITION BY series ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+                   first_value(obs IGNORE NULLS) OVER (
+                       PARTITION BY series ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_obs,
+                   first_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                       PARTITION BY series ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+            FROM joined
+        )
+        SELECT series, strftime(day, '%Y-%m-%d') AS day,
+               round(CASE
+                   WHEN obs IS NOT NULL THEN obs
+                   WHEN prev_obs IS NULL THEN next_obs
+                   WHEN next_obs IS NULL THEN prev_obs
+                   ELSE prev_obs + (next_obs - prev_obs)
+                        * date_diff('day', prev_day, day)
+                        / date_diff('day', prev_day, next_day)
+               END, 6) AS value,
+               obs IS NULL AS interpolated
+        FROM bracketed
+    """,
+)
+def interpolate_daily_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over missing days: bracket each gap day
+    with the nearest observed values (last/first over IGNORE NULLS
+    windows — two sorted passes, one shuffle) and interpolate by day
+    distance; edges extend flat. Observations after Jan 20 are dropped
+    so the grid genuinely has gaps to fill. The standard time-series
+    regularization the reference's daily frequency implies."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    daily = (
+        ev.groupBy(F.col("event_type").alias("series"), day)
+        .agg(F.round(F.avg("value"), 6).alias("obs"))
+        .filter(F.col("day") <= F.lit("2024-01-20").cast("date"))
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    grid = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day")).crossJoin(
+        F.broadcast(ev.select(F.col("event_type").alias("series")).distinct())
+    )
+    joined = grid.join(daily, ["series", "day"], "left")
+
+    w_back = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("obs").isNotNull(), F.col("day"))
+    bracketed = joined.select(
+        "series",
+        "day",
+        "obs",
+        F.last("obs", ignorenulls=True).over(w_back).alias("prev_obs"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_day"),
+        F.first("obs", ignorenulls=True).over(w_fwd).alias("next_obs"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_day"),
+    )
+    frac = F.datediff("day", "prev_day") / F.datediff("next_day", "prev_day")
+    value = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(F.col("prev_obs").isNull(), F.col("next_obs"))
+        .when(F.col("next_obs").isNull(), F.col("prev_obs"))
+        .otherwise(F.col("prev_obs") + (F.col("next_obs") - F.col("prev_obs")) * frac)
+    )
+    return bracketed.select(
+        "series",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(value, 6).alias("value"),
+        F.col("obs").isNull().alias("interpolated"),
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from gas_data_pipeline_spark.catalog import table
 from gas_data_pipeline_spark.operators.dedup import (
+    char_shingles,
     exact_dedup_ranked,
     jaccard_pairs_inverted_index,
     minhash_near_dup_pairs,
@@ -116,6 +117,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_planted(spark, sf_dir)
     return minhash_near_dup_pairs(
         docs, "doc_id", word_shingles(F.col("text"), n=3), threshold=0.5
+    )
+
+
+_CHAR_JACCARD_ORACLE = f"""
+        WITH docs AS ({_PLANT_SQL}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([
+                       substring(t, x, 4)
+                       FOR x IN range(1, greatest(len(t) - 3, 1) + 1)
+                   ]) AS shingles
+            FROM (SELECT doc_id, lower(text) AS t FROM docs)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles))
+                 / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))
+                / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.6
+"""
+
+
+@register("dedup_char_jaccard", oracle=_CHAR_JACCARD_ORACLE)
+def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 character 4-gram Jaccard via the same inverted index — the
+    shingle basis for scripts without whitespace word boundaries
+    (CJK), where word shingles degenerate to whole-line tokens.
+    Higher threshold than the word variant: char 4-grams overlap more
+    between unrelated English docs."""
+    docs = _docs_with_planted(spark, sf_dir)
+    return jaccard_pairs_inverted_index(
+        docs, "doc_id", char_shingles(F.col("text"), n=4), threshold=0.6
     )
 
 
@@ -299,6 +332,22 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
     )
+
+
+@register("hash_split_train_test")  # rows-only: xxhash64 has no DuckDB twin
+def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3-adjacent: reproducible train/val/test split by id hash
+    (80/10/10) — THE split for 100 TB training pipelines: stateless,
+    deterministic across runs and clusters, and stable under corpus
+    growth (a document's bucket never changes when other rows are
+    added, unlike sampleBy/rand splits). Narrow op, zero shuffle.
+    Invariance properties pinned in tests/test_northstar.py."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit("split-salt-v1")), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
 
 
 @register(

@@ -194,6 +194,39 @@ def test_lsh_guaranteed_capture_of_exact_duplicate(spark):
     assert top1.cos_sim == pytest.approx(1.0, abs=1e-9)
 
 
+def test_hash_split_invariances(spark):
+    """The split must be deterministic, roughly 80/10/10, and stable
+    under corpus growth — an existing doc's assignment cannot change
+    when new docs arrive (the property rand/sampleBy splits lack)."""
+    from gas_data_pipeline_spark.registry import all_queries
+
+    fn = all_queries()["hash_split_train_test"]
+    a = fn(spark, SF_SMALL).toPandas().set_index("doc_id")
+    b = fn(spark, SF_SMALL).toPandas().set_index("doc_id")
+    assert (a.sort_index().split == b.sort_index().split).all()
+
+    frac = a.split.value_counts(normalize=True)
+    assert 0.7 <= frac.get("train", 0) <= 0.9
+    assert 0.05 <= frac.get("val", 0) <= 0.15
+    assert 0.05 <= frac.get("test", 0) <= 0.15
+
+    # Subset invariance: compute the split on half the corpus — the
+    # shared ids keep identical assignments.
+    from gas_data_pipeline_spark.catalog import table
+    from pyspark.sql import functions as F2
+
+    docs = table(spark, SF_SMALL, "documents").filter(F2.col("doc_id") % 2 == 0)
+    bucket = F2.pmod(
+        F2.xxhash64(F2.col("doc_id"), F2.lit("split-salt-v1")), F2.lit(100)
+    )
+    split = (
+        F2.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    half = docs.select("doc_id", split.alias("split")).toPandas().set_index("doc_id")
+    for did in half.index:
+        assert half.loc[did].split == a.loc[did].split
+
+
 def test_multimodal_crc_and_metadata(spark):
     from gas_data_pipeline_spark.catalog import table
     from gas_data_pipeline_spark.operators.multimodal import (
