@@ -418,3 +418,28 @@ def interpolate_daily_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(value, 6).alias("value"),
         F.col("obs").isNull().alias("interpolated"),
     )
+
+
+@register(
+    "percentiles_by_series",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def percentiles_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per series (ordered-set
+    aggregate; Spark's percentile == SQL percentile_cont semantics ==
+    DuckDB quantile_cont). Exact percentiles sort within groups —
+    at 100 TB reach for approx_percentile (t-digest, one pass,
+    mergeable) and accept rank error; both surfaces are exposed."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )

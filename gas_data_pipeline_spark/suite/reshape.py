@@ -221,3 +221,46 @@ def nest_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nested.select(
         "c_custkey", "c_name", F.explode("orders").alias("o")
     ).select("c_custkey", "c_name", F.col("o.o_orderkey"), F.col("o.o_totalprice"))
+
+
+@register(
+    "pivot_long_to_wide",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               sum(CASE WHEN metric = 'l_quantity' THEN value END) AS qty,
+               sum(CASE WHEN metric = 'l_extendedprice' THEN value END) AS price,
+               sum(CASE WHEN metric = 'l_discount' THEN value END) AS discount,
+               sum(CASE WHEN metric = 'l_tax' THEN value END) AS tax
+        FROM (
+            SELECT l_orderkey, l_linenumber, metric, value FROM (
+                SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                       l_discount, l_tax
+                FROM lineitem
+            ) UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        )
+        GROUP BY l_orderkey, l_linenumber
+    """,
+)
+def pivot_long_to_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-inverse: pivot the long observation format back to wide —
+    melt and pivot round-trip the same rows. The pivot column values
+    are DECLARED (not discovered), so Spark skips the extra
+    distinct-scan job and plans a single hash aggregate with the pivot
+    expressions as map-side combinable aggregates."""
+    li = table(spark, sf_dir, "lineitem")
+    long = melt_numeric(li, id_cols=["l_orderkey", "l_linenumber"])
+    renames = {
+        "l_quantity": "qty",
+        "l_extendedprice": "price",
+        "l_discount": "discount",
+        "l_tax": "tax",
+    }
+    wide = (
+        long.groupBy("l_orderkey", "l_linenumber")
+        .pivot("metric", list(renames))
+        .sum("value")
+    )
+    out = wide
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
