@@ -443,3 +443,285 @@ def percentiles_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+        SELECT user_id, event_type AS last_event_type,
+               round(value, 6) AS last_value,
+               CAST(date_trunc('microsecond', ts) AS TIMESTAMP) AS last_ts,
+               n_events
+        FROM (
+            SELECT user_id, event_type, value, ts,
+                   count(*) OVER (PARTITION BY user_id) AS n_events,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per key via ``max_by`` over a (ts, event_id) struct — the
+    "current value of every series" query the reference serves from its
+    observation store (reference app/client/gas_client.py:31-49 reads
+    the tail of one series; this is all series at once). max_by
+    aggregates with map-side partials (partial_max_by), so the single
+    exchange carries one row per (key, task) — a Window row_number
+    would shuffle every input row and sort it again on the reduce
+    side. Struct ordering breaks ts ties by event_id so the result is
+    deterministic."""
+    ev = table(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", order).alias("last_event_type"),
+        F.round(F.max_by("value", order), 6).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "cohort_monthly_retention",
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey, date_trunc('month', o_orderdate) AS month
+            FROM orders
+        ),
+        f AS (
+            SELECT o_custkey, min(month) AS cohort_month FROM m GROUP BY 1
+        )
+        SELECT f.cohort_month,
+               CAST(date_diff('month', f.cohort_month, m.month) AS BIGINT)
+                 AS month_offset,
+               count(DISTINCT m.o_custkey) AS active_customers
+        FROM m JOIN f USING (o_custkey)
+        GROUP BY 1, 2
+    """,
+)
+def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers bucketed by first-order month, then
+    distinct actives per (cohort, months-since-cohort). Two shuffles,
+    both on o_custkey — the min-month aggregate and the self-join reuse
+    the same hash partitioning (Catalyst elides the second exchange),
+    then the final agg shuffles on the tiny (cohort, offset) key space.
+    count(DISTINCT) expands to a two-stage partial-distinct agg, safe at
+    any scale."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("month")
+    )
+    first = o.groupBy("o_custkey").agg(F.min("month").alias("cohort_month"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.round(F.months_between("month", "cohort_month"))
+            .cast("bigint")
+            .alias("month_offset"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
+
+
+@register(
+    "event_day_streaks",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        g AS (
+            SELECT user_id, day,
+                   date_diff('day', DATE '1970-01-01', day)
+                     - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                     AS grp
+            FROM d
+        )
+        SELECT user_id,
+               CAST(min(day) AS TIMESTAMP) AS streak_start,
+               CAST(max(day) AS TIMESTAMP) AS streak_end,
+               count(*) AS streak_days
+        FROM g GROUP BY user_id, grp HAVING count(*) >= 2
+    """,
+)
+def event_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: runs of consecutive active days per user via
+    the day-minus-row_number grouping trick (each island maps to a
+    constant). Distinct-days first shrinks the window input to at most
+    users x days rows; the row_number window and both aggregates all
+    partition on user_id, so one exchange serves the whole plan.
+    Complements sessionize_events (timestamp-gap sessions) with
+    calendar-grain streaks."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp",
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").cast("timestamp").alias("streak_start"),
+            F.max("day").cast("timestamp").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 2)
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+    )
+
+
+@register(
+    "value_histogram_bins",
+    oracle="""
+        SELECT event_type,
+               CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+               count(*) AS n,
+               round(avg(value), 6) AS avg_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (bucket = floor(value/50)) per series —
+    the profile query behind the reference's field-statistics endpoint
+    (reference app/ingestion/field_discovery.py:30-48 profiles fields
+    with a pandas scan; here it is a single distributed hash aggregate).
+    All five aggregates share one shuffle on the (series, bucket) key;
+    IEEE double division + floor is bit-identical across engines so the
+    bucket assignment needs no epsilon."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+        SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+               a.p_brand AS brand,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 8
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage: candidate pairs blocked on
+    (brand, size) — the same block-then-compare shape as the MinHash
+    LSH dedup, but with an exact Levenshtein verifier (JVM built-in,
+    codegen'd; never a Python UDF). Blocking keeps the join quadratic
+    only within blocks; at 100 TB the block key is the shuffle key, so
+    skewed blocks would be salted exactly like salted_skew_aggregate."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("bigint"),
+        )
+        .filter(F.col("edit_distance") <= 8)
+        .select(
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            F.col("a.p_brand").alias("brand"),
+            "edit_distance",
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    from gas_data_pipeline_spark.operators.layout import zvalue_sql
+
+    z = zvalue_sql("su", "sd", bits=4)
+    return f"""
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        b AS (
+            SELECT min(user_id) AS umin, max(user_id) AS umax,
+                   min(day) AS dmin, max(day) AS dmax
+            FROM ev
+        ),
+        s AS (
+            SELECT user_id,
+                   date_diff('day', dmin, day) AS day_index,
+                   CAST(floor(((user_id - umin) * 16.0) / (umax - umin + 1))
+                        AS BIGINT) AS su,
+                   CAST(floor((date_diff('day', dmin, day) * 16.0)
+                              / (date_diff('day', dmin, dmax) + 1))
+                        AS BIGINT) AS sd
+            FROM ev CROSS JOIN b
+        )
+        SELECT {z} >> 4 AS bucket,
+               count(*) AS n,
+               min(user_id) AS min_user, max(user_id) AS max_user,
+               min(day_index) AS min_day, max(day_index) AS max_day
+        FROM s GROUP BY 1
+    """
+
+
+@register("zorder_bucket_stats", oracle=_zorder_oracle())
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: scale (user_id, day) to a 4-bit grid,
+    Morton-interleave, and report per-bucket min/max spans of BOTH
+    dimensions — the numbers parquet row-group pruning would see after
+    a `zorder_by` write. Buckets = top 4 z-bits, so each holds a
+    compact 2-D tile: both spans stay ~1/4 of their domain, where a
+    single-column sort bounds one dimension and leaves the other at
+    full range. The bounds row is a broadcast one-row stats pass; the
+    bit interleave is pure codegen (operators/layout.py)."""
+    from gas_data_pipeline_spark.operators.layout import zvalue
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+    )
+    s = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.datediff("day", "dmin").cast("bigint").alias("day_index"),
+        F.floor(
+            ((F.col("user_id") - F.col("umin")) * F.lit(16.0))
+            / (F.col("umax") - F.col("umin") + F.lit(1))
+        )
+        .cast("long")
+        .alias("su"),
+        F.floor(
+            (F.datediff("day", "dmin") * F.lit(16.0))
+            / (F.datediff("dmax", "dmin") + F.lit(1))
+        )
+        .cast("long")
+        .alias("sd"),
+    )
+    z = zvalue(F.col("su"), F.col("sd"), bits=4)
+    return s.groupBy(F.shiftright(z, 4).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("day_index").alias("min_day"),
+        F.max("day_index").alias("max_day"),
+    )

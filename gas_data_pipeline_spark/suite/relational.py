@@ -638,3 +638,32 @@ def union_by_name_harmonized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("entity_kind"),
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "semi_join_urgent_customers",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: customers with at least one urgent
+    order. Complements anti_join_delete (J3's NOT EXISTS rewrite) —
+    together they cover both halves of the reference's conditional-
+    mutation pattern (reference app/ingestion/gie/service.py:40-48).
+    The priority filter is pushed below the join so the build side
+    carries only urgent orders (~20% of the table), and a semi join
+    emits at most one probe row per customer — no post-join distinct."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")

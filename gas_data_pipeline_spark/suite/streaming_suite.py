@@ -212,3 +212,52 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("total_dec").cast("double"), 4).alias("total_value"),
     )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM (
+            SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+                     - k * INTERVAL 30 MINUTE AS window_start,
+                   event_type, value
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        )
+        GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (1 h window, 30 min slide) run by the
+    stream engine — the overlap form the tumbling/session queries
+    don't cover. Spark assigns each event to duration/slide = 2
+    epoch-aligned windows before the shuffle (a row-expansion, not a
+    self-join); the oracle reproduces the same assignment with an
+    explicit k in {0,1} fan-out. Decimal sum, then double, so the
+    float total is order-insensitive."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_table(agg, output_mode="complete")

@@ -1,0 +1,54 @@
+"""Z-order layout (operators/layout.py): the clustering property that
+makes multi-dimensional scan pruning work, asserted on real data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gas_data_pipeline_spark.catalog import table
+from gas_data_pipeline_spark.operators.layout import zorder_by, zvalue
+from tests.conftest import SF_DIR
+
+
+def test_zvalue_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b1010, 0b0110)], ["a", "b"])
+    got = df.select(zvalue(F.col("a"), F.col("b"), bits=4).alias("z")).head()[0]
+    # a bits -> even positions, b bits -> odd: (a=1010, b=0110) -> 01101100
+    assert got == 0b01101100
+
+
+def test_zorder_bounds_both_dimensions(spark):
+    """Within each z-bucket, BOTH key spans must be a fraction of the
+    domain (a 1-D sort bounds one dim and leaves the other at ~100%)."""
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d"))
+        .filter(F.col("d") >= 0)
+    )
+    lo_u, hi_u, lo_d, hi_d = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("d"), F.max("d")
+    ).head()
+    su = F.floor((F.col("user_id") - lo_u) * 16.0 / (hi_u - lo_u + 1)).cast("long")
+    sd = F.floor((F.col("d") - lo_d) * 16.0 / (hi_d - lo_d + 1)).cast("long")
+    buckets = (
+        ev.groupBy(F.shiftright(zvalue(su, sd, bits=4), 4).alias("bucket"))
+        .agg(
+            (F.max("user_id") - F.min("user_id")).alias("span_u"),
+            (F.max("d") - F.min("d")).alias("span_d"),
+        )
+        .toPandas()
+    )
+    # Top-4 z-bits = a 4x4 tile grid: each bucket covers ~1/4 of each
+    # dimension's range (allow slack for uneven value distribution).
+    assert (buckets["span_u"] <= (hi_u - lo_u) * 0.35).all()
+    assert (buckets["span_d"] <= (hi_d - lo_d) * 0.35).all()
+
+
+def test_zorder_by_plans_range_partition_and_local_sort(spark):
+    ev = table(spark, SF_DIR, "events").select("user_id", "event_id")
+    out = zorder_by(ev, "user_id", "event_id", num_partitions=4, bits=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # Local (non-global) sort on the z-value, no extra exchange after it.
+    assert plan.lower().count("exchange") == 1
+    assert out.count() == ev.count()

@@ -110,3 +110,33 @@ def test_approx_distinct_accuracy(spark):
     )
     for et in exact.index:
         assert abs(approx[et] - exact[et]) <= max(2, 0.02 * exact[et])
+
+
+def test_latest_per_key_is_single_agg_no_window(spark):
+    # max_by argmax must plan as an aggregate with map-side partials
+    # (partial_max_by before the exchange) — not a per-key Window,
+    # which shuffles every input row. String/struct buffers force
+    # SortAggregate over HashAggregate; the partials are the invariant.
+    plan = _plan(spark, "latest_event_per_user")
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_semi_join_broadcasts_and_pushes_priority_filter(spark):
+    plan = _plan(spark, "semi_join_urgent_customers")
+    assert "LeftSemi" in plan
+    # The urgency predicate must reach the orders parquet scan.
+    assert "PushedFilters: [" in plan
+    assert "o_orderpriority" in plan.split("PushedFilters")[1][:200] or (
+        "EqualTo(o_orderpriority,1-URGENT)" in plan
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_pairs_is_equi_join_not_cartesian(spark):
+    # Blocking keys (brand, size) must drive a hash equi-join; the
+    # quadratic comparison stays within blocks only.
+    plan = _plan(spark, "fuzzy_part_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
