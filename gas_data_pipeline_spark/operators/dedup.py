@@ -134,6 +134,103 @@ def jaccard_pairs_inverted_index(
     return common.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_pairs_prefix_filter(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: Column,
+    threshold: float,
+) -> DataFrame:
+    """Exact threshold-Jaccard similarity join with PREFIX FILTERING
+    (PPJoin family) — the lossless pruning that keeps high-frequency
+    shingles from exploding the inverted index.
+
+    The plain inverted index (jaccard_pairs_inverted_index) generates
+    |posting|^2 candidate pairs per shingle; char n-grams like "the "
+    appear in nearly every document, so one posting covers the corpus
+    and candidates go quadratic in N. Prefix filtering is the standard
+    fix: order every document's shingle set by ascending global
+    document frequency and index only its first
+    |s| - ceil(t*|s|) + 1 shingles. Any pair with Jaccard >= t shares
+    at least one PREFIX shingle under a common total order (a pair
+    whose intersection avoids r's prefix has |r∩s| <= |r| - prefix_len
+    < t*|r|, contradicting Jaccard >= t) — so candidate generation is
+    exact, and mega-postings vanish because ubiquitous shingles sit at
+    the END of every prefix order. Candidates are then verified on the
+    full sets (array_intersect), so results are identical to the naive
+    join.
+
+    Cost shape at scale: one df-count aggregate (shuffle on shingle
+    hash), one shingle-hash join to rank, one regroup per doc, a small
+    posting-list pair expansion over rare shingles only, and a
+    verification join keyed on doc id. Every shuffle key is either the
+    8-byte shingle hash or the doc id — no wide rows move except the
+    final per-candidate set fetch.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingle_col, lambda s: F.xxhash64(s)).alias("shingles"),
+    )
+    sized = base.select("id", "shingles", F.size("shingles").alias("n_shingles"))
+    ex = sized.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
+    df_counts = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Rank each doc's shingles by (global df, hash): regroup and keep
+    # the prefix. sort_array on struct(df, shingle) gives the common
+    # total order both sides of any candidate pair agree on.
+    prefix_len = (
+        F.col("n_shingles")
+        - F.ceil(F.col("n_shingles") * F.lit(threshold))
+        + F.lit(1)
+    ).cast("int")
+    ranked = (
+        ex.join(df_counts, "shingle")
+        .groupBy("id", "n_shingles")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("ordered")
+        )
+        .select(
+            "id",
+            "n_shingles",
+            F.slice(F.col("ordered.shingle"), 1, prefix_len).alias("prefix"),
+        )
+    )
+    inv = ranked.select("id", F.explode("prefix").alias("shingle"))
+    postings = (
+        inv.groupBy("shingle")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        postings.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    # Verify candidates exactly on the full shingle sets.
+    sa = sized.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    sb = sized.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jac = (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
+        "jaccard"
+    )
+    return verified.select("id_a", "id_b", jac).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 _MAX_LONG = (1 << 63) - 1
 
 
@@ -393,4 +490,156 @@ def simhash_band_pairs(df: DataFrame, id_col: str, sim_col: str, max_hamming: in
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def jaccard_pairs_bitset_gemm(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: Column,
+    threshold: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact threshold-Jaccard pairs for the DENSE-vocabulary regime:
+    encode each document as a bitmask over the global shingle
+    vocabulary and score all pairs with popcount(AND) over block pairs.
+
+    Inverted-index joins (plain or prefix-filtered) assume shingles
+    discriminate: rare shingles → short postings → few candidates. A
+    corpus whose shingle vocabulary is tiny relative to N (template
+    text, bounded generators, char n-grams over a small alphabet)
+    saturates every posting and candidate generation goes quadratic no
+    matter how it is pruned — on our documents table, char 4-grams
+    yield ~1k distinct shingles across 5k docs, and the index path
+    produces ~170M candidate pairs. In that regime the exact answer IS
+    all-pairs, so compute it the dense way (same architecture as
+    similarity.cosine_near_dup_pairs): pack hashed-shingle bitmasks
+    into per-block matrices (V bits → V/64 uint64 words per doc), cross
+    join the P blocks, and per block pair compute the intersection
+    matrix with W vectorized AND+popcount outer products (SWAR
+    popcount; numpy<2 lacks bitwise_count). |A∩B| from bit math, sizes
+    precomputed per row, Jaccard = inter / (na + nb - inter).
+
+    Scale dial: choose by vocabulary — V ≤ ~1e5 (bitmask ≤ 12.5 KB/doc)
+    → this kernel; open vocabulary → jaccard_pairs_prefix_filter. The
+    vocab index is one distinct + row_number pass (V rows, collected
+    count only) and broadcasts to the packers.
+    """
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.array_distinct(
+            F.transform(shingle_col, lambda s: F.xxhash64(s))
+        ).alias("shingles"),
+    ).persist()  # shingling is the scan-heavy step; the width-sizing
+    # action below and the main job both read it, so materialize once
+    # (hashed sets only: N × avg-set-size longs, not the raw text).
+    ex = base.select("id", F.explode("shingles").alias("sh"))
+    vocab = (
+        ex.select("sh")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("sh")).cast("long") - F.lit(1),
+        )
+    )
+    n_vocab = vocab.count()  # stats action: fixes the bitmask width
+    width = max(1, (int(n_vocab) + 63) // 64)
+
+    indexed = (
+        ex.join(vocab, "sh")
+        .groupBy("id")
+        .agg(F.collect_list("idx").alias("idxs"))
+        .withColumn("__block", (F.abs(F.hash(F.col("id"))) % n_blocks))
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id")
+        n = len(pdf)
+        words = np.zeros((n, width), dtype=np.uint64)
+        counts = np.zeros(n, dtype=np.int64)
+        for r, idxs in enumerate(pdf["idxs"]):
+            ix = np.asarray(idxs, dtype=np.int64)
+            np.bitwise_or.at(
+                words[r], ix >> 6, np.uint64(1) << (ix & 63).astype(np.uint64)
+            )
+            counts[r] = len(ix)
+        return pd.DataFrame(
+            {
+                "block": [int(pdf["__block"].iloc[0])],
+                "ids": [pdf["id"].tolist()],
+                "counts": [counts.tolist()],
+                "words": [words.view(np.int64).ravel().tolist()],
+            }
+        )
+
+    blocks = indexed.groupBy("__block").applyInPandas(
+        pack, schema="block int, ids array<bigint>, counts array<bigint>, words array<bigint>"
+    )
+    a = blocks.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("counts").alias("counts_a"),
+        F.col("words").alias("words_a"),
+    )
+    b = blocks.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("counts").alias("counts_b"),
+        F.col("words").alias("words_b"),
+    )
+    paired = a.join(b, F.col("block_a") <= F.col("block_b"))
+    thr = float(threshold)
+    w_width = width
+
+    def score(batches):
+        import numpy as np
+
+        m1 = np.uint64(0x5555555555555555)
+        m2 = np.uint64(0x3333333333333333)
+        m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+        h01 = np.uint64(0x0101010101010101)
+
+        def popcount(x):
+            x = x - ((x >> np.uint64(1)) & m1)
+            x = (x & m2) + ((x >> np.uint64(2)) & m2)
+            x = (x + (x >> np.uint64(4))) & m4
+            return ((x * h01) >> np.uint64(56)).astype(np.int64)
+
+        for pdf in batches:
+            out = {"id_a": [], "id_b": [], "jaccard": []}
+            for row in pdf.itertuples():
+                A = (
+                    np.asarray(row.words_a, dtype=np.int64)
+                    .view(np.uint64)
+                    .reshape(-1, w_width)
+                )
+                B = (
+                    np.asarray(row.words_b, dtype=np.int64)
+                    .view(np.uint64)
+                    .reshape(-1, w_width)
+                )
+                ia = np.asarray(row.ids_a, dtype=np.int64)
+                ib = np.asarray(row.ids_b, dtype=np.int64)
+                na = np.asarray(row.counts_a, dtype=np.int64)
+                nb = np.asarray(row.counts_b, dtype=np.int64)
+                inter = np.zeros((len(ia), len(ib)), dtype=np.int64)
+                for w in range(w_width):
+                    inter += popcount(A[:, w][:, None] & B[None, :, w])
+                jac = inter / (na[:, None] + nb[None, :] - inter)
+                keep = jac >= thr
+                if row.block_a == row.block_b:
+                    keep &= ia[:, None] < ib[None, :]
+                r, c = np.nonzero(keep)
+                left, right = ia[r], ib[c]
+                lo = np.minimum(left, right)
+                hi = np.maximum(left, right)
+                out["id_a"].extend(lo.tolist())
+                out["id_b"].extend(hi.tolist())
+                out["jaccard"].extend(jac[r, c].tolist())
+            yield pd.DataFrame(out)
+
+    return paired.mapInPandas(
+        score, schema="id_a bigint, id_b bigint, jaccard double"
     )

@@ -667,3 +667,74 @@ def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_semi"
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "set_ops_repeat_buyers",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            AND year(o_orderdate) = 1996
+    """,
+)
+def set_ops_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface (SURVEY §2.6 lists set ops as absent
+    from the reference — the engine provides them natively): customers
+    active in both 1995 and 1996, minus those with a finalized 1996
+    order. Spark rewrites both set ops to semi/anti hash joins over
+    distinct inputs — three aggregates and two joins, all partitioned
+    on the same key, so AQE coalesces them onto one exchange chain."""
+    o = table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    fin96 = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.year("o_orderdate") == 1996)
+    ).select("o_custkey")
+    return y95.intersect(y96).exceptAll(fin96.distinct())
+
+
+@register(
+    "decile_order_values",
+    oracle="""
+        SELECT decile,
+               count(*) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM (
+            SELECT o_totalprice,
+                   CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS BIGINT) AS decile
+            FROM orders
+        )
+        GROUP BY decile
+    """,
+)
+def decile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile boundaries via ntile — a distribution-audit query.
+    ntile over an unpartitioned window is a deliberate scale tradeoff:
+    it needs a global sort (range exchange + per-partition rank fixup
+    is how Spark plans it — it does NOT funnel to one task's memory,
+    but it is a full sort of the column). For monitoring at 100 TB use
+    percentiles_by_series' approx_percentile t-digest instead; this
+    query is the exact cross-check run on samples. o_orderkey breaks
+    price ties so both engines assign identical deciles."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice", F.ntile(10).over(w).cast("bigint").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from gas_data_pipeline_spark.catalog import table
 from gas_data_pipeline_spark.operators.layout import zorder_by, zvalue
 from tests.conftest import SF_DIR
+from tests.conftest import SF_SMALL as SF_DIR_SMALL
 
 
 def test_zvalue_interleaves_bits(spark):
@@ -52,3 +53,28 @@ def test_zorder_by_plans_range_partition_and_local_sort(spark):
     # Local (non-global) sort on the z-value, no extra exchange after it.
     assert plan.lower().count("exchange") == 1
     assert out.count() == ev.count()
+
+
+def test_jaccard_kernels_agree(spark):
+    """All three exact-Jaccard kernels (inverted index, prefix-filter,
+    bitset-GEMM) are the same operator at different corpus shapes —
+    they must produce identical pairs and values."""
+    from gas_data_pipeline_spark.operators.dedup import (
+        char_shingles,
+        jaccard_pairs_bitset_gemm,
+        jaccard_pairs_inverted_index,
+        jaccard_pairs_prefix_filter,
+    )
+
+    docs = table(spark, SF_DIR_SMALL, "documents")
+    sh = char_shingles(F.col("text"), n=4)
+
+    def rows(df):
+        return sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect()
+        )
+
+    base = rows(jaccard_pairs_inverted_index(docs, "doc_id", sh, 0.5))
+    assert len(base) > 0
+    assert rows(jaccard_pairs_prefix_filter(docs, "doc_id", sh, 0.5)) == base
+    assert rows(jaccard_pairs_bitset_gemm(docs, "doc_id", sh, 0.5)) == base
