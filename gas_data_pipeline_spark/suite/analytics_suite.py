@@ -725,3 +725,109 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day_index").alias("min_day"),
         F.max("day_index").alias("max_day"),
     )
+
+
+@register(
+    "grouping_sets_priority_status",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS BIGINT) AS grouping_level,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the cube/rollup generalization — only
+    the three aggregations the report needs, not the full 2^k lattice).
+    Spark expands all sets into ONE pass with a grouping-id column:
+    each input row is replicated once per set map-side and the whole
+    thing is a single hash aggregate + shuffle, versus three scans for
+    three separate group-bys. Decimal sum for order-insensitive float
+    parity."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("grouping_level"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register("approx_percentiles_tdigest")  # rows-only: sketch is engine-specific
+def approx_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass mergeable percentile sketch per series — the 100 TB
+    counterpart of percentiles_by_series' exact sort-based percentile.
+    approx_percentile's sketch merges associatively across partitions
+    (map-side partials, tiny shuffle rows), so cost is one scan
+    regardless of key cardinality. Driver check is rows-only (sketch
+    internals are engine-specific); tests/test_layout.py bounds the
+    rank error against the exact percentiles."""
+    ev = table(spark, sf_dir, "events")
+    acc = 10000
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(acc)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(acc)).alias("p95"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(acc)).alias("p99"),
+    )
+
+
+@register(
+    "order_basket_hof_profile",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(len(prices) AS BIGINT) AS n_items,
+               round(list_sum(list_transform(prices,
+                     p -> round(CAST(p AS DECIMAL(18,2)) * 0.9, 2))), 2)
+                 AS discounted_total,
+               round(list_max(prices), 2) AS max_price,
+               CAST(len(list_filter(prices, p -> p > 2000.0)) AS BIGINT)
+                 AS n_pricey
+        FROM (
+            SELECT l_orderkey, list_sort(list(l_extendedprice)) AS prices
+            FROM lineitem GROUP BY 1
+        )
+    """,
+)
+def order_basket_hof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function gauntlet over per-order price baskets:
+    collect_list -> transform / filter / aggregate evaluated INSIDE the
+    row (no second shuffle, no explode-regroup round trip — the arrays
+    never leave the partition once built). The lambda sum accumulates
+    in decimal so parity with DuckDB's list_sum is exact at any
+    accumulation order."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_extendedprice")).alias("prices")
+    )
+    # Exact decimal product before rounding: round(double * 0.9, 2)
+    # resolves half-cent ties differently across engines.
+    discounted = F.aggregate(
+        F.transform(
+            "prices",
+            lambda p: F.round(
+                p.cast("decimal(18,2)") * F.lit("0.9").cast("decimal(1,1)"), 2
+            ).cast("decimal(18,2)"),
+        ),
+        F.lit(0).cast("decimal(18,2)"),
+        # Decimal + widens to (19,2); the merge lambda must return the
+        # accumulator type, so narrow it back each step.
+        lambda acc, x: (acc + x).cast("decimal(18,2)"),
+    )
+    return baskets.select(
+        "l_orderkey",
+        F.size("prices").cast("bigint").alias("n_items"),
+        F.round(discounted.cast("double"), 2).alias("discounted_total"),
+        F.round(F.array_max("prices"), 2).alias("max_price"),
+        F.size(F.filter("prices", lambda p: p > F.lit(2000.0)))
+        .cast("bigint")
+        .alias("n_pricey"),
+    )

@@ -78,3 +78,24 @@ def test_jaccard_kernels_agree(spark):
     assert len(base) > 0
     assert rows(jaccard_pairs_prefix_filter(docs, "doc_id", sh, 0.5)) == base
     assert rows(jaccard_pairs_bitset_gemm(docs, "doc_id", sh, 0.5)) == base
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """t-digest sketch at accuracy=10000 must land within 1% relative
+    error of the exact per-series percentiles."""
+    from gas_data_pipeline_spark.registry import all_queries
+
+    approx = (
+        all_queries()["approx_percentiles_tdigest"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    exact = (
+        all_queries()["percentiles_by_series"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et in exact.index:
+        for col in ("p50", "p95", "p99"):
+            e, a = exact.loc[et, col], approx.loc[et, col]
+            assert abs(a - e) <= max(0.5, 0.01 * abs(e)), (et, col, e, a)
