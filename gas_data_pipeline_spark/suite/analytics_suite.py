@@ -831,3 +831,109 @@ def order_basket_hof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pricey"),
     )
+
+
+@register(
+    "anomaly_mad_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   abs(e.value - m.med) AS adev, m.med
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1
+        )
+        SELECT d.event_id, d.event_type,
+               round(d.value, 6) AS value,
+               round((d.value - d.med) / (1.4826 * t.mad), 4) AS robust_z
+        FROM dev d JOIN mad t USING (event_type)
+        WHERE abs((d.value - d.med) / (1.4826 * t.mad)) > 3.0
+    """,
+)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: median/MAD z-scores (mean/stddev break
+    under the very outliers being hunted — the reference's quality_flag
+    column implies exactly this screening need). Two grouped medians
+    over the fact table; the per-series stats frames are key-cardinality
+    rows, so both join back as broadcasts — the fact table is scanned,
+    never shuffled. 1.4826 scales MAD to sigma under normality."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("robust_z", F.round(z, 4))
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"), "robust_z")
+    )
+
+
+@register(
+    "stats_corr_by_brand",
+    oracle="""
+        SELECT p.p_brand AS brand,
+               CAST(count(*) AS BIGINT) AS n,
+               round(corr(l.l_quantity, l.l_extendedprice), 6) AS qty_price_corr,
+               round(covar_samp(l.l_quantity, l.l_extendedprice), 4) AS qty_price_cov,
+               round(stddev_samp(l.l_extendedprice), 4) AS price_stddev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    """,
+)
+def stats_corr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group second-moment statistics (corr / covariance / stddev)
+    over the fact⋈dim join. All three are one-pass mergeable aggregates
+    (sum, sum-of-squares, cross-products) — map-side partials, one
+    shuffle on the 25-value brand key; the part dim broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_cov"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        )
+    )
+
+
+@register(
+    "trend_slope_by_series",
+    oracle="""
+        SELECT event_type,
+               CAST(regr_count(value, epoch(ts)) AS BIGINT) AS n,
+               round(regr_slope(value, epoch(ts)) * 86400, 6) AS slope_per_day,
+               round(regr_r2(value, epoch(ts)), 6) AS r2
+        FROM events
+        GROUP BY 1
+    """,
+)
+def trend_slope_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend via the SQL regression aggregates
+    (regr_slope/regr_r2 over value ~ epoch-seconds) — "is this series
+    drifting" in one mergeable pass, the screening step before any
+    heavier model. Slope is rescaled to units/day. Same one-shuffle
+    profile as any hash aggregate."""
+    ev = table(spark, sf_dir, "events")
+    x = F.col("ts").cast("double")  # epoch seconds incl. fraction == epoch()
+    return ev.groupBy("event_type").agg(
+        F.regr_count(F.col("value"), x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(F.col("value"), x) * 86400, 6).alias("slope_per_day"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )
