@@ -152,3 +152,46 @@ def gap_fill_daily(
             F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average per series — the classic
+    smoother the reference's quality_flag screening implies, and a
+    genuinely RECURSIVE operator (y_i = a*x_i + (1-a)*y_{i-1}) that no
+    window frame expresses: every output depends on the entire prefix.
+
+    Implemented as a grouped-map Pandas UDF (applyInPandas): one
+    shuffle on the series key, then a sequential in-memory scan per
+    group — the recurrence is embarrassingly parallel ACROSS series,
+    inherently serial WITHIN one. That is the right physical shape at
+    100 TB when series count >> executor count and single series fit
+    in memory; for the single-giant-series case, chunk with carry-in
+    state via applyInPandasWithState (see streaming/incremental.py) —
+    the same recurrence, checkpointed.
+
+    The closure is self-contained (imports inside) so external drivers
+    that never ship this package to executors can still run it.
+    """
+    sort_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    a = float(alpha)
+
+    def smooth(pdf):
+        import pandas as pd  # noqa: F401  (self-contained closure)
+
+        pdf = pdf.sort_values(sort_cols)
+        pdf["ewma"] = (
+            pdf[value_col].ewm(alpha=a, adjust=False).mean().astype("float64")
+        )
+        return pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", ewma double"
+    return df.groupBy(key).applyInPandas(smooth, schema=schema)

@@ -937,3 +937,25 @@ def trend_slope_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.col("value"), x) * 86400, 6).alias("slope_per_day"),
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
     )
+
+
+@register("ewma_by_series")  # rows-only: recursive op, not SQL-expressible
+def ewma_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing per series (alpha=0.2) — the recursive operator
+    SQL window frames cannot express (each value depends on the whole
+    prefix), implemented as a grouped-map Pandas UDF with one shuffle
+    on the series key (operators/timeseries.ewma). Ground truth: the
+    recurrence re-computed independently in tests/test_layout.py."""
+    from gas_data_pipeline_spark.operators.timeseries import ewma
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    out = ewma(
+        ev, key="event_type", ts_col="ts", value_col="value",
+        alpha=0.2, tiebreak="event_id",
+    )
+    return out.select(
+        "event_type", "event_id", F.round("value", 6).alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+    )

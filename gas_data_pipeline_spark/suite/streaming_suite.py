@@ -261,3 +261,42 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, output_mode="complete")
+
+
+@register(
+    "stream_enrich_static_join",
+    oracle="""
+        SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """,
+)
+def stream_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream is
+    enriched against a batch dimension table (the lakehouse customer
+    dim), then aggregated per segment. Structured Streaming re-plans
+    the static side per micro-batch — the dim broadcasts, so the
+    streaming side never shuffles for the join; only the 5-segment
+    aggregate exchanges. This is the reference's dim-join query
+    (app/db/queries.py:14-16) running continuously instead of on
+    request."""
+    from gas_data_pipeline_spark.catalog import table as load_table
+
+    ev = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = ev.join(
+        F.broadcast(dim), ev.user_id == dim.c_custkey, "left"
+    ).select(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"), "value"
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return run_stream_to_table(agg, output_mode="complete")

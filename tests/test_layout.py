@@ -99,3 +99,31 @@ def test_approx_percentiles_close_to_exact(spark):
         for col in ("p50", "p95", "p99"):
             e, a = exact.loc[et, col], approx.loc[et, col]
             assert abs(a - e) <= max(0.5, 0.01 * abs(e)), (et, col, e, a)
+
+
+def test_ewma_matches_manual_recurrence(spark):
+    """applyInPandas EWMA must equal the recurrence computed by a plain
+    Python loop (independent of pandas.ewm)."""
+    from gas_data_pipeline_spark.registry import all_queries
+
+    out = (
+        all_queries()["ewma_by_series"](spark, SF_DIR_SMALL)
+        .toPandas()
+        .sort_values(["event_type", "event_id"])
+    )
+    ev = (
+        table(spark, SF_DIR_SMALL, "events")
+        .select("event_type", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    alpha = 0.2
+    for et, grp in ev.groupby("event_type"):
+        y = None
+        expect = {}
+        for _, row in grp.iterrows():
+            y = row["value"] if y is None else alpha * row["value"] + (1 - alpha) * y
+            expect[row["event_id"]] = y
+        got = out[out["event_type"] == et].set_index("event_id")["ewma"]
+        for eid, val in expect.items():
+            assert abs(got[eid] - round(val, 6)) < 1e-4, (et, eid)
