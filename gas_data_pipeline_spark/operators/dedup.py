@@ -643,3 +643,72 @@ def jaccard_pairs_bitset_gemm(
     return paired.mapInPandas(
         score, schema="id_a bigint, id_b bigint, jaccard double"
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str, dst: str, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a pair list (hash-min label
+    propagation): each node repeatedly adopts the minimum label in its
+    neighborhood until fixpoint -> (id, label) with label = component's
+    minimum node id.
+
+    This is the CLUSTERING step every near-dup pipeline runs after
+    pair generation (keep one doc per component, not per pair — pairs
+    (a,b),(b,c) must retire b AND c, which per-pair logic misses).
+
+    Pregel-style driver loop: per iteration one join edges⋈labels +
+    one min-aggregate, both shuffling on node id; `localCheckpoint`
+    truncates the growing lineage so iteration i doesn't replay 1..i-1.
+    Converges in O(component diameter) rounds — near-dup components
+    are shallow (dups of a common source), so 2-4 rounds in practice;
+    the loop exits on the first round with zero label changes. At
+    graph-shaped extremes (long chains) switch to the large-star/
+    small-star algorithm (Kiveris et al.), same join primitives.
+    """
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nb = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nb_min"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nb, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -959,3 +959,27 @@ def ewma_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id", F.round("value", 6).alias("value"),
         F.round("ewma", 6).alias("ewma"),
     )
+
+
+_SAMPLE_FRACTIONS = {
+    "click": 0.10,
+    "view": 0.10,
+    "error": 1.00,
+    "purchase": 0.50,
+    "signup": 0.25,
+}
+
+
+@register("stratified_sample_events")  # rows-only: engine-seeded Bernoulli draw
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-class) sampling — the corpus-rebalancing
+    primitive of training-data pipelines: keep every rare 'error' row,
+    downsample the abundant interaction classes. ``sampleBy`` is a
+    seeded per-row Bernoulli filter — narrow, no shuffle, streams at
+    scan speed at any scale, and deterministic for a fixed seed and
+    input layout. The realized per-class rates are binomial around the
+    requested fractions; tests/test_layout.py bounds them."""
+    ev = table(spark, sf_dir, "events")
+    return ev.sampleBy("event_type", _SAMPLE_FRACTIONS, seed=42).select(
+        "event_id", "event_type", "user_id", F.round("value", 6).alias("value")
+    )

@@ -448,3 +448,65 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     feats = extract_features(attach_binary(docs, "doc_id", "text"))
     return feats.select("doc_id", "n_bytes", "first_byte")
+
+
+_COMPONENTS_ORACLE = f"""
+        WITH RECURSIVE docs AS ({_PLANT_SQL}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([
+                       words[x] || ' ' || words[x+1] || ' ' || words[x+2]
+                       FOR x IN range(1, greatest(len(words) - 1, 1))
+                   ]) AS shingles
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM docs)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.shingles, b.shingles))
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+        SELECT id AS doc_id, component_id,
+               CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+                 AS component_size
+        FROM comp
+"""
+
+
+@register("dedup_connected_components", oracle=_COMPONENTS_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 dedup clustering: near-dup pairs -> connected components ->
+    (doc, component, size). Per-pair retirement is wrong under
+    transitivity (pairs (a,b),(b,c) must retire b AND c together);
+    canonical-per-component is what SlimPajama-style pipelines keep.
+    Spark side: hash-min label propagation to fixpoint
+    (operators/dedup.connected_components); oracle: recursive-CTE
+    transitive closure over the identical exact-Jaccard pair set."""
+    from gas_data_pipeline_spark.operators.dedup import connected_components
+
+    docs = _docs_with_planted(spark, sf_dir)
+    pairs = jaccard_pairs_inverted_index(
+        docs, "doc_id", word_shingles(F.col("text"), n=3), threshold=0.5
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs, "id_a", "id_b")
+    from pyspark.sql.window import Window as W
+
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("component_id"),
+    ).withColumn(
+        "component_size",
+        F.count(F.lit(1)).over(W.partitionBy("component_id")).cast("bigint"),
+    )

@@ -127,3 +127,27 @@ def test_ewma_matches_manual_recurrence(spark):
         got = out[out["event_type"] == et].set_index("event_id")["ewma"]
         for eid, val in expect.items():
             assert abs(got[eid] - round(val, 6)) < 1e-4, (et, eid)
+
+
+def test_stratified_sample_rates(spark):
+    """Realized per-class sampling rates stay within binomial bounds of
+    the requested fractions, and excluded classes never leak."""
+    from gas_data_pipeline_spark.registry import all_queries
+    from gas_data_pipeline_spark.suite.analytics_suite import _SAMPLE_FRACTIONS
+
+    out = all_queries()["stratified_sample_events"](spark, SF_DIR).toPandas()
+    totals = (
+        table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+    )
+    got = out.groupby("event_type").size()
+    for cls, frac in _SAMPLE_FRACTIONS.items():
+        n = totals[cls]
+        observed = got.get(cls, 0)
+        # 5-sigma binomial window around n*frac.
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(observed - n * frac) <= max(5 * sigma, 5), (cls, observed, n * frac)
+    assert set(got.index) <= set(_SAMPLE_FRACTIONS)
