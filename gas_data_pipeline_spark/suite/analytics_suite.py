@@ -983,3 +983,40 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sampleBy("event_type", _SAMPLE_FRACTIONS, seed=42).select(
         "event_id", "event_type", "user_id", F.round("value", 6).alias("value")
     )
+
+
+@register(
+    "rolling_weekly_active_users",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        grid AS (SELECT DISTINCT day FROM d)
+        SELECT CAST(g.day AS TIMESTAMP) AS day,
+               count(DISTINCT d.user_id) AS wau
+        FROM grid g JOIN d
+          ON d.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+        GROUP BY 1
+    """,
+)
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives per day (WAU) — COUNT(DISTINCT)
+    over a sliding window, which window frames cannot express (no
+    distinct aggregates over frames). The scalable form: dedupe to
+    (user, day) first (shrinks the fact table to actives-by-day), then
+    fan each row out to the ≤7 window days it serves via a range join
+    against the day grid — a bounded 7x expansion of the ALREADY
+    DEDUPED rows, followed by one distinct-aggregate shuffle. Never a
+    per-day self-scan."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    grid = d.select("day").distinct().withColumnRenamed("day", "g_day")
+    return (
+        d.join(
+            grid,
+            (F.col("day") <= F.col("g_day"))
+            & (F.col("day") >= F.date_sub(F.col("g_day"), 6)),
+        )
+        .groupBy(F.col("g_day").cast("timestamp").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -140,3 +140,38 @@ def test_fuzzy_pairs_is_equi_join_not_cartesian(spark):
     plan = _plan(spark, "fuzzy_part_name_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime semi-join reduction: a selective dim-side filter should
+    inject a bloom filter into the fact scan (rows dropped before the
+    shuffle, the Spark analog of the reference's WHERE-before-JOIN).
+    Enabled by default at cluster scale; thresholds are relaxed here
+    because local test tables sit under the size gates."""
+    import pyspark.sql.functions as F
+
+    from gas_data_pipeline_spark.catalog import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_DIR, "lineitem")
+        o = table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in plan or "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
