@@ -78,3 +78,93 @@ def decode_media(binary_df: DataFrame, codec: str = "image"):
         "this environment; use extract_features for the plumbing-verified "
         "deterministic path"
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, height int, width int, pixels array<double>"
+
+
+def resize_media(
+    binary_df: DataFrame, height: int = 8, width: int = 8
+) -> DataFrame:
+    """Resize plumbing (X4): payload -> fixed (height x width) pixel
+    grid via block-mean pooling — the exact batch shape a real image
+    resize has (variable-size binary in, fixed-size tensor out), with
+    the DECODE faked deterministically (bytes ARE the pixels) because
+    the container has no codecs. Swap the two marked lines for
+    PIL.Image.open/resize and the schema, partitioning and Arrow
+    batching are already production-shaped. Output rows stay 1:1 with
+    inputs — no shuffle, scan-speed narrow op."""
+    h, w = int(height), int(width)
+
+    def resize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            pixels = []
+            for raw in pdf["payload"]:
+                # FAKE DECODE: bytes -> 1-channel image (replace with a
+                # real codec in production; everything else stands).
+                buf = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.float64)
+                if buf.size == 0:
+                    buf = np.zeros(1)
+                side = int(np.ceil(np.sqrt(buf.size)))
+                img = np.resize(buf, (side, side))
+                # Block-mean pooling to the target grid.
+                ys = (np.arange(h + 1) * side) // h
+                xs = (np.arange(w + 1) * side) // w
+                out = np.empty((h, w))
+                for i in range(h):
+                    rows = img[ys[i]: max(ys[i + 1], ys[i] + 1)]
+                    for j in range(w):
+                        block = rows[:, xs[j]: max(xs[j + 1], xs[j] + 1)]
+                        out[i, j] = float(block.mean())
+                pixels.append(out.ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "height": h,
+                    "width": w,
+                    "pixels": pixels,
+                }
+            )
+
+    return binary_df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, n_bytes bigint, crc bigint"
+
+
+def sample_frames(
+    binary_df: DataFrame, frame_size: int = 64, every: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing (X4): payload treated as a container of
+    fixed-size frames; emit every ``every``-th frame as its own row —
+    the ROW-EXPANDING mapInPandas shape (1 input -> N output rows,
+    output batch larger than input batch) a real video sampler has,
+    with the demux faked as fixed-width slicing. Expansion happens
+    map-side; at scale follow with repartition if downstream work is
+    per-frame heavy."""
+    fs, ev = int(frame_size), int(every)
+
+    def frames(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sizes, crcs = [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(raw)
+                n_frames = max((len(raw) + fs - 1) // fs, 1)
+                for k in range(0, n_frames, ev):
+                    chunk = raw[k * fs: (k + 1) * fs]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sizes.append(len(chunk))
+                    crcs.append(zlib.crc32(chunk) & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n_bytes": sizes, "crc": crcs}
+            )
+
+    return binary_df.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -510,3 +510,33 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_size",
         F.count(F.lit(1)).over(W.partitionBy("component_id")).cast("bigint"),
     )
+
+
+@register("multimodal_frame_sample")  # rows-only: fake demux is engine-side
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 frame sampling: documents as fake media containers, every
+    4th 64-byte frame emitted as a row (row-expanding mapInPandas —
+    the video-sampler batch shape; demux faked, plumbing real). Frame
+    counts and checksums re-derived in pure Python in
+    tests/test_northstar.py."""
+    from gas_data_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    binary = attach_binary(docs, "doc_id", "text")
+    return sample_frames(binary, frame_size=64, every=4)
+
+
+@register("multimodal_resize_grid")  # rows-only: fake decode is engine-side
+def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 resize: variable-size payloads pooled to a fixed 8x8 grid
+    (block-mean; decode faked as bytes-are-pixels, batch shape real).
+    Pixel values re-derived with numpy in tests/test_northstar.py."""
+    from gas_data_pipeline_spark.operators.multimodal import resize_media
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    binary = attach_binary(docs, "doc_id", "text")
+    out = resize_media(binary, height=8, width=8)
+    return out.select(
+        "doc_id", "height", "width",
+        F.transform("pixels", lambda p: F.round(p, 6)).alias("pixels"),
+    )

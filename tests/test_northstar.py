@@ -262,3 +262,69 @@ def test_decode_media_is_explicit_stub(spark):
     docs = table(spark, SF_SMALL, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         decode_media(attach_binary(docs, "doc_id", "text"))
+
+
+def test_frame_sample_matches_python_slicing(spark):
+    """Row-expanding frame sampler must equal pure-Python slicing."""
+    import zlib
+
+    from gas_data_pipeline_spark.registry import all_queries
+
+    from tests.conftest import SF_SMALL
+
+    out = (
+        all_queries()["multimodal_frame_sample"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["doc_id", "frame_idx"])
+    )
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .filter("doc_id < 500")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    expect = []
+    for _, row in docs.iterrows():
+        raw = row["text"].encode("utf-8")
+        n_frames = max((len(raw) + 63) // 64, 1)
+        for k in range(0, n_frames, 4):
+            chunk = raw[k * 64 : (k + 1) * 64]
+            expect.append(
+                (row["doc_id"], k, len(chunk), zlib.crc32(chunk) & 0xFFFFFFFF)
+            )
+    got = list(out[["doc_id", "frame_idx", "n_bytes", "crc"]].itertuples(index=False, name=None))
+    assert sorted(got) == sorted(expect)
+
+
+def test_resize_grid_matches_numpy_reference(spark):
+    """8x8 block-mean resize must equal an independent numpy rendering."""
+    import numpy as np
+
+    from gas_data_pipeline_spark.registry import all_queries
+
+    from tests.conftest import SF_SMALL
+
+    out = (
+        all_queries()["multimodal_resize_grid"](spark, SF_SMALL)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .filter("doc_id < 50")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    for _, row in docs.iterrows():
+        raw = np.frombuffer(row["text"].encode("utf-8"), dtype=np.uint8).astype(float)
+        side = int(np.ceil(np.sqrt(raw.size)))
+        img = np.resize(raw, (side, side))
+        ys = (np.arange(9) * side) // 8
+        xs = (np.arange(9) * side) // 8
+        ref = np.empty((8, 8))
+        for i in range(8):
+            rows = img[ys[i]: max(ys[i + 1], ys[i] + 1)]
+            for j in range(8):
+                ref[i, j] = rows[:, xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+        got = np.array(out.loc[row["doc_id"], "pixels"])
+        assert np.allclose(got, np.round(ref.ravel(), 6), atol=1e-4)
