@@ -738,3 +738,40 @@ def decile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
+
+
+_Q3_SQL = """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 2)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+"""
+
+
+@register("sql_topn_revenue_report", oracle=_Q3_SQL)
+def sql_topn_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: the same ANSI text runs on Spark (over
+    the catalog's registered views) and on DuckDB as its own oracle —
+    zero translation, which is the reference's consumption model (its
+    query layer is raw SQL, reference app/db/queries.py:3-26). TPC-H
+    Q3 shape: segment filter -> 3-way join -> grouped revenue -> top
+    10. Catalyst gets the full statement, so it broadcasts the
+    filtered dims and plans TakeOrderedAndProject for the LIMIT; the
+    decimal round keeps the float sum order-insensitive for the value
+    hash."""
+    from gas_data_pipeline_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    # Spark needs TIMESTAMP literals in UTC session tz — identical text
+    # works in both engines.
+    return spark.sql(_Q3_SQL)
