@@ -499,6 +499,7 @@ def jaccard_pairs_bitset_gemm(
     shingle_col: Column,
     threshold: float,
     n_blocks: int = 8,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Exact threshold-Jaccard pairs for the DENSE-vocabulary regime:
     encode each document as a bitmask over the global shingle
@@ -525,32 +526,38 @@ def jaccard_pairs_bitset_gemm(
     vocab index is one distinct + row_number pass (V rows, collected
     count only) and broadcasts to the packers.
     """
-    base = df.select(
+    # prehashed: shingle_col already yields array<long> ids (e.g.
+    # char_shingle_ids_pandas) — skip the per-gram xxhash64 transform.
+    id_expr = (
+        shingle_col
+        if prehashed
+        else F.transform(shingle_col, lambda s: F.xxhash64(s))
+    )
+    # A corpus small enough for this kernel scans as a handful of
+    # parquet splits (2 tasks here) — spread it across the cluster
+    # BEFORE the CPU-heavy shingling so every core works; the 5k-row
+    # shuffle is free relative to the UDF it parallelizes.
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    base = spread.select(
         F.col(id_col).cast("bigint").alias("id"),
-        F.array_distinct(
-            F.transform(shingle_col, lambda s: F.xxhash64(s))
-        ).alias("shingles"),
+        F.array_distinct(id_expr).alias("shingles"),
     ).persist()  # shingling is the scan-heavy step; the width-sizing
     # action below and the main job both read it, so materialize once
     # (hashed sets only: N × avg-set-size longs, not the raw text).
-    ex = base.select("id", F.explode("shingles").alias("sh"))
-    vocab = (
-        ex.select("sh")
-        .distinct()
-        .withColumn(
-            "idx",
-            F.row_number().over(Window.orderBy("sh")).cast("long") - F.lit(1),
-        )
+    # Vocabulary to the driver: by this kernel's regime definition V is
+    # small (≤ ~1e5 → ≤ ~1 MB of longs), so the distinct-shingle set is
+    # a collectible stats object, exactly like the IVF centroids or the
+    # z-order bounds row. Shipping the id→index dict inside the pack
+    # closure deletes the distributed indexing join + one shuffle that
+    # the previous version paid to do the same mapping.
+    vocab_rows = (
+        base.select(F.explode("shingles").alias("sh")).distinct().collect()
     )
-    n_vocab = vocab.count()  # stats action: fixes the bitmask width
-    width = max(1, (int(n_vocab) + 63) // 64)
+    vocab_ids = sorted(r["sh"] for r in vocab_rows)
+    index_of = {sh: i for i, sh in enumerate(vocab_ids)}
+    width = max(1, (len(vocab_ids) + 63) // 64)
 
-    indexed = (
-        ex.join(vocab, "sh")
-        .groupBy("id")
-        .agg(F.collect_list("idx").alias("idxs"))
-        .withColumn("__block", (F.abs(F.hash(F.col("id"))) % n_blocks))
-    )
+    indexed = base.withColumn("__block", F.abs(F.hash(F.col("id"))) % n_blocks)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -559,8 +566,10 @@ def jaccard_pairs_bitset_gemm(
         n = len(pdf)
         words = np.zeros((n, width), dtype=np.uint64)
         counts = np.zeros(n, dtype=np.int64)
-        for r, idxs in enumerate(pdf["idxs"]):
-            ix = np.asarray(idxs, dtype=np.int64)
+        for r, shingles in enumerate(pdf["shingles"]):
+            ix = np.fromiter(
+                (index_of[s] for s in shingles), dtype=np.int64, count=len(shingles)
+            )
             np.bitwise_or.at(
                 words[r], ix >> 6, np.uint64(1) << (ix & 63).astype(np.uint64)
             )
@@ -712,3 +721,51 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def char_shingle_ids_pandas(n: int = 4):
+    """Arrow-batched char n-gram shingle ids: text -> distinct
+    array<long>, one id per gram.
+
+    Exists because interpreted higher-order functions (transform +
+    substring per index) run OUTSIDE whole-stage codegen — measured
+    4.6s of a 10s query just shingling 5k docs. Python slicing over
+    Arrow batches is ~10x faster here, and the ids are EXACT, not
+    hashes: a gram whose UTF-8 is <= 8 bytes is its own big-endian
+    integer (injective — zero collision probability, better than
+    xxhash64); longer grams (CJK) fall back to an md5-derived 63-bit
+    id. Use only where the id never leaves the engine (the bitset
+    kernel builds its own vocabulary); oracle-facing paths keep string
+    shingles.
+
+    Marked nondeterministic so Catalyst cannot push the projection
+    through a Union (PushProjectionThroughUnion clones the UDF but
+    Python-UDF extraction rewrites one copy -> INTERNAL_ERROR).
+    Self-contained closure: executors never import this package.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    size = int(n)
+
+    @pandas_udf("array<long>")
+    def ids(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        mask = (1 << 63) - 1
+        out = []
+        for t in text:
+            s = (t or "").lower()
+            k = max(len(s) - size + 1, 1)
+            grams = {s[i: i + size] for i in range(k)}
+            row = []
+            for g in grams:
+                b = g.encode("utf-8")
+                if len(b) <= 8:
+                    v = int.from_bytes(b.ljust(8, b"\0"), "big")
+                else:
+                    v = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+                row.append(v & mask)
+            out.append(row)
+        return pd.Series(out)
+
+    return ids.asNondeterministic()

@@ -152,9 +152,14 @@ def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount(AND) per block pair — see jaccard_pairs_bitset_gemm),
     which is exact and ~40x faster at sf0.1. Same exact-Jaccard
     oracle either way."""
+    from gas_data_pipeline_spark.operators.dedup import char_shingle_ids_pandas
+
     docs = _docs_with_planted(spark, sf_dir)
+    # Python shingler with exact byte-packed ids: interpreted HOF
+    # shingling was 4.6s of the 10s query; see char_shingle_ids_pandas.
+    ids = char_shingle_ids_pandas(n=4)(F.col("text"))
     return jaccard_pairs_bitset_gemm(
-        docs, "doc_id", char_shingles(F.col("text"), n=4), threshold=0.6
+        docs, "doc_id", ids, threshold=0.6, prehashed=True
     )
 
 
