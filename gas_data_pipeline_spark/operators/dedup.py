@@ -557,7 +557,8 @@ def jaccard_pairs_bitset_gemm(
     index_of = {sh: i for i, sh in enumerate(vocab_ids)}
     width = max(1, (len(vocab_ids) + 63) // 64)
 
-    indexed = base.withColumn("__block", F.abs(F.hash(F.col("id"))) % n_blocks)
+    # pmod, not abs(hash)%n: abs(INT_MIN) throws under ANSI mode.
+    indexed = base.withColumn("__block", F.pmod(F.hash(F.col("id")), n_blocks))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

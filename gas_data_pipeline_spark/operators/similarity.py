@@ -105,7 +105,8 @@ def pack_blocks(
     packed = df.select(
         F.col(id_col).cast("bigint").alias("__id"),
         F.col(vec_col).alias("__vec"),
-        (F.abs(F.hash(F.col(id_col))) % n_blocks).alias("__block"),
+        # pmod, not abs(hash)%n: abs(INT_MIN) throws under ANSI mode.
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("__block"),
     )
     return packed.groupBy("__block").applyInPandas(pack, schema=BLOCK_SCHEMA)
 
