@@ -545,3 +545,132 @@ def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "height", "width",
         F.transform("pixels", lambda p: F.round(p, 6)).alias("pixels"),
     )
+
+
+_CONTAINMENT_ORACLE = f"""
+        WITH docs AS ({_PLANT_SQL}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([
+                       words[x] || ' ' || words[x+1] || ' ' || words[x+2]
+                       FOR x IN range(1, greatest(len(words) - 1, 1))
+                   ]) AS shingles
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM docs)
+        )
+        SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+               len(list_intersect(a.shingles, b.shingles))
+                 / len(a.shingles) AS containment
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        WHERE len(a.shingles) <= len(b.shingles)
+          AND (len(a.shingles) < len(b.shingles) OR a.doc_id < b.doc_id)
+          AND len(list_intersect(a.shingles, b.shingles))
+                / len(a.shingles) >= 0.9
+"""
+
+
+@register("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 asymmetric containment |A∩B| / |A|: catches the
+    quote/boilerplate case Jaccard misses — a short doc fully embedded
+    in a long one scores ~1.0 containment but low Jaccard (the union
+    is dominated by the long doc). Same inverted-index candidate
+    machinery as the Jaccard join (one explode, one posting-list
+    co-group); only the normalization differs. Orientation is
+    (smaller, larger) with id tiebreak so each unordered pair appears
+    once."""
+    docs = _docs_with_planted(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        word_shingles(F.col("text"), n=3).alias("shingles"),
+    )
+    sized = base.select("id", "shingles", F.size("shingles").alias("n"))
+    inv = sized.select(
+        "id", "n",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh"),
+    )
+    members = F.struct(F.col("id"), F.col("n"))
+    postings = (
+        inv.groupBy("sh")
+        .agg(F.collect_list(members).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pairs = (
+        postings.select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(
+            (F.col("a.n") < F.col("b.n"))
+            | ((F.col("a.n") == F.col("b.n")) & (F.col("a.id") < F.col("b.id")))
+        )
+    )
+    common = pairs.groupBy(
+        F.col("a.id").alias("id_small"),
+        F.col("b.id").alias("id_big"),
+        F.col("a.n").alias("n_small"),
+    ).agg(F.count(F.lit(1)).alias("n_common"))
+    containment = (F.col("n_common") / F.col("n_small")).alias("containment")
+    return (
+        common.select("id_small", "id_big", containment)
+        .filter(F.col("containment") >= 0.9)
+    )
+
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_URL = "https?://[^\\s]+"
+_PII_LONGNUM = "\\b\\d{7,}\\b"
+_PII_PLANT = (
+    " contact alice.b@example.com or see https://example.com/x?id=42"
+    " ref 12345678"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN text || '{_PII_PLANT}' ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS BIGINT) AS n_longnums,
+               sha256(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_URL}', '<URL>', 'g'),
+                   '{_PII_LONGNUM}', '<NUM>', 'g')) AS scrubbed_hash
+        FROM docs
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 PII scrubbing: count and redact emails / URLs / long digit
+    runs — the compliance pass every training-data pipeline runs before
+    release. Pure regexp_replace/regexp_count (narrow, codegen, no
+    Python, no shuffle); patterns restricted to the RE2 ∩ Java-regex
+    dialect so Spark and the oracle behave identically, and the sha-256
+    of the SCRUBBED text is compared — the strongest possible equality
+    (every redacted byte must match). PII is planted on every 10th doc
+    because the synthetic corpus contains none."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(_PII_PLANT)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_URL),
+            F.lit("<URL>"),
+        ),
+        F.lit(_PII_LONGNUM),
+        F.lit("<NUM>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_URL)).cast("bigint").alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(_PII_LONGNUM)).cast("bigint").alias("n_longnums"),
+        F.sha2(scrubbed, 256).alias("scrubbed_hash"),
+    )

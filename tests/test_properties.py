@@ -23,13 +23,16 @@ SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-# Latin-range text without surrogates. The mirrors reimplement JAVA
+# Latin-1 text without surrogates. The mirrors reimplement JAVA
 # regex/trim semantics (Spark is the spec): Java `\s` is ASCII-only
 # ([ \t\n\x0B\f\r] — \x1c-\x1f are NOT whitespace, unlike Python's
 # unicode `\s`), and F.trim strips only the space character. Codepoints
-# are capped below exotic case-mapping ranges so upper()/lower() agree.
+# are capped at Latin-1: CPython and the JVM ship different Unicode
+# versions, so case mappings diverge above it (hypothesis found
+# U+019B ƛ, whose uppercase U+A7DC exists only in newer Unicode —
+# Python maps it, Java 17 doesn't).
 TEXT = st.text(
-    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x24F),
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0xFF),
     max_size=40,
 )
 
