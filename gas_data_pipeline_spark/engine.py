@@ -308,3 +308,85 @@ class GasDataEngine:
             flat.write.mode("overwrite").option("header", True).csv(path)
         else:
             raise ValueError(f"unknown export format: {fmt}")
+
+    # ------------------------------------------------------------------
+    # North-star data-curation API (BASELINE.json; SURVEY §2.11) — the
+    # operators a training-data pipeline runs over arbitrary corpora,
+    # surfaced as first-class engine methods so a reference user gets
+    # them through the same facade as the reference endpoints.
+    # ------------------------------------------------------------------
+
+    def dedup_exact(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """X1: content-hash dedup with deterministic canonical rows."""
+        from gas_data_pipeline_spark.operators.dedup import exact_dedup_ranked
+
+        return exact_dedup_ranked(df, id_col, text_col)
+
+    def dedup_near(
+        self,
+        df: DataFrame,
+        id_col: str,
+        text_col: str,
+        threshold: float = 0.5,
+        method: str = "minhash",
+    ) -> DataFrame:
+        """X1: near-dup pairs above `threshold`. method: 'minhash'
+        (LSH candidates + exact verify — the scale default), 'exact'
+        (inverted-index Jaccard), 'prefix' (PPJoin prefix filtering),
+        'bitset' (dense-vocabulary popcount kernel)."""
+        from gas_data_pipeline_spark.operators import dedup as D
+
+        shingles = D.word_shingles(F.col(text_col), n=3)
+        if method == "minhash":
+            return D.minhash_near_dup_pairs(df, id_col, shingles, threshold)
+        if method == "exact":
+            return D.jaccard_pairs_inverted_index(df, id_col, shingles, threshold)
+        if method == "prefix":
+            return D.jaccard_pairs_prefix_filter(df, id_col, shingles, threshold)
+        if method == "bitset":
+            return D.jaccard_pairs_bitset_gemm(df, id_col, shingles, threshold)
+        raise ValueError(f"unknown dedup method: {method}")
+
+    def dedup_clusters(
+        self, df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    ) -> DataFrame:
+        """X1: near-dup pairs -> connected components (doc, component,
+        size) — the keep-one-per-component retirement set."""
+        from gas_data_pipeline_spark.operators.dedup import connected_components
+        from pyspark.sql.window import Window as W
+
+        pairs = self.dedup_near(df, id_col, text_col, threshold, "exact")
+        labels = connected_components(pairs, "id_a", "id_b")
+        return labels.select(
+            F.col("id").alias(id_col), F.col("label").alias("component_id")
+        ).withColumn(
+            "component_size",
+            F.count(F.lit(1)).over(W.partitionBy("component_id")).cast("bigint"),
+        )
+
+    def search_similar(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        method: str = "exact",
+    ) -> DataFrame:
+        """X2: cosine top-k neighbors. method: 'exact' (block GEMM),
+        'lsh' (multi-table hyperplane), 'ivf' (k-means inverted lists)."""
+        from gas_data_pipeline_spark.operators import similarity as S
+
+        if method == "exact":
+            return S.cosine_topk(corpus, queries, k=k)
+        if method == "lsh":
+            return S.cosine_topk_lsh(corpus, queries, k=k)
+        if method == "ivf":
+            return S.cosine_topk_ivf(corpus, queries, k=k)
+        raise ValueError(f"unknown search method: {method}")
+
+    def profile_text(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """X3: tokens / quality score / language guess per document —
+        one narrow pass, no shuffle (operators/text.text_profile)."""
+        from gas_data_pipeline_spark.operators.text import text_profile
+
+        keep = [c for c in df.columns if c != text_col]
+        return df.select(*keep, F.inline(F.array(text_profile(F.col(text_col)))))

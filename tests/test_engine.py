@@ -161,3 +161,29 @@ def test_export_zero_loss(engine, spark):
         for r in batch.toPandas().itertuples()
     }
     assert exported == source
+
+
+def test_engine_curation_api(spark, tmp_path):
+    """North-star facade methods: dedup pairs/clusters, similarity
+    search, text profile — callable on arbitrary frames."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.engine import GasDataEngine
+    from tests.conftest import SF_SMALL
+
+    eng = GasDataEngine(spark, str(tmp_path / "lake"))
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+
+    exact = eng.dedup_exact(docs, "doc_id", "text")
+    assert exact.count() == docs.count()
+
+    pairs = eng.dedup_near(docs.limit(200), "doc_id", "text", 0.3, "exact")
+    assert {"id_a", "id_b", "jaccard"} <= set(pairs.columns)
+
+    prof = eng.profile_text(docs.limit(50))
+    assert {"doc_id", "n_tokens", "quality_score", "lang_guess"} <= set(prof.columns)
+    assert prof.count() == 50
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    hits = eng.search_similar(emb, emb.limit(2), k=3)
+    assert hits.count() > 0
+    assert {"query_id", "neighbor_id", "rank", "cos_sim"} <= set(hits.columns)
