@@ -684,9 +684,20 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Right-size the loop's parallelism to the edge set: near-dup pair
+    # lists are typically tiny relative to the corpus, and each Pregel
+    # round is several stages — scheduling 32 tasks per stage for a
+    # few hundred rows costs more than the work (measured: the loop was
+    # 4.2s of pure overhead for 278 edges). Edges are materialized, so
+    # the count is free; ~100k edges per task keeps big graphs wide.
+    n_edges = edges.count()
+    sc = pairs.sparkSession.sparkContext
+    loop_parts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+    edges = edges.repartition(loop_parts, "dst").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
+        .repartition(loop_parts, "id")
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
