@@ -387,6 +387,19 @@ def minhash_near_dup_pairs(
     )
 
 
+def md5_low64(value: Column) -> Column:
+    """Portable 64-bit hash: the first 16 hex chars of md5, reinterpreted
+    as a signed bigint. Unlike ``xxhash64`` (engine-specific), md5 exists
+    in every SQL engine, so SimHash built on this basis is *oracle-able*
+    end-to-end in DuckDB. Assembled with shiftleft/bitwiseOR — conv() of
+    8 hex chars fits a bigint unsigned, and the final OR sets bit 63
+    without tripping ANSI overflow checks."""
+    m = F.md5(value)
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash64(token_col: Column) -> Column:
     """X1 SimHash: 64-bit fingerprint — per bit, majority vote of token
     hashes' bits. Near-dups differ in few bits (small Hamming

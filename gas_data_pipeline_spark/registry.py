@@ -54,13 +54,87 @@ def _load_all() -> None:
     )
 
 
-def all_queries() -> dict[str, QueryFn]:
+# The external driver hard-checks only the FIRST 50 entries of
+# ``queries()`` against their DuckDB oracles. This explicit window
+# guarantees at least one oracled query per SURVEY §2 family AND per
+# north-star (§2.11) family lands inside it, independent of module
+# import order. Everything else follows in registration order and is
+# still covered by the builder-side parity gate (tests/test_parity.py,
+# all queries).
+_DRIVER_WINDOW: tuple[str, ...] = (
+    # P / F / J / A / W / set-ops (SURVEY §2.3-2.6)
+    "flagship_data_query",
+    "projection_computed",
+    "range_scan_history",
+    "json_field_predicate",
+    "null_invalid_value_filter",
+    "star_join_3way",
+    "anti_join_delete",
+    "lookup_join_get_or_create",
+    "distinct_datasets",
+    "dedup_last_write_wins",
+    "group_to_nested",
+    "cube_revenue",
+    "percentiles_by_series",
+    "asof_join_latest_view",
+    "topn_recency",
+    "limit_offset_pagination",
+    "window_functions",
+    "union_by_name_harmonized",
+    "set_ops_repeat_buyers",
+    "sql_topn_revenue_report",
+    # S scalar/temporal/JSON (§2.7)
+    "series_id_slug",
+    "series_id_reverse_parse",
+    "date_parse_coerce",
+    "date_chunk_fanout",
+    "value_clean_gauntlet",
+    "json_roundtrip",
+    # R reshape (§2.8)
+    "melt_wide_to_long",
+    "json_key_melt",
+    "json_key_melt_nested",
+    "field_profile",
+    "nest_unnest_roundtrip",
+    "pivot_long_to_wide",
+    # sinks / medallion pipeline (§2.2)
+    "bronze_zero_loss_roundtrip",
+    "silver_upsert_idempotent",
+    "export_csv_roundtrip",
+    # streaming (§2.9) + applyInPandasWithState (§2.10)
+    "stream_hourly_rollup",
+    "stream_dedup_keys",
+    "stream_foreachbatch_upsert",
+    "stream_stateful_stats",
+    # X1 dedup family
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "dedup_containment_pairs",
+    "embedding_cosine_near_dup",
+    # X2 similarity
+    "ann_cosine_topk",
+    # X3 text analysis
+    "text_quality_langid",
+    "text_pii_scrub",
+    "tfidf_top_terms",
+    # X4 multimodal
+    "multimodal_features",
+)
+
+
+def _ordered() -> list[QuerySpec]:
     _load_all()
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    head = [_REGISTRY[n] for n in _DRIVER_WINDOW if n in _REGISTRY]
+    in_head = set(_DRIVER_WINDOW)
+    tail = [s for n, s in _REGISTRY.items() if n not in in_head]
+    return head + tail
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {spec.name: spec.fn for spec in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
-    _load_all()
-    return {
-        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None
-    }
+    return {spec.name: spec.oracle for spec in _ordered() if spec.oracle is not None}

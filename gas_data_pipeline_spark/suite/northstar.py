@@ -163,23 +163,62 @@ def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB equivalent
+_SIMHASH_ORACLE = f"""
+        WITH docs AS ({_PLANT_SQL}),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^\\sa-z0-9]')) AS tok
+            FROM docs
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)::HUGEINT
+                     * 4294967296::HUGEINT
+                 + CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT)::HUGEINT AS u
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, b,
+                   CASE WHEN 2 * sum(CASE WHEN (u // CAST(2 ** b AS HUGEINT)) % 2 = 1
+                                          THEN 1 ELSE 0 END) >= count(*)
+                        THEN 1 ELSE 0 END AS bit
+            FROM hashes CROSS JOIN (SELECT unnest(range(64)) AS b)
+            GROUP BY doc_id, b
+        ),
+        sigs AS (
+            SELECT doc_id, sum(bit::HUGEINT * CAST(2 ** b AS HUGEINT)) AS su
+            FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN COALESCE(s.su, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                         THEN COALESCE(s.su, 0::HUGEINT) - 18446744073709551616::HUGEINT
+                         ELSE COALESCE(s.su, 0::HUGEINT) END AS BIGINT) AS simhash
+        FROM docs d LEFT JOIN sigs s USING (doc_id)
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 SimHash: 64-bit per-doc fingerprint (narrow, no shuffle;
     token hashing JVM-side, majority vote numpy-side — bit-identical
     to the pure-expression :func:`simhash64`, which pytest asserts).
-    Near-dup banding tested in tests/test_northstar.py against planted
-    pairs; driver check is rows-only by necessity (engine hash)."""
-    from gas_data_pipeline_spark.operators.dedup import simhash64_pandas
+    The token-hash basis is :func:`md5_low64` (first 16 md5 hex chars
+    as signed bigint) rather than xxhash64 *so the fingerprint is
+    value-oracle-able*: DuckDB recomputes the identical tokenize →
+    md5-low64 → per-bit majority vote pipeline in pure SQL. SimHash's
+    near-dup quality only needs a uniform 64-bit basis — md5-low64 and
+    xxhash64 are interchangeable for that; xxhash64 remains the basis
+    elsewhere (MinHash) where the oracle verifies exact Jaccard
+    instead. Near-dup banding tested in tests/test_northstar.py
+    against planted pairs (reference parity: X1, SURVEY §2.11)."""
+    from gas_data_pipeline_spark.operators.dedup import md5_low64, simhash64_pandas
     from gas_data_pipeline_spark.operators.text import tokenize
 
     docs = _docs_with_planted(spark, sf_dir)
     sh = simhash64_pandas()
     return docs.select(
         "doc_id",
-        sh(F.transform(tokenize(F.col("text")), lambda t: F.xxhash64(t))).alias(
-            "simhash"
-        ),
+        sh(F.transform(tokenize(F.col("text")), md5_low64)).alias("simhash"),
     )
 
 

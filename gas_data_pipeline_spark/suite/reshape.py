@@ -116,6 +116,96 @@ def json_key_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_key_melt_nested",
+    oracle="""
+        SELECT o_orderkey, variable, value FROM (
+            SELECT o_orderkey, 'custkey' AS variable,
+                   CAST(o_custkey AS DOUBLE) AS value FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'pressure', CAST(NULL AS DOUBLE) FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'storage_injection',
+                   CAST(o_orderkey % 97 AS DOUBLE) FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'storage_withdrawal', CAST(NULL AS DOUBLE) FROM orders
+        )
+    """,
+)
+def json_key_melt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 (nested): one-level nested-dict flatten — map-valued payload
+    entries fan out a second time with ``variable = key || '_' || subkey``
+    (reference gie/transformer.py:25-43, the ALSI branch). Semantics kept
+    from the reference: EXCLUDED_KEYS filtered before the fan-out,
+    null-like values ('', ' ') become NULL *rows*, non-numeric values are
+    dropped (the reference's ``continue``), everything else coerces to
+    double. Single narrow pass: nested entries become an array of
+    (variable, raw) structs via ``transform(map_entries(...))`` and
+    scalars a 1-element array, so one ``explode`` handles both branches —
+    no union, no shuffle."""
+    o = table(spark, sf_dir, "orders")
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("orderkey"),  # excluded bookkeeping key
+            F.col("o_orderstatus").alias("status"),  # non-numeric -> dropped
+            F.col("o_custkey").cast("string").alias("custkey"),
+            F.lit(" ").alias("pressure"),  # null-like -> NULL row
+            F.struct(
+                (F.col("o_orderkey") % 97).cast("string").alias("injection"),
+                F.lit("").alias("withdrawal"),  # null-like subvalue
+                F.col("o_orderpriority").alias("note"),  # non-numeric -> dropped
+            ).alias("storage"),
+        )
+    )
+    raw = o.select("o_orderkey", payload.alias("payload"))
+    outer = raw.select(
+        "o_orderkey",
+        F.explode(
+            F.map_entries(F.from_json("payload", "map<string,string>"))
+        ).alias("kv"),
+    ).filter(~F.col("kv.key").isin("orderkey"))
+    # Nested dicts survive from_json(map<string,string>) as their raw
+    # JSON text; detect and re-parse them one level down.
+    flat = outer.select(
+        "o_orderkey",
+        F.explode(
+            F.when(
+                F.col("kv.value").startswith("{"),
+                F.transform(
+                    F.map_entries(F.from_json("kv.value", "map<string,string>")),
+                    lambda e: F.struct(
+                        F.concat(F.col("kv.key"), F.lit("_"), e["key"]).alias(
+                            "variable"
+                        ),
+                        e["value"].alias("raw"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.col("kv.key").alias("variable"),
+                        F.col("kv.value").alias("raw"),
+                    )
+                )
+            )
+        ).alias("entry"),
+    )
+    val = F.col("entry.raw")
+    is_null_like = val.isNull() | val.isin("", " ")
+    return (
+        flat.select(
+            "o_orderkey",
+            F.col("entry.variable").alias("variable"),
+            F.when(is_null_like, F.lit(None).cast("double"))
+            .otherwise(val.try_cast("double"))
+            .alias("value"),
+            (is_null_like | val.try_cast("double").isNotNull()).alias("_keep"),
+        )
+        .filter("_keep")
+        .drop("_keep")
+    )
+
+
+@register(
     "field_profile",
     oracle="""
         WITH cells AS (
