@@ -333,10 +333,26 @@ class GasDataEngine:
         """X1: near-dup pairs above `threshold`. method: 'minhash'
         (LSH candidates + exact verify — the scale default), 'exact'
         (inverted-index Jaccard), 'prefix' (PPJoin prefix filtering),
-        'bitset' (dense-vocabulary popcount kernel)."""
+        'bitset' (dense-vocabulary popcount kernel), 'auto' (probe the
+        shingle vocabulary with approx_count_distinct and route:
+        closed vocab → bitset, open vocab → prefix — so a caller can
+        never OOM the driver by picking the dense kernel on an open
+        vocabulary)."""
         from gas_data_pipeline_spark.operators import dedup as D
 
         shingles = D.word_shingles(F.col(text_col), n=3)
+        if method == "auto":
+            # One cheap aggregate (HLL sketch, no exact distinct
+            # shuffle) decides the regime; 1e5 is the documented bitset
+            # bound (~12.5 KB/doc bitmask, ~1 MB driver vocab).
+            n_vocab = (
+                df.select(
+                    F.explode(D.word_shingles(F.col(text_col), n=3)).alias("sh")
+                )
+                .agg(F.approx_count_distinct("sh").alias("v"))
+                .first()["v"]
+            )
+            method = "bitset" if n_vocab <= 80_000 else "prefix"
         if method == "minhash":
             return D.minhash_near_dup_pairs(df, id_col, shingles, threshold)
         if method == "exact":

@@ -235,11 +235,20 @@ _MAX_LONG = (1 << 63) - 1
 
 
 def _xor_salts(k: int, seed: int = 42) -> list[int]:
-    """Fixed pseudorandom 63-bit XOR salts (deterministic across runs)."""
+    """Fixed pseudorandom XOR salts (deterministic across runs), as
+    UNSIGNED 64-bit ints. Full 64 bits matter: 63-bit salts never flip
+    the sign bit of the signed xxhash64 values, so every "permutation"
+    would take its min from the same ~half of shingles whose hash is
+    negative — correlated slots, degraded LSH recall on small sets."""
     import random
 
     rng = random.Random(seed)
-    return [rng.getrandbits(63) for _ in range(k)]
+    return [rng.getrandbits(64) for _ in range(k)]
+
+
+def _signed64(u: int) -> int:
+    """Reinterpret an unsigned 64-bit int as signed (two's complement)."""
+    return u - (1 << 64) if u >= (1 << 63) else u
 
 
 def minhash_signature(shingle_col: Column, k: int = 64) -> Column:
@@ -258,7 +267,9 @@ def minhash_signature(shingle_col: Column, k: int = 64) -> Column:
     hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
 
     def perms(h: Column) -> Column:
-        return F.array(*[h.bitwiseXOR(F.lit(s)) for s in salts])
+        # F.lit takes the signed reinterpretation; XOR is bit-level so
+        # sign never overflows under ANSI.
+        return F.array(*[h.bitwiseXOR(F.lit(_signed64(s))) for s in salts])
 
     return F.aggregate(
         hashes,
@@ -513,6 +524,7 @@ def jaccard_pairs_bitset_gemm(
     threshold: float,
     n_blocks: int = 8,
     prehashed: bool = False,
+    max_vocab: int = 100_000,
 ) -> DataFrame:
     """Exact threshold-Jaccard pairs for the DENSE-vocabulary regime:
     encode each document as a bitmask over the global shingle
@@ -563,9 +575,22 @@ def jaccard_pairs_bitset_gemm(
     # z-order bounds row. Shipping the id→index dict inside the pack
     # closure deletes the distributed indexing join + one shuffle that
     # the previous version paid to do the same mapping.
+    # limit(max_vocab+1) bounds the collect BEFORE it happens: if the
+    # extra row comes back, the vocabulary is open and this kernel is
+    # the wrong regime — refuse instead of OOMing the driver.
     vocab_rows = (
-        base.select(F.explode("shingles").alias("sh")).distinct().collect()
+        base.select(F.explode("shingles").alias("sh"))
+        .distinct()
+        .limit(max_vocab + 1)
+        .collect()
     )
+    if len(vocab_rows) > max_vocab:
+        base.unpersist()
+        raise ValueError(
+            f"bitset-GEMM kernel is for closed vocabularies (<= {max_vocab} "
+            "distinct shingles); this corpus exceeds it — use "
+            "jaccard_pairs_prefix_filter (or dedup_near(method='auto'))"
+        )
     vocab_ids = sorted(r["sh"] for r in vocab_rows)
     index_of = {sh: i for i, sh in enumerate(vocab_ids)}
     width = max(1, (len(vocab_ids) + 63) // 64)
@@ -714,6 +739,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iters):
         nb = (
             edges.join(
@@ -745,6 +771,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Silent non-convergence splits one true component into several
+        # — downstream dedup would under-retire duplicates with no
+        # error signal. Diameter > max_iters means the graph is not
+        # near-dup-shaped; the caller should raise max_iters or switch
+        # to a large-star/small-star formulation.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); component diameter exceeds "
+            "max_iters — raise it for long-chain graphs"
+        )
     return labels
 
 

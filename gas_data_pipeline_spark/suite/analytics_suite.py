@@ -1004,19 +1004,26 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a sliding window, which window frames cannot express (no
     distinct aggregates over frames). The scalable form: dedupe to
     (user, day) first (shrinks the fact table to actives-by-day), then
-    fan each row out to the ≤7 window days it serves via a range join
-    against the day grid — a bounded 7x expansion of the ALREADY
-    DEDUPED rows, followed by one distinct-aggregate shuffle. Never a
-    per-day self-scan."""
+    ``explode(sequence(day, day+6))`` fans each row out to the exactly
+    7 window days it serves — a narrow, bounded 7x expansion with NO
+    join at all (the naive day-grid range join plans as a
+    BroadcastNestedLoopJoin). Grid membership (the oracle only emits
+    days that actually occur) rides along as a ``max(day == g_day)``
+    flag inside the same aggregate, so the whole query is two shuffles:
+    the (user, day) distinct and the final group-by."""
     ev = table(spark, sf_dir, "events")
     d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    grid = d.select("day").distinct().withColumnRenamed("day", "g_day")
+    fan = d.select(
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("g_day"),
+        "day",
+        "user_id",
+    )
     return (
-        d.join(
-            grid,
-            (F.col("day") <= F.col("g_day"))
-            & (F.col("day") >= F.date_sub(F.col("g_day"), 6)),
+        fan.groupBy(F.col("g_day").cast("timestamp").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.max(F.col("day") == F.col("g_day")).alias("_observed"),
         )
-        .groupBy(F.col("g_day").cast("timestamp").alias("day"))
-        .agg(F.countDistinct("user_id").alias("wau"))
+        .filter("_observed")
+        .drop("_observed")
     )

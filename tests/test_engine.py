@@ -187,3 +187,54 @@ def test_engine_curation_api(spark, tmp_path):
     hits = eng.search_similar(emb, emb.limit(2), k=3)
     assert hits.count() > 0
     assert {"query_id", "neighbor_id", "rank", "cos_sim"} <= set(hits.columns)
+
+
+def test_dedup_near_auto_routes_open_vocab_to_prefix(spark, tmp_path):
+    """'auto' must never pick the driver-vocab bitset kernel on an open
+    vocabulary: the probe routes to the prefix-filter join path, whose
+    plan has joins but no MapInPandas scoring stage (the bitset kernel's
+    signature) and no driver-side vocab materialization."""
+    from gas_data_pipeline_spark.engine import GasDataEngine
+
+    eng = GasDataEngine(spark, str(tmp_path / "lake"))
+    # ~120k distinct word 3-shingles: every token unique corpus-wide.
+    docs = spark.range(4000).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(0, 29), i -> concat('w', id * 30 + i)), ' ') AS text",
+    )
+    pairs = eng.dedup_near(docs, "doc_id", "text", 0.5, "auto")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert "Join" in plan
+    assert pairs.count() == 0  # all docs fully distinct
+
+
+def test_dedup_near_auto_routes_closed_vocab_to_bitset(spark, tmp_path):
+    from gas_data_pipeline_spark.engine import GasDataEngine
+
+    eng = GasDataEngine(spark, str(tmp_path / "lake"))
+    # 40 tokens round-robin: ~40 distinct shingles over 300 docs.
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(0, 19), i -> concat('t', (id + i) % 40)), ' ') AS text",
+    )
+    pairs = eng.dedup_near(docs, "doc_id", "text", 0.9, "auto")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert pairs.count() > 0  # rotated docs share 90%+ of shingles
+
+
+def test_bitset_kernel_refuses_open_vocab(spark):
+    from gas_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_bitset_gemm,
+        word_shingles,
+    )
+
+    docs = spark.range(50).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(0, 9), i -> concat('u', id * 10 + i)), ' ') AS text",
+    )
+    with pytest.raises(ValueError, match="closed vocabularies"):
+        jaccard_pairs_bitset_gemm(
+            docs, "doc_id", word_shingles(F.col("text"), n=3), 0.5, max_vocab=100
+        ).count()

@@ -175,3 +175,13 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_wau_fanout_has_no_join(spark):
+    # rolling_weekly_active_users: the 7-day window is an explode
+    # fan-out, not a day-grid range join — a BNLJ here would rescan the
+    # deduped actives once per grid day at scale.
+    plan = _plan(spark, "rolling_weekly_active_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    assert "Generate explode" in plan
