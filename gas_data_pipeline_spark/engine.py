@@ -121,9 +121,18 @@ class GasDataEngine:
         }
 
     def _discover_and_register_fields(self, batch: DataFrame, dataset_id: str) -> None:
-        """A4: profile every column of the batch (type lattice
-        null|boolean|integer|float|json|string — field_discovery.py:5-16)
-        and upsert the field catalog insert-if-absent (SNK3)."""
+        """A4: profile every column of the batch under the reference's
+        per-VALUE type lattice null|boolean|integer|float|json|string
+        (field_discovery.py:5-16) — a field's type is the comma-joined
+        sorted set of its observed value types (field_discovery.py:46),
+        so mixed fields report e.g. 'integer,string' and a column
+        holding both 'true' and 'false' is 'boolean' — then upsert the
+        field catalog insert-if-absent (SNK3)."""
+        from gas_data_pipeline_spark.functions.profiling import (
+            infer_value_type,
+            inferred_type_agg,
+        )
+
         cells = batch.select(
             F.explode(
                 F.array(
@@ -139,22 +148,8 @@ class GasDataEngine:
         ).select("kv.field_name", "kv.cell")
         v = F.col("cell")
         n_nonnull = F.count(v)
-        all_match = lambda pat: n_nonnull == F.count(  # noqa: E731
-            F.when(v.rlike(pat), F.lit(1))
-        )
-        inferred = (
-            F.when(n_nonnull == 0, F.lit("null"))
-            .when(
-                (F.min(v) == F.max(v)) & F.min(v).isin("true", "false"),
-                F.lit("boolean"),
-            )
-            .when(all_match(r"^-?\d+$"), F.lit("integer"))
-            .when(all_match(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"), F.lit("float"))
-            .when(all_match(r"^[\[{]"), F.lit("json"))
-            .otherwise(F.lit("string"))
-        )
         profile = cells.groupBy("field_name").agg(
-            inferred.alias("inferred_type"),
+            inferred_type_agg(infer_value_type(v)).alias("inferred_type"),
             (F.count(F.lit(1)) > n_nonnull).alias("nullable"),
             # Example truncated to 200 chars (field_discovery.py:62).
             F.substring(F.min(v), 1, 200).alias("example_value"),
@@ -217,9 +212,18 @@ class GasDataEngine:
             "value",
             "quality_flag",
         )
+        # W3: stable pagination needs a total order (SURVEY §7 #2). The
+        # reference applies ORDER BY/LIMIT/OFFSET in DATA_QUERY *first*
+        # and only then groups the paginated rows into the nested
+        # response (queries.py:3-26 + routes.py:40-61) — so the window
+        # applies to the flat rows in BOTH shapes.
+        w = Window.orderBy("observation_time", "series_id")
+        paged = flat.withColumn("__rn", F.row_number().over(w)).filter(
+            (F.col("__rn") > offset) & (F.col("__rn") <= offset + limit)
+        ).drop("__rn")
         if nested:
             return (
-                flat.groupBy("series_id", "dataset_id", "source", "frequency")
+                paged.groupBy("series_id", "dataset_id", "source", "frequency")
                 .agg(
                     F.sort_array(
                         F.collect_list(
@@ -228,12 +232,7 @@ class GasDataEngine:
                     ).alias("points")
                 )
             )
-        # W3: stable pagination needs a total order (SURVEY §7 #2).
-        w = Window.orderBy("observation_time", "series_id")
-        paged = flat.withColumn("__rn", F.row_number().over(w)).filter(
-            (F.col("__rn") > offset) & (F.col("__rn") <= offset + limit)
-        )
-        return paged.drop("__rn")
+        return paged
 
     def get_history(
         self,
@@ -302,8 +301,19 @@ class GasDataEngine:
         if fmt == "json":
             df.select("raw_payload").write.mode("overwrite").text(path)
         elif fmt == "csv":
-            flat = df.select(
-                "event_id", "dataset_id", "source", "raw_payload"
+            # Reference CSV export pd.json_normalize()s the payloads so
+            # every JSON key becomes a CSV column (export.py:53) — no
+            # lineage columns. The payload schema comes from one sampled
+            # row (bronze batches are homogeneous per dataset); payloads
+            # here are flat, matching json_normalize's output for the
+            # reference's flat dicts.
+            first = df.select("raw_payload").first()
+            if first is None:
+                df.select("raw_payload").write.mode("overwrite").text(path)
+                return
+            schema = F.schema_of_json(first["raw_payload"])
+            flat = df.select(F.from_json("raw_payload", schema).alias("p")).select(
+                "p.*"
             )
             flat.write.mode("overwrite").option("header", True).csv(path)
         else:

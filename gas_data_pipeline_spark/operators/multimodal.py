@@ -2,22 +2,55 @@
 payloads + typed metadata in ordinary DataFrame columns, processed by
 Arrow-batched pandas UDFs over ``mapInPandas``.
 
-The decode step (image/audio libs) is STUBBED — the container has no
-codecs — but everything Spark-side is real and tested: schema, batch
-iteration, partition-preserving plumbing, deterministic fake features.
-Swap ``_decode_stub`` for PIL/torchaudio in production; nothing else
-changes.
+The DECODE step is a pluggable seam: every operator that needs pixels
+takes a ``codec`` callable (``bytes -> 2-D numpy array``) and defaults
+to :func:`fake_codec` — a deterministic stand-in (payload bytes ARE the
+pixels) because this container ships no image/audio libraries. A
+production deployment passes a PIL/ffmpeg-backed callable and NOTHING
+else changes: schema, batch iteration, partition-preserving plumbing
+are identical and tested either way (tests/test_northstar.py swaps a
+custom codec through the seam).
+
+All executor-side callables are defined inside factories/closures so
+cloudpickle ships them BY VALUE — executors never need this package on
+their PYTHONPATH (required when an external driver imports the engine
+from an arbitrary cwd).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# bytes in, 2-D numpy pixel array out. `Any` because numpy types stay
+# out of module-level annotations (executor closures import it inside).
+Codec = Callable[[bytes], Any]
+
 FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, first_byte int, crc bigint"
+DECODE_SCHEMA = "doc_id bigint, height int, width int, pixels array<double>"
+RESIZE_SCHEMA = DECODE_SCHEMA
+
+
+def fake_codec() -> Codec:
+    """Deterministic stand-in decode: the payload's bytes are folded
+    into the smallest square 1-channel image that holds them. Returned
+    as a nested function so cloudpickle ships it by value into
+    executors."""
+
+    def decode(raw: bytes):
+        import numpy as np
+
+        buf = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        if buf.size == 0:
+            buf = np.zeros(1)
+        side = int(np.ceil(np.sqrt(buf.size)))
+        return np.resize(buf, (side, side))
+
+    return decode
 
 
 def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -39,8 +72,9 @@ def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def extract_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas`` — the real distributed plumbing (batch iterator in,
-    batch iterator out, new schema). Features here are deterministic
-    stand-ins (size / first byte / crc32) for real embeddings.
+    batch iterator out, new schema). Features are raw-payload stats
+    (size / first byte / crc32) — no decode needed, so no codec seam
+    here; decoded-pixel features go through :func:`decode_media`.
 
     The closure is deliberately self-contained (stdlib imports inside,
     no references to this module's globals): cloudpickle ships it by
@@ -69,50 +103,58 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
-def decode_media(binary_df: DataFrame, codec: str = "image"):
-    """Real decode entry point — STUB. The Spark-side contract (binary
-    in, array<float> features out via mapInPandas) is what the engine
-    guarantees; the codec body requires PIL/torchaudio, absent here."""
-    raise NotImplementedError(
-        f"media decode ({codec}) requires codec libraries not present in "
-        "this environment; use extract_features for the plumbing-verified "
-        "deterministic path"
-    )
+def decode_media(binary_df: DataFrame, codec: Codec | None = None) -> DataFrame:
+    """X4 decode: binary payload -> native-size pixel grid through the
+    pluggable codec seam (default :func:`fake_codec`). One output row
+    per input row (doc_id, height, width, pixels) — narrow, scan-speed,
+    no shuffle. Swap in a real decoder (e.g. PIL.Image.open ->
+    np.asarray) and the Spark contract is unchanged."""
+    dec = codec if codec is not None else fake_codec()
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
 
-RESIZE_SCHEMA = "doc_id bigint, height int, width int, pixels array<double>"
+        for pdf in batches:
+            ids, hs, ws, px = [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                img = dec(bytes(raw))
+                ids.append(doc_id)
+                hs.append(int(img.shape[0]))
+                ws.append(int(img.shape[1]))
+                px.append([float(v) for v in img.ravel()])
+            yield pd.DataFrame(
+                {"doc_id": ids, "height": hs, "width": ws, "pixels": px}
+            )
+
+    return binary_df.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
 def resize_media(
-    binary_df: DataFrame, height: int = 8, width: int = 8
+    binary_df: DataFrame,
+    height: int = 8,
+    width: int = 8,
+    codec: Codec | None = None,
 ) -> DataFrame:
-    """Resize plumbing (X4): payload -> fixed (height x width) pixel
-    grid via block-mean pooling — the exact batch shape a real image
-    resize has (variable-size binary in, fixed-size tensor out), with
-    the DECODE faked deterministically (bytes ARE the pixels) because
-    the container has no codecs. Swap the two marked lines for
-    PIL.Image.open/resize and the schema, partitioning and Arrow
-    batching are already production-shaped. Output rows stay 1:1 with
-    inputs — no shuffle, scan-speed narrow op."""
+    """Resize (X4): decode via the codec seam, then block-mean pool to
+    a fixed (height x width) grid — the exact batch shape a real image
+    resize has (variable-size binary in, fixed-size tensor out).
+    Output rows stay 1:1 with inputs — no shuffle, scan-speed narrow
+    op."""
     h, w = int(height), int(width)
+    dec = codec if codec is not None else fake_codec()
 
-    def resize(batches):
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             pixels = []
             for raw in pdf["payload"]:
-                # FAKE DECODE: bytes -> 1-channel image (replace with a
-                # real codec in production; everything else stands).
-                buf = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.float64)
-                if buf.size == 0:
-                    buf = np.zeros(1)
-                side = int(np.ceil(np.sqrt(buf.size)))
-                img = np.resize(buf, (side, side))
+                img = np.asarray(dec(bytes(raw)), dtype=np.float64)
+                h0, w0 = img.shape
                 # Block-mean pooling to the target grid.
-                ys = (np.arange(h + 1) * side) // h
-                xs = (np.arange(w + 1) * side) // w
+                ys = (np.arange(h + 1) * h0) // h
+                xs = (np.arange(w + 1) * w0) // w
                 out = np.empty((h, w))
                 for i in range(h):
                     rows = img[ys[i]: max(ys[i + 1], ys[i] + 1)]

@@ -34,21 +34,69 @@ from pyspark.sql import functions as F
 
 Transport = Callable[[str, dict], dict]
 
+# The reference's urllib3 Retry status_forcelist
+# (national_gas_client.py:24-28): retry THESE, fail fast on any other
+# HTTP error (a 404 or 401 never heals by retrying).
+RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
+RATE_LIMIT_PENALTY_S = 15.0  # national_gas_client.py:98-101
+
+
+class HttpStatusError(Exception):
+    """An HTTP error response, carrying the status so the retry policy
+    can distinguish retryable (429/5xx) from permanent (other 4xx)."""
+
+    def __init__(self, status: int, url: str, detail: str = ""):
+        self.status = status
+        super().__init__(f"HTTP {status} from {url}{': ' + detail if detail else ''}")
+
+
+def requests_transport(timeout_s: float = 60.0, method: str = "post") -> Transport:
+    """Default real-HTTP transport mirroring the reference client
+    (national_gas_client.py:89-95: JSON POST, 60 s timeout). Raises
+    :class:`HttpStatusError` on >=400 so :class:`RestSource` applies the
+    status-aware retry policy. The ``requests`` import is deferred and
+    optional — tests and air-gapped runs inject fake transports and
+    never touch it."""
+
+    def transport(url: str, params: dict) -> dict:
+        try:
+            import requests  # deferred: optional dependency
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                "the default transport needs the 'requests' package; "
+                "inject a custom Transport callable instead"
+            ) from e
+
+        resp = getattr(requests, method)(
+            url,
+            json=params,
+            headers={"Content-Type": "application/json; charset=utf-8"},
+            timeout=timeout_s,
+        )
+        if resp.status_code >= 400:
+            raise HttpStatusError(resp.status_code, url, resp.text[:200])
+        return resp.json()
+
+    return transport
+
 
 class RestSource:
-    """Driver-side fetch with retry/backoff/throttle (reference
-    national_gas_client.py:23-34,97-101,118: 5 tries, factor-2 backoff
-    on 429/5xx, 1.5 s inter-chunk throttle)."""
+    """Driver-side fetch with the reference's retry/backoff/throttle
+    policy (national_gas_client.py:23-34,95-101,118): 5 tries with
+    factor-2 backoff on 429/5xx ONLY (other 4xx raise immediately), a
+    15 s penalty sleep on 429, 1.5 s inter-chunk throttle. Transport is
+    injectable (network stays out of the correctness path); the default
+    is :func:`requests_transport`."""
 
     def __init__(
         self,
-        transport: Transport,
+        transport: Transport | None = None,
         retries: int = 5,
         backoff_factor: float = 2.0,
         throttle_s: float = 1.5,
         sleep: Callable[[float], None] = time.sleep,
     ):
-        self.transport = transport
+        self.transport = transport if transport is not None else requests_transport()
         self.retries = retries
         self.backoff_factor = backoff_factor
         self.throttle_s = throttle_s
@@ -59,7 +107,16 @@ class RestSource:
         for attempt in range(self.retries):
             try:
                 return self.transport(url, params)
-            except Exception as e:  # transport signals retryable via raise
+            except HttpStatusError as e:
+                if e.status not in RETRYABLE_STATUSES:
+                    raise  # permanent client error: never retry
+                last_err = e
+                if e.status == 429:
+                    # Rate limited: the reference hard-stops 15 s before
+                    # touching the endpoint again.
+                    self.sleep(RATE_LIMIT_PENALTY_S)
+                self.sleep(self.backoff_factor**attempt)
+            except Exception as e:  # connection-level: retryable
                 last_err = e
                 self.sleep(self.backoff_factor**attempt)
         raise RuntimeError(f"fetch failed after {self.retries} tries: {last_err}")

@@ -214,20 +214,30 @@ def json_key_melt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL SELECT 'event_type', event_type FROM events
             UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
             UNION ALL SELECT 'props', CASE WHEN event_type = 'error' THEN NULL ELSE props END FROM events
+            UNION ALL SELECT 'is_error', CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END FROM events
+            UNION ALL SELECT 'flag', CASE event_type WHEN 'click' THEN 'true'
+                                                     WHEN 'view' THEN 'false'
+                                                     ELSE CAST(user_id AS VARCHAR) END FROM events
+        ),
+        typed AS (
+            SELECT field, value,
+                   CASE
+                     WHEN value IS NULL THEN NULL
+                     WHEN value IN ('true','false') THEN 'boolean'
+                     WHEN regexp_matches(value, '^-?\\d+$') THEN 'integer'
+                     WHEN regexp_matches(value, '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$') THEN 'float'
+                     WHEN regexp_matches(value, '^[\\[{]') THEN 'json'
+                     ELSE 'string'
+                   END AS value_type
+            FROM cells
         )
         SELECT field AS field_name,
                count(*) AS n_rows,
                count(*) - count(value) AS n_nulls,
                min(value) AS example_value,
-               CASE
-                 WHEN count(value) = 0 THEN 'null'
-                 WHEN min(value) = max(value) AND min(value) IN ('true','false') THEN 'boolean'
-                 WHEN count(value) = count(CASE WHEN regexp_matches(value, '^-?\\d+$') THEN 1 END) THEN 'integer'
-                 WHEN count(value) = count(CASE WHEN regexp_matches(value, '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$') THEN 1 END) THEN 'float'
-                 WHEN count(value) = count(CASE WHEN regexp_matches(value, '^[\\[{]') THEN 1 END) THEN 'json'
-                 ELSE 'string'
-               END AS inferred_type
-        FROM cells
+               COALESCE(NULLIF(string_agg(DISTINCT value_type, ',' ORDER BY value_type), ''), 'null')
+                 AS inferred_type
+        FROM typed
         GROUP BY field
     """,
 )
@@ -250,8 +260,17 @@ def field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("string").alias("value"),
         F.when(F.col("event_type") != "error", F.col("props")).alias("props"),
+        # Exercises the pure-boolean path: both 'true' AND 'false' occur.
+        F.when(F.col("event_type") == "error", F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("is_error"),
+        # Exercises the mixed-type union: reports "boolean,integer".
+        F.when(F.col("event_type") == "click", F.lit("true"))
+        .when(F.col("event_type") == "view", F.lit("false"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("flag"),
     )
-    fields = ["event_id", "user_id", "event_type", "value", "props"]
+    fields = ["event_id", "user_id", "event_type", "value", "props", "is_error", "flag"]
     cells = typed.select(
         F.explode(
             F.array(
@@ -264,26 +283,17 @@ def field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kv")
     ).select("kv.field_name", "kv.cell")
+    from gas_data_pipeline_spark.functions.profiling import (
+        infer_value_type,
+        inferred_type_agg,
+    )
+
     v = F.col("cell")
-    n_nonnull = F.count(v)
-    all_match = lambda pat: n_nonnull == F.count(  # noqa: E731
-        F.when(v.rlike(pat), F.lit(1))
-    )
-    inferred = (
-        F.when(n_nonnull == 0, F.lit("null"))
-        .when(
-            (F.min(v) == F.max(v)) & F.min(v).isin("true", "false"), F.lit("boolean")
-        )
-        .when(all_match(r"^-?\d+$"), F.lit("integer"))
-        .when(all_match(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"), F.lit("float"))
-        .when(all_match(r"^[\[{]"), F.lit("json"))
-        .otherwise(F.lit("string"))
-    )
     return cells.groupBy("field_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - n_nonnull).alias("n_nulls"),
+        (F.count(F.lit(1)) - F.count(v)).alias("n_nulls"),
         F.min(v).alias("example_value"),
-        inferred.alias("inferred_type"),
+        inferred_type_agg(infer_value_type(v)).alias("inferred_type"),
     )
 
 

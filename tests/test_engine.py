@@ -138,6 +138,27 @@ def test_discovery_and_field_catalog(engine, spark):
     assert {"site_id", "flow_rate", "energy"} <= set(payload)
 
 
+def test_discovery_boolean_and_mixed_type_union(engine, spark):
+    """Reference semantics (field_discovery.py:5-16,46): a column with
+    both 'true' and 'false' is boolean, and mixed fields report the
+    sorted comma-joined union of per-value types."""
+    batch = _wide_batch(spark).select(
+        "site_id",
+        "observed_at",
+        "flow_rate",
+        (F.col("site_id") % 2 == 0).cast("string").alias("is_even"),
+        F.when(F.col("site_id") % 2 == 0, F.lit("n/a"))
+        .otherwise(F.col("site_id").cast("string"))
+        .alias("mixed"),
+    )
+    engine.ingest_batch(
+        batch, "GAS_BOOL", "national_gas", ["site_id"], "observed_at"
+    )
+    fields = engine.discover_fields("GAS_BOOL").toPandas().set_index("field_name")
+    assert fields.loc["is_even"].inferred_type == "boolean"
+    assert fields.loc["mixed"].inferred_type == "integer,string"
+
+
 def test_export_zero_loss(engine, spark):
     """The reference's own test.py invariant: exported raw payloads
     reconstruct the source batch exactly (zero loss)."""
@@ -161,6 +182,50 @@ def test_export_zero_loss(engine, spark):
         for r in batch.toPandas().itertuples()
     }
     assert exported == source
+
+
+def test_get_data_nested_respects_pagination(engine, spark):
+    """Reference nests the PAGINATED row window (DATA_QUERY applies
+    ORDER BY/LIMIT/OFFSET first, routes.py groups after) — nested=True
+    must return the same rows as the flat page, grouped."""
+    batch = _wide_batch(spark)
+    engine.ingest_batch(
+        batch, "GAS_QUALITY", "national_gas", ["site_id"], "observed_at"
+    )
+    flat = engine.get_data(limit=10, offset=5).toPandas()
+    nested = engine.get_data(limit=10, offset=5, nested=True).toPandas()
+    n_points = int(sum(len(p) for p in nested.points))
+    assert n_points == len(flat) == 10
+    flat_keys = {
+        (r.series_id, r.observation_time) for r in flat.itertuples()
+    }
+    nested_keys = {
+        (r.series_id, p["observation_time"])
+        for r in nested.itertuples()
+        for p in r.points
+    }
+    assert nested_keys == flat_keys
+
+
+def test_export_csv_normalizes_payload_columns(engine, spark):
+    """Reference CSV export json_normalize()s payloads — every JSON key
+    is a CSV column, no lineage columns (export.py:53)."""
+    batch = _wide_batch(spark).limit(20)
+    engine.ingest_batch(
+        batch, "GAS_QUALITY", "national_gas", ["site_id"], "observed_at"
+    )
+    out_dir = os.path.join(engine.root, "exports", "csv")
+    engine.export_raw("GAS_QUALITY", out_dir, fmt="csv", limit=1000)
+    exported = (
+        engine.spark.read.option("header", True).csv(out_dir).toPandas()
+    )
+    assert set(exported.columns) == {
+        "site_id",
+        "observed_at",
+        "flow_rate",
+        "energy",
+    }
+    assert len(exported) == 20
 
 
 def test_engine_curation_api(spark, tmp_path):

@@ -252,16 +252,67 @@ def test_multimodal_crc_and_metadata(spark):
         assert meta.loc[row.doc_id].n_bytes == len(row.text.encode("utf-8"))
 
 
-def test_decode_media_is_explicit_stub(spark):
+def test_decode_media_default_codec(spark):
+    """decode_media through the default fake codec: payload bytes fold
+    into the smallest enclosing square, matching a local rendering."""
+    import numpy as np
+
     from gas_data_pipeline_spark.catalog import table
     from gas_data_pipeline_spark.operators.multimodal import (
         attach_binary,
         decode_media,
     )
 
-    docs = table(spark, SF_SMALL, "documents").limit(1)
-    with pytest.raises(NotImplementedError):
+    docs = table(spark, SF_SMALL, "documents").limit(10)
+    out = (
         decode_media(attach_binary(docs, "doc_id", "text"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    local = docs.select("doc_id", "text").toPandas()
+    for row in local.itertuples():
+        raw = row.text.encode("utf-8")
+        buf = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        side = int(np.ceil(np.sqrt(max(buf.size, 1))))
+        got = out.loc[row.doc_id]
+        assert got.height == got.width == side
+        assert list(got.pixels)[: buf.size] == buf.tolist()
+
+
+def test_codec_seam_accepts_custom_decoder(spark):
+    """The codec seam: a user-supplied decoder flows through BOTH
+    decode_media and resize_media with no other changes — the adapter
+    a production PIL/ffmpeg codec would plug into."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        decode_media,
+        resize_media,
+    )
+
+    def first_byte_codec(raw: bytes):
+        # 2x2 "image" whose pixels encode the first payload byte.
+        import numpy as np
+
+        b = float(raw[0]) if raw else 0.0
+        return np.array([[b, b + 1.0], [b + 2.0, b + 3.0]])
+
+    docs = table(spark, SF_SMALL, "documents").limit(5)
+    binary = attach_binary(docs, "doc_id", "text")
+
+    decoded = decode_media(binary, codec=first_byte_codec).toPandas().set_index("doc_id")
+    resized = (
+        resize_media(binary, height=2, width=2, codec=first_byte_codec)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    local = docs.select("doc_id", "text").toPandas()
+    for row in local.itertuples():
+        b = float(row.text.encode("utf-8")[0])
+        assert list(decoded.loc[row.doc_id].pixels) == [b, b + 1.0, b + 2.0, b + 3.0]
+        assert (decoded.loc[row.doc_id].height, decoded.loc[row.doc_id].width) == (2, 2)
+        # 2x2 -> 2x2 block-mean is the identity.
+        assert list(resized.loc[row.doc_id].pixels) == [b, b + 1.0, b + 2.0, b + 3.0]
 
 
 def test_frame_sample_matches_python_slicing(spark):

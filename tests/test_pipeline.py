@@ -153,6 +153,59 @@ def test_rest_exhausted_retries_raise():
         src.fetch("u", {})
 
 
+def test_rest_429_gets_penalty_sleep():
+    """Reference policy (national_gas_client.py:95-101): rate limiting
+    earns a hard 15 s penalty sleep before the backoff retry."""
+    from gas_data_pipeline_spark.sources.rest import HttpStatusError, RestSource
+
+    calls = {"n": 0}
+
+    def rate_limited(url, params):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise HttpStatusError(429, url)
+        return {"ok": True}
+
+    sleeps = []
+    src = RestSource(rate_limited, retries=5, backoff_factor=2.0, sleep=sleeps.append)
+    assert src.fetch("u", {})["ok"] is True
+    assert sleeps == [15.0, 1.0]  # penalty first, then backoff**0
+
+
+def test_rest_4xx_is_not_retried():
+    """404/401/etc never heal — fail immediately, one call total
+    (reference status_forcelist is 429/5xx only)."""
+    from gas_data_pipeline_spark.sources.rest import HttpStatusError, RestSource
+
+    calls = {"n": 0}
+
+    def not_found(url, params):
+        calls["n"] += 1
+        raise HttpStatusError(404, url)
+
+    src = RestSource(not_found, retries=5, sleep=lambda s: None)
+    with pytest.raises(HttpStatusError, match="HTTP 404"):
+        src.fetch("u", {})
+    assert calls["n"] == 1
+
+
+def test_rest_5xx_status_error_is_retried():
+    from gas_data_pipeline_spark.sources.rest import HttpStatusError, RestSource
+
+    calls = {"n": 0}
+
+    def flaky(url, params):
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise HttpStatusError(503, url)
+        return {"ok": True}
+
+    sleeps = []
+    src = RestSource(flaky, retries=5, sleep=sleeps.append)
+    assert src.fetch("u", {})["ok"] is True
+    assert sleeps == [1.0]  # plain backoff, no 429 penalty
+
+
 def test_rest_chunk_throttle():
     from gas_data_pipeline_spark.sources.rest import RestSource
 
