@@ -196,6 +196,45 @@ def flatten_publications(raw: DataFrame) -> DataFrame:
     ).select("publicationId", "publicationName", "row.*")
 
 
+# SRC6 — GIE AGSI/ALSI (reference app/ingestion/gie/constants.py:9-20).
+GIE_EXCLUDED_KEYS = (
+    "name",
+    "code",
+    "url",
+    "updatedAt",
+    "gasDayStart",
+    "gasDayEnd",
+    "info",
+)
+
+
+def flatten_gie(raw: DataFrame) -> DataFrame:
+    """SRC6: GIE AGSI/ALSI key-driven melt (reference
+    gie/transformer.py:5-64) — entries without ``gasDayStart`` are
+    skipped (:12-13); every non-excluded key becomes a (country, date,
+    variable, value, quality) row; ALSI's one-level nested dicts fan
+    out as ``key_subkey`` (:25-43); null-like values ('', ' ') yield
+    NULL rows, non-numeric values are dropped. The key set is
+    data-driven via ``to_json`` -> map melt, so AGSI and ALSI payloads
+    flow through the same plan and new upstream metrics auto-register.
+    """
+    from gas_data_pipeline_spark.functions.melt import melt_json_keys_nested
+
+    entry = raw.select(F.explode("data").alias("e"))
+    base = entry.select(
+        F.col("e.name").alias("country"),
+        F.to_date(F.col("e.gasDayStart")).alias("date"),
+        F.col("e.status").alias("quality"),
+        F.to_json("e").alias("payload"),
+    ).filter(F.col("date").isNotNull())
+    melted = melt_json_keys_nested(
+        base,
+        id_cols=["country", "date", "quality"],
+        excluded_keys=GIE_EXCLUDED_KEYS + ("status",),
+    )
+    return melted.select("country", "date", "variable", "value", "quality")
+
+
 def flatten_publication_catalogue(raw: DataFrame) -> DataFrame:
     """SRC5: data[] -> subCategory[] -> catalogueEntries[] to
     (publicationId, name), dropping null ids (reference

@@ -156,52 +156,11 @@ def json_key_melt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("storage"),
         )
     )
+    from gas_data_pipeline_spark.functions.melt import melt_json_keys_nested
+
     raw = o.select("o_orderkey", payload.alias("payload"))
-    outer = raw.select(
-        "o_orderkey",
-        F.explode(
-            F.map_entries(F.from_json("payload", "map<string,string>"))
-        ).alias("kv"),
-    ).filter(~F.col("kv.key").isin("orderkey"))
-    # Nested dicts survive from_json(map<string,string>) as their raw
-    # JSON text; detect and re-parse them one level down.
-    flat = outer.select(
-        "o_orderkey",
-        F.explode(
-            F.when(
-                F.col("kv.value").startswith("{"),
-                F.transform(
-                    F.map_entries(F.from_json("kv.value", "map<string,string>")),
-                    lambda e: F.struct(
-                        F.concat(F.col("kv.key"), F.lit("_"), e["key"]).alias(
-                            "variable"
-                        ),
-                        e["value"].alias("raw"),
-                    ),
-                ),
-            ).otherwise(
-                F.array(
-                    F.struct(
-                        F.col("kv.key").alias("variable"),
-                        F.col("kv.value").alias("raw"),
-                    )
-                )
-            )
-        ).alias("entry"),
-    )
-    val = F.col("entry.raw")
-    is_null_like = val.isNull() | val.isin("", " ")
-    return (
-        flat.select(
-            "o_orderkey",
-            F.col("entry.variable").alias("variable"),
-            F.when(is_null_like, F.lit(None).cast("double"))
-            .otherwise(val.try_cast("double"))
-            .alias("value"),
-            (is_null_like | val.try_cast("double").isNotNull()).alias("_keep"),
-        )
-        .filter("_keep")
-        .drop("_keep")
+    return melt_json_keys_nested(
+        raw, id_cols=["o_orderkey"], excluded_keys=("orderkey",)
     )
 
 

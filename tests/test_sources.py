@@ -136,3 +136,60 @@ def test_flatten_catalogue_drops_null_ids(spark):
         json_batch_to_df(spark, [CATALOGUE])
     ).toPandas()
     assert sorted(out.publicationId) == [101, 102]  # null id dropped
+
+
+GIE_ALSI = {
+    "data": [
+        {  # AGSI-shaped flat entry
+            "name": "Germany",
+            "code": "DE",
+            "url": "https://agsi.gie.eu/de",
+            "gasDayStart": "2024-01-05",
+            "status": "E",
+            "gasInStorage": "1024.5",
+            "injection": "12.25",
+            "withdrawal": " ",
+            "trend": "-0.5",
+            "info": "ignored",
+        },
+        {  # ALSI-shaped entry with one-level nested dicts
+            "name": "France",
+            "gasDayStart": "2024-01-05",
+            "status": "C",
+            "lngInventory": {"mcm": "350.75", "energy": "", "note": "n/a"},
+            "sendOut": "88.125",
+        },
+        {  # no gasDayStart -> skipped entirely (transformer.py:12-13)
+            "name": "Ghost",
+            "status": "E",
+            "gasInStorage": "1.0",
+        },
+    ]
+}
+
+
+def test_flatten_gie_agsi_flat_and_alsi_nested(spark):
+    """SRC6 semantics from gie/transformer.py:5-64: flat numeric keys,
+    nested key_subkey fan-out, null-like -> NULL row, non-numeric ->
+    dropped, excluded bookkeeping keys never become series, entries
+    without gasDayStart skipped."""
+    from gas_data_pipeline_spark.sources.rest import flatten_gie
+
+    out = flatten_gie(json_batch_to_df(spark, [GIE_ALSI])).toPandas()
+    rows = {
+        (r.country, str(r.date), r.variable): (
+            None if r.value != r.value else r.value  # NaN -> None
+        )
+        for r in out.itertuples()
+    }
+    assert rows == {
+        ("Germany", "2024-01-05", "gasInStorage"): 1024.5,
+        ("Germany", "2024-01-05", "injection"): 12.25,
+        ("Germany", "2024-01-05", "withdrawal"): None,
+        ("Germany", "2024-01-05", "trend"): -0.5,
+        ("France", "2024-01-05", "lngInventory_mcm"): 350.75,
+        ("France", "2024-01-05", "lngInventory_energy"): None,
+        ("France", "2024-01-05", "sendOut"): 88.125,
+    }
+    quality = {r.country: r.quality for r in out.itertuples()}
+    assert quality == {"Germany": "E", "France": "C"}
