@@ -1,0 +1,248 @@
+"""Training-data curation operators (SURVEY §2.11 extensions): the
+corpus-preparation passes a 100 TB LLM data pipeline runs between raw
+ingest and tokenization — benchmark decontamination, GPT-style
+sequence packing, C4/Gopher-style quality rules, deterministic global
+shuffle, and hash-thresholded weighted sampling.
+
+Design rules shared by every operator here:
+
+- Pure native Column expressions (no Python in the hot path); the
+  only joins are broadcast (benchmark gram set, bucket offsets).
+- Deterministic: every random choice derives from md5 of (salt, id),
+  so reruns, retries, and different cluster layouts give identical
+  output — and every operator is value-oracle-able in DuckDB.
+- Shuffle discipline: decontamination = one map-side-combinable agg;
+  packing = one window per shard; shuffle-rank = per-bucket sorts +
+  a 256-row offset stats object, never a single global sort partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gas_data_pipeline_spark.operators.dedup import word_shingles
+from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose word
+    n-gram overlap with an evaluation set exceeds ``threshold`` (the
+    standard eval-leakage guard before training).
+
+    Plan shape at 100 TB: the benchmark gram set is tiny relative to
+    the corpus (eval suites are MBs) — built once, made distinct, and
+    BROADCAST; the corpus explodes its distinct grams (narrow), left
+    joins the broadcast set, and aggregates per document (map-side
+    combinable, one shuffle keyed on the doc id). The corpus is never
+    shuffled by gram and no all-pairs comparison exists anywhere.
+
+    Returns (id, n_grams, n_contaminated, contamination, flagged).
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    per_doc = (
+        grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+        )
+    )
+    contamination = F.col("n_contaminated") / F.col("n_grams")
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        F.round(contamination, 6).alias("contamination"),
+        (contamination >= threshold).alias("flagged"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: concatenate each
+    shard's documents in id order and split the token stream into
+    fixed-``capacity`` context windows; report which chunk span each
+    document lands in (first_chunk, last_chunk, n_chunks).
+
+    The packing is a running-sum window per shard — no join, no state.
+    At 100 TB the shard key is whatever bounds a sort (date bucket,
+    source file group); each shard sorts independently, so the widest
+    operation is a per-shard sort, never a global one. Token counts
+    use the engine's BPE-ish tokenizer (operators.text.tokenize).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        F.size(tokenize(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumulative = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    first_chunk = F.expr(f"(cum_tokens - n_tokens) div {capacity}")
+    last_chunk = F.expr(f"(cum_tokens - 1) div {capacity}")
+    return cumulative.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "cum_tokens",
+        first_chunk.alias("first_chunk"),
+        last_chunk.alias("last_chunk"),
+        (last_chunk - first_chunk + F.lit(1)).alias("n_chunks"),
+    )
+
+
+def quality_rule_columns(text: Column) -> list[Column]:
+    """C4/Gopher-style document quality signals as native expressions.
+
+    Every signal has an exact DuckDB twin (list_* functions over the
+    same tokenization), so the whole rule table is value-oracle-able.
+    """
+    toks = tokenize(text)
+    words = F.filter(toks, is_word)
+    lines = F.split(text, "\n")
+    n_toks = F.size(toks)
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        )
+        / n_words,
+    )
+    symbol_ratio = F.when(n_toks > 0, (n_toks - n_words) / n_toks)
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - F.size(F.array_distinct(lines))) / n_lines
+    )
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*•]"))
+        )
+        / n_lines,
+    )
+    return [
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+    ]
+
+
+def quality_rules_keep(row_prefix: str = "") -> Column:
+    """The keep decision over :func:`quality_rule_columns` output —
+    C4/Gopher-shaped bounds (word count, word length, symbol and
+    repetition caps). Expressed over the already-computed columns so
+    the rule table and the decision stay in one narrow pass."""
+    c = lambda name: F.col(row_prefix + name)  # noqa: E731
+    return (
+        (c("n_words") >= 5)
+        & (c("n_words") <= 100_000)
+        & (c("mean_word_len") >= 2)
+        & (c("mean_word_len") <= 12)
+        & (c("symbol_ratio") <= 0.5)
+        & (c("dup_line_frac") <= 0.3)
+    )
+
+
+SHUFFLE_BUCKETS = 256
+
+
+def shuffle_key(id_col: Column, seed: str) -> Column:
+    """Deterministic portable shuffle key: md5 of (seed, id). Ordering
+    by this hex string is the seeded random permutation — identical in
+    Spark and DuckDB, stable across reruns and cluster layouts."""
+    return F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string")))
+
+
+def seeded_shuffle_rank(
+    docs: DataFrame, id_col: str = "doc_id", seed: str = "shuffle-v1"
+) -> DataFrame:
+    """Deterministic global shuffle rank — the training-order
+    permutation — WITHOUT a single-partition global sort.
+
+    The md5 key's first two hex chars are its lexicographic prefix, so
+    bucket = int(prefix) partitions the global order into 256
+    contiguous ranges: global rank = (rows in earlier buckets) +
+    (rank within my bucket). Bucket counts are a 256-row aggregate
+    (a broadcastable stats object, like the IVF centroids); ranks
+    within a bucket are an ordinary per-bucket window sort. At 100 TB
+    every sort is 1/256th of the corpus and the only full-data
+    shuffle is the bucket hash partitioning.
+    """
+    key = shuffle_key(F.col(id_col), seed)
+    keyed = docs.select(
+        F.col(id_col),
+        key.alias("skey"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bucket",
+        (
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("n")
+        ).alias("offset"),
+    )
+    ranked = keyed.withColumn(
+        "bucket_rank",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("skey", id_col)
+        ),
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        id_col,
+        (F.col("offset") + F.col("bucket_rank")).cast("bigint").alias("shuffle_rank"),
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic weighted (importance) sampling: keep a row iff
+    u(id) < weight, where u is a uniform [0,1) draw derived from
+    md5(seed, id) — 13 hex chars = 52 bits, exact in a double.
+
+    Stateless and reproducible: a document's keep/drop never changes
+    when other rows appear (unlike rand()-based sampling), which is
+    what makes incremental re-curation of a growing corpus possible.
+    Narrow op, zero shuffle; portable to DuckDB for the oracle.
+    """
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 52))
+    return docs.withColumn("_u", F.round(u, 6)).filter(F.col("_u") < weight)

@@ -561,8 +561,11 @@ def jaccard_pairs_bitset_gemm(
     # A corpus small enough for this kernel scans as a handful of
     # parquet splits (2 tasks here) — spread it across the cluster
     # BEFORE the CPU-heavy shingling so every core works; the 5k-row
-    # shuffle is free relative to the UDF it parallelizes.
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # shuffle is free relative to the UDF it parallelizes. (Guarded:
+    # no-op if the caller already spread the input.)
+    from gas_data_pipeline_spark.catalog import spread_scan
+
+    spread = spread_scan(df)
     base = spread.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.array_distinct(id_expr).alias("shingles"),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gas_data_pipeline_spark.catalog import table
+from gas_data_pipeline_spark.catalog import spread_scan, table
 from gas_data_pipeline_spark.operators.dedup import (
     char_shingles,
     exact_dedup_ranked,
@@ -65,7 +65,10 @@ _JACCARD_ORACLE = f"""
 
 
 def _docs_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Every consumer shingles/tokenizes `text` (interpreted HOFs or
+    # Arrow UDFs): spread the 1-split scan so that CPU-heavy stage runs
+    # on every core instead of one (see spread_scan).
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
     planted = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
@@ -445,7 +448,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    toks = docs.select(
+    toks = spread_scan(docs.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.filter(tokenize(F.col("text")), is_word)).alias("term"),
     )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from gas_data_pipeline_spark.catalog import table
+from gas_data_pipeline_spark.catalog import spread_scan, table
 from gas_data_pipeline_spark.functions import make_series_id
 from gas_data_pipeline_spark.registry import register
 
@@ -86,7 +86,9 @@ def json_key_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes ``map_entries(from_json(payload))`` rather than naming
     columns, so new upstream fields appear as new series automatically.
     """
-    o = table(spark, sf_dir, "orders")
+    # JSON construct/parse are interpreted (non-codegen) expressions:
+    # spread the 1-split scan so they run on every core, not one.
+    o = spread_scan(table(spark, sf_dir, "orders"))
     payload = F.to_json(
         F.struct(
             "o_orderkey",
@@ -142,7 +144,7 @@ def json_key_melt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     (variable, raw) structs via ``transform(map_entries(...))`` and
     scalars a 1-element array, so one ``explode`` handles both branches —
     no union, no shuffle."""
-    o = table(spark, sf_dir, "orders")
+    o = spread_scan(table(spark, sf_dir, "orders"))
     payload = F.to_json(
         F.struct(
             F.col("o_orderkey").alias("orderkey"),  # excluded bookkeeping key
@@ -208,7 +210,7 @@ def field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-at-a-time in Python; here it is melt + one hash aggregate
     (map-side combinable, one shuffle of ~|fields| groups).
     """
-    e = table(spark, sf_dir, "events")
+    e = spread_scan(table(spark, sf_dir, "events"))
     # Synthesize some nulls so the null-count path is exercised. The
     # melt is an explicit explode(array(struct...)) — null cells are
     # *kept* (SQL UNPIVOT would drop them), because a null is exactly
@@ -306,7 +308,7 @@ def pivot_long_to_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     are DECLARED (not discovered), so Spark skips the extra
     distinct-scan job and plans a single hash aggregate with the pivot
     expressions as map-side combinable aggregates."""
-    li = table(spark, sf_dir, "lineitem")
+    li = spread_scan(table(spark, sf_dir, "lineitem"))
     long = melt_numeric(li, id_cols=["l_orderkey", "l_linenumber"])
     renames = {
         "l_quantity": "qty",

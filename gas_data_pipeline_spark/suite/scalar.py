@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gas_data_pipeline_spark.catalog import table
+from gas_data_pipeline_spark.catalog import spread_scan, table
 from gas_data_pipeline_spark.functions import (
     clean_value,
     date_chunks,
@@ -165,7 +165,9 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload, reference raw_ingestor.py:31-34) then field re-extraction
     (``payload ->> k`` — reference discovery.py:73). Identity roundtrip
     proves zero-loss for the covered fields."""
-    o = table(spark, sf_dir, "orders")
+    # JSON construct + 3 JSON-path extracts are interpreted expressions:
+    # spread the 1-split scan so they run on every core (see spread_scan).
+    o = spread_scan(table(spark, sf_dir, "orders"))
     payload = F.to_json(
         F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
     )
