@@ -161,7 +161,7 @@ def quality_rules_keep(row_prefix: str = "") -> Column:
     the rule table and the decision stay in one narrow pass."""
     c = lambda name: F.col(row_prefix + name)  # noqa: E731
     return (
-        (c("n_words") >= 5)
+        (c("n_words") >= 50)
         & (c("n_words") <= 100_000)
         & (c("mean_word_len") >= 2)
         & (c("mean_word_len") <= 12)
@@ -245,4 +245,6 @@ def weighted_sample(
         16,
         10,
     ).cast("double") / F.lit(float(1 << 52))
-    return docs.withColumn("_u", F.round(u, 6)).filter(F.col("_u") < weight)
+    # Filter on the raw draw (rounding first could flip boundary rows
+    # against an oracle that filters unrounded); round only for display.
+    return docs.withColumn("_u", u).filter(F.col("_u") < weight)

@@ -51,6 +51,7 @@ def _load_all() -> None:
         streaming_suite,
         northstar,
         analytics_suite,
+        curation_suite,
     )
 
 

@@ -1,0 +1,212 @@
+"""Training-data curation queries (SURVEY §2.11 extensions): the
+corpus passes an LLM data pipeline runs between ingest and training —
+benchmark decontamination, sequence packing, quality-rule filtering,
+deterministic global shuffle, weighted sampling. All value-oracled:
+every random choice derives from md5(salt, id), which DuckDB
+reproduces bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gas_data_pipeline_spark.catalog import spread_scan, table
+from gas_data_pipeline_spark.operators.curation import (
+    contamination_flags,
+    pack_sequences,
+    quality_rule_columns,
+    quality_rules_keep,
+    seeded_shuffle_rank,
+    weighted_sample,
+)
+from gas_data_pipeline_spark.registry import register
+
+# Tokenizer SQL twin (operators/text.py TOKEN_PATTERN).
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+|[^\\sa-z0-9]')"
+_WORDS_SQL = f"list_filter({_TOKS_SQL}, t -> regexp_matches(t, '^[a-z0-9]'))"
+
+# Word 5-gram SQL twin (operators/dedup.py word_shingles, n=5).
+_GRAMS5_SQL = """
+        SELECT doc_id, unnest(list_distinct([
+                   words[x] || ' ' || words[x+1] || ' ' || words[x+2]
+                           || ' ' || words[x+3] || ' ' || words[x+4]
+                   FOR x IN range(1, greatest(len(words) - 3, 1))
+               ])) AS gram
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+              FROM documents)
+"""
+
+
+@register(
+    "curation_contamination",
+    oracle=f"""
+        WITH grams AS ({_GRAMS5_SQL}),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        agg AS (
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   count(b.gram) AS n_contaminated
+            FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+            GROUP BY g.doc_id
+        )
+        SELECT doc_id, n_grams, n_contaminated,
+               round(n_contaminated / n_grams, 6) AS contamination,
+               n_contaminated / n_grams >= 0.2 AS flagged
+        FROM agg
+    """,
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word 5-gram overlap of every corpus
+    document against a (simulated) evaluation set — docs whose id is a
+    multiple of 50 stand in for the benchmark. The benchmark gram set
+    broadcasts; the corpus is never shuffled by gram (one doc-keyed
+    agg), so the plan survives a 100 TB corpus untouched."""
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_flags(docs, benchmark, n=5, threshold=0.2)
+
+
+@register(
+    "curation_pack_sequences",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^\\sa-z0-9]')) AS BIGINT)
+                     AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, shard, n_tokens, cum_tokens,
+               (cum_tokens - n_tokens) // 512 AS first_chunk,
+               (cum_tokens - 1) // 512 AS last_chunk,
+               (cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1 AS n_chunks
+        FROM c
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: per shard,
+    documents concatenate in id order and the token stream splits into
+    512-token context windows; each document reports its chunk span.
+    One window per shard, no join — the widest op at 100 TB is a
+    per-shard sort."""
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return pack_sequences(docs, capacity=512, n_shards=8)
+
+
+@register(
+    "curation_quality_rules",
+    oracle=f"""
+        WITH lined AS (
+            SELECT doc_id, replace(text, ' batch', chr(10) || 'batch') AS text
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   {_TOKS_SQL} AS toks,
+                   {_WORDS_SQL} AS words,
+                   string_split(text, chr(10)) AS lines
+            FROM lined
+        ),
+        r AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   round(CASE WHEN len(words) > 0
+                              THEN CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT)
+                                     / len(words) END, 6) AS mean_word_len,
+                   round(CASE WHEN len(toks) > 0
+                              THEN (len(toks) - len(words)) / len(toks) END, 6) AS symbol_ratio,
+                   round(CASE WHEN len(lines) > 0
+                              THEN (len(lines) - len(list_distinct(lines))) / len(lines) END, 6)
+                     AS dup_line_frac,
+                   round(CASE WHEN len(lines) > 0
+                              THEN len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]')))
+                                     / len(lines) END, 6) AS bullet_frac
+            FROM feats
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, dup_line_frac, bullet_frac,
+               n_words >= 50 AND n_words <= 100000
+                 AND mean_word_len >= 2 AND mean_word_len <= 12
+                 AND symbol_ratio <= 0.5 AND dup_line_frac <= 0.3 AS keep
+        FROM r
+    """,
+)
+def curation_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-rule table + keep decision, one narrow
+    pass of native expressions (word stats, symbol ratio, duplicate-
+    line and bullet-line fractions). The synthetic corpus has no
+    newlines, so lines are synthesized by an exact string replace
+    (portable to the oracle) to exercise the line-level rules."""
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    lined = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" batch"), F.lit("\nbatch"))
+    )
+    feats = lined.select("doc_id", *quality_rule_columns(F.col("text")))
+    return feats.withColumn("keep", quality_rules_keep())
+
+
+@register(
+    "curation_shuffle_rank",
+    oracle="""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS shuffle_rank
+        FROM documents
+    """,
+)
+def curation_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global
+    sort: md5-prefix range buckets + per-bucket window ranks + a
+    256-row offset stats object. The oracle is the naive global
+    window — proving the distributed two-pass form computes the exact
+    same permutation."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return seeded_shuffle_rank(docs, seed="shuffle-v1")
+
+
+@register(
+    "curation_weighted_sample",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
+                   least(1.0, len({_WORDS_SQL}) / 80.0) AS keep_prob,
+                   CAST(concat('0x', substring(md5('sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) / 4503599627370496.0 AS u
+            FROM documents
+        )
+        SELECT doc_id, n_words, round(keep_prob, 6) AS keep_prob, round(u, 6) AS u
+        FROM w WHERE u < keep_prob
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: keep each document with
+    probability proportional to its length (keep_prob = n_words/80,
+    capped at 1) using a uniform draw derived from md5(seed, id) —
+    52 bits, exact in a double, identical in DuckDB. Stateless: a
+    document's fate never changes as the corpus grows, so incremental
+    re-curation keeps prior decisions. Narrow, zero shuffle."""
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n_words = F.size(F.filter(tokenize(F.col("text")), is_word)).cast("bigint")
+    weighted = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.least(F.lit(1.0), n_words / F.lit(80.0)).alias("keep_prob"),
+    )
+    sampled = weighted_sample(weighted, F.col("keep_prob"), seed="sample-v1")
+    return sampled.select(
+        "doc_id",
+        "n_words",
+        F.round("keep_prob", 6).alias("keep_prob"),
+        F.round("_u", 6).alias("u"),
+    )

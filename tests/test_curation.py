@@ -1,0 +1,118 @@
+"""Ground-truth and plan-shape tests for the training-data curation
+operators (value parity vs DuckDB is covered by test_parity.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from tests.conftest import SF_SMALL
+
+
+def _q(name):
+    from gas_data_pipeline_spark.registry import all_queries
+
+    return all_queries()[name]
+
+
+def test_contamination_flags_benchmark_members(spark):
+    """Benchmark documents are 100% contaminated with themselves."""
+    pdf = _q("curation_contamination")(spark, SF_SMALL).toPandas()
+    bench = pdf[pdf.doc_id % 50 == 0]
+    assert len(bench) > 0
+    assert (bench.contamination == 1.0).all()
+    assert bench.flagged.all()
+    # Signal, not noise: most non-benchmark docs stay unflagged.
+    rest = pdf[pdf.doc_id % 50 != 0]
+    assert rest.flagged.mean() < 0.5
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    df = _q("curation_contamination")(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_chunk_invariants(spark):
+    pdf = (
+        _q("curation_pack_sequences")(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["shard", "doc_id"])
+    )
+    cap = 512
+    for _, g in pdf.groupby("shard"):
+        # Cumulative sum consistent with per-doc counts.
+        assert (g.n_tokens.cumsum() == g.cum_tokens).all()
+        # Chunk span arithmetic: contiguous coverage of the token stream.
+        assert ((g.cum_tokens - g.n_tokens) // cap == g.first_chunk).all()
+        assert ((g.cum_tokens - 1) // cap == g.last_chunk).all()
+        assert (g.n_chunks == g.last_chunk - g.first_chunk + 1).all()
+        # Next doc starts in the chunk the previous doc ended in (or the
+        # next one, exactly at a capacity boundary).
+        nxt = g.first_chunk.shift(-1).dropna()
+        prv = g.last_chunk.iloc[: len(nxt)]
+        assert ((nxt.values - prv.values).astype(int) <= 1).all()
+        assert ((nxt.values - prv.values).astype(int) >= 0).all()
+
+
+def test_quality_rules_match_python_recompute(spark):
+    import re
+
+    pdf = _q("curation_quality_rules")(spark, SF_SMALL).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(25)
+        .toPandas()
+    )
+    tok_re = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
+    for _, row in docs.iterrows():
+        text = row.text.replace(" batch", "\nbatch")
+        toks = tok_re.findall(text.lower())
+        words = [t for t in toks if re.match(r"^[a-z0-9]", t)]
+        got = pdf[pdf.doc_id == row.doc_id].iloc[0]
+        assert got.n_words == len(words)
+        assert abs(got.mean_word_len - sum(map(len, words)) / len(words)) < 1e-5
+        lines = text.split("\n")
+        assert abs(got.dup_line_frac - (len(lines) - len(set(lines))) / len(lines)) < 1e-9
+        assert bool(got.keep) == (50 <= len(words) <= 100_000)
+
+
+def test_shuffle_rank_is_exact_global_permutation(spark):
+    """The distributed bucketed two-pass rank equals the naive global
+    window — same permutation, no global sort partition."""
+    df = _q("curation_shuffle_rank")(spark, SF_SMALL)
+    pdf = df.toPandas().sort_values("doc_id")
+    n = len(pdf)
+    assert sorted(pdf.shuffle_rank) == list(range(1, n + 1))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id")
+    key = F.md5(F.concat(F.lit("shuffle-v1:"), F.col("doc_id").cast("string")))
+    naive = (
+        docs.select("doc_id", F.row_number().over(Window.orderBy(key, "doc_id")).alias("r"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert (pdf.shuffle_rank.values == naive.r.values).all()
+    # Scale shape: ranks come from per-bucket windows + a broadcast
+    # offset join, never one global sort partition.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_deterministic_and_thresholded(spark):
+    a = _q("curation_weighted_sample")(spark, SF_SMALL).toPandas()
+    b = _q("curation_weighted_sample")(spark, SF_SMALL).toPandas()
+    assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))
+    assert (a.u < a.keep_prob).all()
+    # Long docs (keep_prob == 1) are always kept.
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    long_ids = (
+        docs.select("doc_id", F.size(F.filter(tokenize(F.col("text")), is_word)).alias("w"))
+        .filter(F.col("w") >= 80)
+        .toPandas()
+        .doc_id
+    )
+    assert set(long_ids).issubset(set(a.doc_id))
