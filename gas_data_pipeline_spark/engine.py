@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -416,3 +416,74 @@ class GasDataEngine:
 
         keep = [c for c in df.columns if c != text_col]
         return df.select(*keep, F.inline(F.array(text_profile(F.col(text_col)))))
+
+    def decontaminate(
+        self,
+        corpus: DataFrame,
+        benchmark: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 13,
+        threshold: float = 0.2,
+    ) -> DataFrame:
+        """Curation: drop corpus rows whose word n-gram overlap with the
+        (broadcast) evaluation set crosses `threshold` — the eval-leak
+        guard before training. Returns the clean corpus; use
+        operators.curation.contamination_flags for the audit table."""
+        from gas_data_pipeline_spark.operators.curation import contamination_flags
+
+        flags = contamination_flags(
+            corpus, benchmark, id_col, text_col, n=n, threshold=threshold
+        )
+        dirty = flags.filter(F.col("flagged")).select(id_col)
+        return corpus.join(F.broadcast(dirty), id_col, "left_anti")
+
+    def pack_for_training(
+        self,
+        docs: DataFrame,
+        capacity: int = 2048,
+        n_shards: int = 1024,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Curation: concat-and-chunk sequence packing — per-shard
+        running token sums mapping each document to its context-window
+        chunk span. One window per shard; no global sort."""
+        from gas_data_pipeline_spark.operators.curation import pack_sequences
+
+        return pack_sequences(docs, capacity, n_shards, id_col, text_col)
+
+    def quality_filter(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """Curation: C4/Gopher-style rule table + keep decision in one
+        narrow pass; returns the input columns plus the rule columns."""
+        from gas_data_pipeline_spark.operators.curation import (
+            quality_rule_columns,
+            quality_rules_keep,
+        )
+
+        keep_cols = [c for c in docs.columns if c != text_col]
+        feats = docs.select(*keep_cols, *quality_rule_columns(F.col(text_col)))
+        return feats.withColumn("keep", quality_rules_keep())
+
+    def shuffle_for_training(
+        self, docs: DataFrame, id_col: str = "doc_id", seed: str = "shuffle-v1"
+    ) -> DataFrame:
+        """Curation: deterministic seeded global training order
+        (md5-prefix buckets; no single-partition sort)."""
+        from gas_data_pipeline_spark.operators.curation import seeded_shuffle_rank
+
+        return seeded_shuffle_rank(docs, id_col, seed)
+
+    def sample_weighted(
+        self,
+        docs: DataFrame,
+        weight: Column,
+        id_col: str = "doc_id",
+        seed: str = "sample-v1",
+    ) -> DataFrame:
+        """Curation: deterministic importance sampling — keep iff the
+        md5-derived uniform draw lands under `weight`; stable as the
+        corpus grows."""
+        from gas_data_pipeline_spark.operators.curation import weighted_sample
+
+        return weighted_sample(docs, weight, id_col, seed)

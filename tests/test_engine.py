@@ -254,6 +254,42 @@ def test_engine_curation_api(spark, tmp_path):
     assert {"query_id", "neighbor_id", "rank", "cos_sim"} <= set(hits.columns)
 
 
+def test_engine_training_curation_api(spark, tmp_path):
+    """Training-corpus facade methods: decontaminate, pack, quality
+    filter, shuffle, weighted sample — callable on arbitrary frames."""
+    import pyspark.sql.functions as F
+
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.engine import GasDataEngine
+    from tests.conftest import SF_SMALL
+
+    eng = GasDataEngine(spark, str(tmp_path / "lake"))
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    n = docs.count()
+
+    bench = docs.filter(F.col("doc_id") < 10)
+    clean = eng.decontaminate(docs, bench, n=5)
+    # The benchmark members themselves are fully contaminated -> dropped.
+    assert clean.count() <= n - 10
+    assert clean.filter(F.col("doc_id") < 10).count() == 0
+
+    packed = eng.pack_for_training(docs, capacity=512, n_shards=4)
+    assert packed.count() == n
+    assert {"first_chunk", "last_chunk", "n_chunks"} <= set(packed.columns)
+
+    qual = eng.quality_filter(docs)
+    assert qual.count() == n
+    assert {"n_words", "keep"} <= set(qual.columns)
+
+    order = eng.shuffle_for_training(docs)
+    ranks = sorted(r.shuffle_rank for r in order.collect())
+    assert ranks == list(range(1, n + 1))
+
+    sampled = eng.sample_weighted(docs, F.lit(0.5))
+    frac = sampled.count() / n
+    assert 0.35 < frac < 0.65  # binomial(n, 0.5) well inside 5 sigma
+
+
 def test_dedup_near_auto_routes_open_vocab_to_prefix(spark, tmp_path):
     """'auto' must never pick the driver-vocab bitset kernel on an open
     vocabulary: the probe routes to the prefix-filter join path, whose
