@@ -755,23 +755,22 @@ def connected_components(
             .agg(F.min("dst_label").alias("nb_min"))
             .withColumnRenamed("src", "id")
         )
-        new_labels = (
+        # Carry the old label through the checkpoint so the convergence
+        # check is a filter-count over already-materialized blocks — not
+        # a separate labels⋈new_labels join job per round.
+        stepped = (
             labels.join(nb, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("prev_label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("prev_label")).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
     if changed != 0:
