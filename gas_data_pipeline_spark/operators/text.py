@@ -186,3 +186,24 @@ def rolling_fingerprint(text: Column) -> Column:
         )
         % MOD,
     )
+
+
+def word_bigrams(text: Column) -> Column:
+    """All word bigrams (with multiplicity — repetition is the point)
+    of the word-token stream, as 'a b' strings."""
+    from gas_data_pipeline_spark.functions.exprs import bind
+
+    def grams(words: Column) -> Column:
+        # Guarded: sequence(1, 0) DESCENDS in Spark, so k<1 must short-
+        # circuit to an empty array, never reach element_at(words, 0).
+        return F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind(F.filter(tokenize(text), is_word), grams)

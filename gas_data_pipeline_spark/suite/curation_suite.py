@@ -210,3 +210,128 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("keep_prob", 6).alias("keep_prob"),
         F.round("_u", 6).alias("u"),
     )
+
+
+_BIGRAMS_SQL = f"""
+        SELECT doc_id, unnest([
+                   words[x] || ' ' || words[x+1]
+                   FOR x IN range(1, greatest(len(words), 1))
+               ]) AS gram
+        FROM (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+"""
+
+
+@register(
+    "text_repetition_topgram",
+    oracle=f"""
+        WITH g AS ({_BIGRAMS_SQL}),
+        c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               CAST(max(cnt) AS BIGINT) AS top_bigram_count,
+               round(max(cnt) / sum(cnt), 6) AS top_bigram_frac,
+               max(cnt) / sum(cnt) >= 0.05 AS repetitive
+        FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of all word bigrams
+    taken by the single most frequent bigram (with multiplicity —
+    boilerplate and looping generations repeat the same n-gram).
+    Explode -> (doc, gram) count -> per-doc max/sum; both aggregates
+    are map-side combinable and shuffle on the doc key only."""
+    from gas_data_pipeline_spark.operators.text import word_bigrams
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    grams = docs.select(
+        "doc_id", F.explode(word_bigrams(F.col("text"))).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    frac = F.col("top_bigram_count") / F.col("n_bigrams")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_bigram_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_count",
+            F.round(frac, 6).alias("top_bigram_frac"),
+            (frac >= 0.05).alias("repetitive"),
+        )
+    )
+
+
+@register(
+    "curation_end_to_end",
+    oracle=f"""
+        WITH grams AS ({_GRAMS5_SQL}),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        quality AS (
+            SELECT doc_id, text FROM documents
+            WHERE len({_WORDS_SQL}) >= 50
+        ),
+        contam AS (
+            SELECT g.doc_id
+            FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+            GROUP BY g.doc_id
+            HAVING count(b.gram) / count(*) >= 0.2
+        ),
+        surviving AS (
+            SELECT q.doc_id, q.text FROM quality q
+            LEFT JOIN contam c ON q.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL
+        ),
+        canonical AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rnk
+                FROM surviving
+            ) WHERE rnk = 1
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS shuffle_rank
+        FROM canonical
+    """,
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training corpus pass, composed from the curation
+    operators in pipeline order: quality-rule filter -> benchmark
+    decontamination -> exact dedup (canonical per content hash) ->
+    deterministic training-order shuffle. Each stage keeps its
+    individual scale shape (narrow rules, broadcast gram set, one
+    content-hash shuffle, bucketed rank); composition adds no new
+    shuffle beyond the stages' own."""
+    from pyspark.sql.window import Window
+
+    from gas_data_pipeline_spark.operators.curation import (
+        contamination_flags,
+        quality_rule_columns,
+        seeded_shuffle_rank,
+    )
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    feats = docs.select("doc_id", "text", *quality_rule_columns(F.col("text")))
+    quality = feats.filter(F.col("n_words") >= 50).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    dirty = (
+        contamination_flags(docs, bench, n=5, threshold=0.2)
+        .filter(F.col("flagged"))
+        .select("doc_id")
+    )
+    surviving = quality.join(F.broadcast(dirty), "doc_id", "left_anti")
+    canonical = (
+        surviving.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select("doc_id")
+    )
+    return seeded_shuffle_rank(canonical, seed="shuffle-v1")

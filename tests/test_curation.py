@@ -116,3 +116,42 @@ def test_weighted_sample_deterministic_and_thresholded(spark):
         .doc_id
     )
     assert set(long_ids).issubset(set(a.doc_id))
+
+
+def test_repetition_topgram_matches_python_recompute(spark):
+    import re
+    from collections import Counter
+
+    pdf = _q("text_repetition_topgram")(spark, SF_SMALL).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(20)
+        .toPandas()
+    )
+    tok_re = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
+    for _, row in docs.iterrows():
+        words = [t for t in tok_re.findall(row.text.lower()) if re.match(r"^[a-z0-9]", t)]
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        got = pdf[pdf.doc_id == row.doc_id].iloc[0]
+        assert got.n_bigrams == len(bigrams)
+        assert got.top_bigram_count == max(Counter(bigrams).values())
+
+
+def test_end_to_end_composes_stage_invariants(spark):
+    import pyspark.sql.functions as F
+
+    out = _q("curation_end_to_end")(spark, SF_SMALL).toPandas()
+    # Ranks are a dense permutation of the survivors.
+    assert sorted(out.shuffle_rank) == list(range(1, len(out) + 1))
+    # Survivors pass each stage's own filter.
+    quality = _q("curation_quality_rules")(spark, SF_SMALL).toPandas()
+    flagged = _q("curation_contamination")(spark, SF_SMALL).toPandas()
+    ok_words = set(quality[quality.n_words >= 50].doc_id)
+    dirty = set(flagged[flagged.flagged].doc_id)
+    assert set(out.doc_id) <= ok_words - dirty
+    # And dedup: no two survivors share a content hash.
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    kept = docs.filter(F.col("doc_id").isin([int(i) for i in out.doc_id]))
+    n_hashes = kept.select(F.sha2("text", 256)).distinct().count()
+    assert n_hashes == len(out)
