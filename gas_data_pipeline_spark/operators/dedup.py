@@ -38,15 +38,21 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     <1s over 5k docs)."""
 
     def grams(words: Column) -> Column:
-        k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, i + j) for j in range(n)]
-                ),
-            )
-        )
+        # Guarded: sequence(1, k) DESCENDS for k < 1 (yielding index 0,
+        # an ANSI INVALID_INDEX_OF_ZERO) — documents shorter than n
+        # words must short-circuit to an empty shingle set.
+        k = F.size(words) - F.lit(n - 1)
+        return F.when(
+            k >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(words, i + j) for j in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     return bind(F.split(F.lower(F.trim(text)), r"\s+"), grams)
 

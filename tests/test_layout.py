@@ -151,3 +151,25 @@ def test_stratified_sample_rates(spark):
         sigma = (n * frac * (1 - frac)) ** 0.5
         assert abs(observed - n * frac) <= max(5 * sigma, 5), (cls, observed, n * frac)
     assert set(got.index) <= set(_SAMPLE_FRACTIONS)
+
+
+def test_word_shingles_short_documents_yield_empty_sets(spark):
+    """Docs shorter than the shingle width must produce empty shingle
+    sets — not an ANSI INVALID_INDEX_OF_ZERO from sequence(1, k<1)
+    descending into element_at(words, 0). Real corpora have short docs."""
+    import pyspark.sql.functions as F
+
+    from gas_data_pipeline_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "just two"), (4, "now three words"),
+         (5, "a longer document with plenty of words inside")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", word_shingles(F.col("text"), n=3).alias("sh")).collect()
+    }
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+    assert rows[4] == ["now three words"]
+    assert len(rows[5]) == 6
