@@ -390,6 +390,20 @@ class GasDataEngine:
             F.count(F.lit(1)).over(W.partitionBy("component_id")).cast("bigint"),
         )
 
+    def dedup_incremental(
+        self,
+        new: DataFrame,
+        existing: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """X1: admit only new-batch rows that duplicate nothing in the
+        existing corpus (sha-256 anti-join, then cross-side Jaccard)."""
+        from gas_data_pipeline_spark.operators.dedup import incremental_dedup
+
+        return incremental_dedup(new, existing, id_col, text_col, threshold)
+
     def search_similar(
         self,
         corpus: DataFrame,

@@ -839,3 +839,53 @@ def char_shingle_ids_pandas(n: int = 4):
         return pd.Series(out)
 
     return ids.asNondeterministic()
+
+
+def incremental_dedup(
+    new: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-corpus incremental dedup: admit only the rows of a NEW
+    batch that duplicate nothing in the EXISTING corpus — the per-
+    snapshot ingestion gate of a growing training corpus (each crawl
+    deduped against everything already kept).
+
+    Two stages, mirroring the intra-corpus pipeline:
+
+    1. Exact: left-anti join on sha-256 content hash (one shuffle on
+       the hash; at scale the existing side is a persisted hash index,
+       maintained incrementally, not recomputed per batch).
+    2. Near: word n-gram Jaccard via the cross-side inverted index —
+       postings join on gram id, pair counts grouped by (new, old),
+       threshold on |A∩B| / (|A|+|B|-|A∩B|). Only gram ids and sizes
+       shuffle; text never does. At scale the existing-side posting
+       list is likewise a materialized index.
+
+    Returns the surviving rows of `new` (original columns).
+    """
+    new_h = new.withColumn("__h", F.sha2(F.col(text_col), 256))
+    ex_h = existing.select(F.sha2(F.col(text_col), 256).alias("__h")).distinct()
+    survivors = new_h.join(ex_h, "__h", "left_anti").drop("__h")
+
+    def postings(df: DataFrame, side: str) -> DataFrame:
+        sh = word_shingles(F.col(text_col), n)
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.size(sh).alias(f"n_{side}"),
+            F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("g"),
+        )
+
+    pa = postings(survivors, "new")
+    pb = postings(existing, "ex")
+    common = (
+        pa.join(pb, "g")
+        .groupBy("id_new", "id_ex", "n_new", "n_ex")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("n_new") + F.col("n_ex") - F.col("c"))
+    dirty = common.filter(jac >= threshold).select(F.col("id_new").alias(id_col)).distinct()
+    return survivors.join(dirty, id_col, "left_anti")

@@ -716,3 +716,82 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_PII_LONGNUM)).cast("bigint").alias("n_longnums"),
         F.sha2(scrubbed, 256).alias("scrubbed_hash"),
     )
+
+
+_INCR_SPLIT_SQL = """
+        new_batch AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 30 = 0 THEN e.text
+                        WHEN d.doc_id % 30 = 10 THEN e.text || ' extra marker words appended'
+                        ELSE d.text END AS text
+            FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+            WHERE d.doc_id % 10 = 0
+        ),
+        existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)
+"""
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+        WITH {_INCR_SPLIT_SQL},
+        s1 AS (
+            SELECT * FROM new_batch
+            WHERE sha256(text) NOT IN (SELECT DISTINCT sha256(text) FROM existing)
+        ),
+        shn AS (
+            SELECT doc_id, list_distinct([
+                       words[x] || ' ' || words[x+1] || ' ' || words[x+2]
+                       FOR x IN range(1, greatest(len(words) - 1, 1))
+                   ]) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM s1)
+        ),
+        she AS (
+            SELECT doc_id, list_distinct([
+                       words[x] || ' ' || words[x+1] || ' ' || words[x+2]
+                       FOR x IN range(1, greatest(len(words) - 1, 1))
+                   ]) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM existing)
+        ),
+        near AS (
+            SELECT DISTINCT a.doc_id
+            FROM shn a JOIN she b
+              ON len(list_intersect(a.sh, b.sh))
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        )
+        SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 incremental: dedup a NEW batch against the EXISTING corpus —
+    the per-snapshot ingestion gate of a growing training corpus. The
+    fixture plants both failure modes: every 30th new doc is an exact
+    copy of an existing doc (caught by the sha-256 anti-join) and every
+    (30k+10)th is a near-copy with an appended marker (caught by the
+    cross-side Jaccard index at 0.5). Survivors are the genuinely new
+    documents. See operators/dedup.incremental_dedup for the scale
+    shape (hash + posting indexes persisted, not per-batch recompute).
+    """
+    from gas_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    donor = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("donor_text")
+    )
+    new_batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .join(donor, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 30 == 0, F.col("donor_text"))
+            .when(
+                F.col("doc_id") % 30 == 10,
+                F.concat(F.col("donor_text"), F.lit(" extra marker words appended")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    survivors = incremental_dedup(new_batch, existing, threshold=0.5)
+    return survivors.select("doc_id")

@@ -379,3 +379,29 @@ def test_resize_grid_matches_numpy_reference(spark):
                 ref[i, j] = rows[:, xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
         got = np.array(out.loc[row["doc_id"], "pixels"])
         assert np.allclose(got, np.round(ref.ravel(), 6), atol=1e-4)
+
+
+def test_incremental_dedup_gates_planted_copies(spark):
+    """The cross-corpus gate must drop exact copies (sha stage) and
+    near copies (Jaccard stage) of existing docs, and keep survivors
+    strictly inside the new batch."""
+    import pyspark.sql.functions as F
+
+    from gas_data_pipeline_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    out = all_queries()["dedup_incremental_batch"](spark, SF_SMALL).toPandas()
+    ids = set(out.doc_id)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    new_ids = {
+        r.doc_id
+        for r in docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < max_id))
+        .select("doc_id")
+        .collect()
+    }
+    assert ids <= new_ids
+    # Planted exact copies (id % 30 == 0) and near copies (% 30 == 10)
+    # never survive.
+    assert not any(i % 30 in (0, 10) for i in ids)
+    assert len(ids) > 0
