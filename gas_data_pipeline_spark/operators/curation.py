@@ -102,8 +102,13 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cumulative = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    first_chunk = F.expr(f"(cum_tokens - n_tokens) div {capacity}")
-    last_chunk = F.expr(f"(cum_tokens - 1) div {capacity}")
+    # Zero-token documents occupy no chunks (their span is NULL, count
+    # 0). The guard also dodges an engine divergence: Spark's `div`
+    # truncates toward zero while Python/DuckDB floor, and they only
+    # agree on the non-negative operands the n_tokens > 0 branch sees.
+    nonempty = F.col("n_tokens") > 0
+    first_chunk = F.when(nonempty, F.expr(f"(cum_tokens - n_tokens) div {capacity}"))
+    last_chunk = F.when(nonempty, F.expr(f"(cum_tokens - 1) div {capacity}"))
     return cumulative.select(
         id_col,
         "shard",
@@ -111,7 +116,9 @@ def pack_sequences(
         "cum_tokens",
         first_chunk.alias("first_chunk"),
         last_chunk.alias("last_chunk"),
-        (last_chunk - first_chunk + F.lit(1)).alias("n_chunks"),
+        F.coalesce(last_chunk - first_chunk + F.lit(1), F.lit(0).cast("bigint")).alias(
+            "n_chunks"
+        ),
     )
 
 

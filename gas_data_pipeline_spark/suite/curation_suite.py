@@ -85,9 +85,11 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks
         )
         SELECT doc_id, shard, n_tokens, cum_tokens,
-               (cum_tokens - n_tokens) // 512 AS first_chunk,
-               (cum_tokens - 1) // 512 AS last_chunk,
-               (cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1 AS n_chunks
+               CASE WHEN n_tokens > 0 THEN (cum_tokens - n_tokens) // 512 END AS first_chunk,
+               CASE WHEN n_tokens > 0 THEN (cum_tokens - 1) // 512 END AS last_chunk,
+               CASE WHEN n_tokens > 0
+                    THEN (cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1
+                    ELSE 0 END AS n_chunks
         FROM c
     """,
 )

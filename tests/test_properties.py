@@ -174,3 +174,95 @@ def test_last_write_wins_keeps_max_order(spark, rows):
         best[(f"s{k}", t)] = max(best[(f"s{k}", t)], o)
     for row in out.itertuples():
         assert row.ord == best[(row.series_id, row.observation_time)]
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10**9), TEXT),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_python_fold(spark, docs):
+    """Packing invariant for ANY corpus (including empty and sub-width
+    texts): chunk spans equal a sequential Python fold per shard."""
+    import re as _re
+
+    from gas_data_pipeline_spark.operators.curation import pack_sequences
+    from gas_data_pipeline_spark.operators.text import TOKEN_PATTERN
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = pack_sequences(df, capacity=7, n_shards=2).toPandas()
+    assert len(out) == len(docs)
+    cum = {0: 0, 1: 0}
+    for did, text in sorted(docs):
+        n = len(_re.findall(TOKEN_PATTERN, text.lower(), flags=_re.ASCII))
+        shard = did % 2
+        cum[shard] += n
+        row = out[out.doc_id == did].iloc[0]
+        assert row.n_tokens == n
+        assert row.cum_tokens == cum[shard]
+        if n == 0:
+            # Empty docs occupy no chunks: NULL span, zero count.
+            assert row.first_chunk != row.first_chunk or row.first_chunk is None
+            assert row.n_chunks == 0
+        else:
+            assert row.first_chunk == (cum[shard] - n) // 7
+            assert row.last_chunk == (cum[shard] - 1) // 7
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**12), min_size=1, max_size=12, unique=True)
+)
+@settings(**SETTINGS)
+def test_shuffle_rank_permutation_for_any_id_set(spark, ids):
+    """Bucketed shuffle rank is a dense 1..N permutation equal to the
+    md5 sort order for ANY id set (gaps, magnitudes, singletons)."""
+    import hashlib
+
+    from gas_data_pipeline_spark.operators.curation import seeded_shuffle_rank
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    out = seeded_shuffle_rank(df, seed="prop").toPandas()
+    expected = {
+        did: r + 1
+        for r, did in enumerate(
+            sorted(ids, key=lambda i: hashlib.md5(f"prop:{i}".encode()).hexdigest())
+        )
+    }
+    got = dict(zip(out.doc_id, out.shuffle_rank))
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10**6), TEXT),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_quality_and_bigrams_never_throw_on_degenerate_text(spark, docs):
+    """Quality rules and bigram repetition run on ANY text — empty,
+    whitespace-only, punctuation-only — without ANSI index errors
+    (sequence(1, k<1) descends); n_words=0 rows yield null ratios."""
+    import pyspark.sql.functions as F
+
+    from gas_data_pipeline_spark.operators.curation import quality_rule_columns
+    from gas_data_pipeline_spark.operators.text import word_bigrams
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = df.select(
+        "doc_id", *quality_rule_columns(F.col("text")),
+        F.size(word_bigrams(F.col("text"))).alias("n_bigrams"),
+    ).toPandas()
+    assert len(out) == len(docs)
+    for row in out.itertuples():
+        if row.n_words == 0:
+            assert row.mean_word_len is None or row.mean_word_len != row.mean_word_len
+            assert row.n_bigrams == 0
+        else:
+            assert row.n_bigrams == max(0, row.n_words - 1)
