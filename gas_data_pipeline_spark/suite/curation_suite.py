@@ -337,3 +337,128 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return seeded_shuffle_rank(canonical, seed="shuffle-v1")
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+                 AS l2_norm,
+               round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val,
+               round(list_min(embedding::DOUBLE[]), 6) AS min_val,
+               round(list_max(embedding::DOUBLE[]), 6) AS max_val
+        FROM embeddings
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-adjacent embedding hygiene: per-vector dimension, L2 norm and
+    value stats — the sanity pass before any similarity work (zero
+    norms, NaN dims, and truncated vectors surface here, not inside a
+    GEMM 3 stages later). Pure higher-order-function aggregates, one
+    narrow pass, no Python."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    sm = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("bigint").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(sm / F.size(v), 6).alias("mean_val"),
+        F.round(F.array_min(v), 6).alias("min_val"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+    )
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({_WORDS_SQL}) AS term FROM documents
+        ),
+        counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        total AS (SELECT sum(cnt) AS n FROM counts)
+        SELECT term, CAST(cnt AS BIGINT) AS cnt,
+               round(cnt / total.n, 6) AS token_share
+        FROM counts, total
+        ORDER BY cnt DESC, term LIMIT 100
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary builder: the 100 most frequent word
+    tokens with their share of all tokens — the seed pass of tokenizer
+    training. Map-side-combinable count, a 1-row total broadcast, and
+    TakeOrderedAndProject for the top-k (never a global sort)."""
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("text"))
+    counts = (
+        docs.select(F.explode(F.filter(tokenize(F.col("text")), is_word)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("token_share"),
+        )
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(100)
+    )
+
+
+@register(
+    "curation_mixture_weights",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT doc_id % 4 AS source,
+                   CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        per_source AS (
+            SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+            FROM tagged GROUP BY source
+        ),
+        total AS (SELECT sum(n_tokens) AS n FROM per_source)
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(n_tokens / total.n, 6) AS current_share,
+               CAST(0.25 AS DOUBLE) AS target_share,
+               round(least(CAST(0.25 AS DOUBLE) / (n_tokens / total.n),
+                           CAST(2.0 AS DOUBLE)), 6) AS sample_weight
+        FROM per_source, total
+    """,
+)
+def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing: per source-domain token share vs a
+    target mixture (uniform here), emitting the sampling weight that
+    moves the corpus toward the target (capped at 2x upsampling — the
+    standard guard against overfitting a tiny domain). Feed the weight
+    to weighted_sample / sample_weighted for the actual pass. One
+    4-group aggregate + a scalar broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    tagged = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(4)).alias("source"),
+        F.size(F.filter(tokenize(F.col("text")), is_word)).cast("bigint").alias("n_tokens"),
+    )
+    per_source = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("n"))
+    share = F.col("n_tokens") / F.col("n")
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("current_share"),
+        F.lit(0.25).alias("target_share"),
+        F.round(F.least(F.lit(0.25) / share, F.lit(2.0)), 6).alias("sample_weight"),
+    )
