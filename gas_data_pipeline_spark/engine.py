@@ -501,3 +501,17 @@ class GasDataEngine:
         from gas_data_pipeline_spark.operators.curation import weighted_sample
 
         return weighted_sample(docs, weight, id_col, seed)
+
+    def resample_mixture(
+        self,
+        docs: DataFrame,
+        weight: Column,
+        id_col: str = "doc_id",
+        seed: str = "mix-v1",
+    ) -> DataFrame:
+        """Curation: integer resampling toward a target mixture —
+        floor(w) copies plus one more under the md5 draw, so both
+        up- and down-sampling are deterministic (E[copies] = w)."""
+        from gas_data_pipeline_spark.operators.curation import resample_to_mixture
+
+        return resample_to_mixture(docs, weight, id_col, seed)

@@ -232,6 +232,19 @@ def seeded_shuffle_rank(
     )
 
 
+def uniform_draw(id_col: Column, seed: str) -> Column:
+    """Deterministic uniform [0,1) draw from md5(seed, id): the first
+    13 hex chars are 52 bits, exact in a double. DuckDB reproduces it
+    bit-for-bit (`CAST(concat('0x', substring(md5(...),1,13)) AS
+    BIGINT) / 2^52`), which is what makes every sampling operator here
+    value-oracle-able."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 52))
+
+
 def weighted_sample(
     docs: DataFrame,
     weight: Column,
@@ -247,11 +260,38 @@ def weighted_sample(
     what makes incremental re-curation of a growing corpus possible.
     Narrow op, zero shuffle; portable to DuckDB for the oracle.
     """
-    u = F.conv(
-        F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 13),
-        16,
-        10,
-    ).cast("double") / F.lit(float(1 << 52))
+    u = uniform_draw(F.col(id_col), seed)
     # Filter on the raw draw (rounding first could flip boundary rows
     # against an oracle that filters unrounded); round only for display.
     return docs.withColumn("_u", u).filter(F.col("_u") < weight)
+
+
+def resample_to_mixture(
+    docs: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic integer resampling toward a target mixture: each
+    row is emitted ``floor(w)`` times, plus once more iff
+    ``u(id) < frac(w)`` — so E[copies] = w exactly, for any w >= 0.
+    Unlike `weighted_sample` (keep/drop, w <= 1 only) this also
+    UP-samples: w = 2.3 yields 2 or 3 copies, the standard move when an
+    under-represented domain must be boosted toward a target mixture
+    (weights come from e.g. `curation_mixture_weights`).
+
+    Output gains a ``copy_num`` column (1..n) so downstream packing /
+    shuffling treats repeats as distinct rows. Narrow op: the only row
+    growth is the explode fan-out (bounded by ceil(max w)); no shuffle,
+    no join. Deterministic per id — a document's copy count never
+    changes as the corpus around it grows, so incremental re-curation
+    stays stable.
+    """
+    u = uniform_draw(F.col(id_col), seed)
+    n = (F.floor(weight) + (u < (weight - F.floor(weight))).cast("bigint")).cast("bigint")
+    return (
+        docs.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn("copy_num", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )

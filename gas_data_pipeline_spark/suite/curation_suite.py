@@ -17,6 +17,7 @@ from gas_data_pipeline_spark.operators.curation import (
     pack_sequences,
     quality_rule_columns,
     quality_rules_keep,
+    resample_to_mixture,
     seeded_shuffle_rank,
     weighted_sample,
 )
@@ -461,4 +462,65 @@ def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("current_share"),
         F.lit(0.25).alias("target_share"),
         F.round(F.least(F.lit(0.25) / share, F.lit(2.0)), 6).alias("sample_weight"),
+    )
+
+
+@register(
+    "curation_mixture_apply",
+    oracle="""
+        WITH kept AS (
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE lang IN ('en', 'de', 'fr') AND n_chars >= 50
+        ),
+        per_source AS (
+            SELECT source, sum(n_chars) AS chars FROM kept GROUP BY source
+        ),
+        total AS (SELECT sum(chars) AS n, count(*) AS k FROM per_source),
+        w AS (
+            SELECT source,
+                   least((1.0 / total.k) / (chars / total.n), CAST(3.0 AS DOUBLE)) AS wt
+            FROM per_source, total
+        ),
+        copies AS (
+            SELECT k.doc_id, k.source, w.wt,
+                   CAST(concat('0x', substring(md5('mix-v1:' || CAST(k.doc_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) / 4503599627370496.0 AS u
+            FROM kept k JOIN w USING (source)
+        ),
+        counted AS (
+            SELECT doc_id, source,
+                   CAST(floor(wt) AS BIGINT)
+                     + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n_copies
+            FROM copies
+        )
+        SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_num
+        FROM counted WHERE n_copies >= 1
+    """,
+)
+def curation_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-metadata filter + mixture rebalancing applied end-to-end:
+    keep documents whose metadata passes policy (language allow-list,
+    minimum length), compute each source-domain's char share, then
+    integer-resample every document toward a uniform target mixture
+    (`resample_to_mixture`: floor(w) copies + one more iff the md5 draw
+    lands under frac(w); cap 3x). Up-samples scarce domains and
+    down-samples dominant ones in one pass. The weight table is a
+    per-source aggregate (tiny — broadcast); the corpus side stays
+    narrow: metadata filters push to the parquet scan and the only row
+    growth is the bounded explode fan-out."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de", "fr") & (F.col("n_chars") >= 50)
+    )
+    kept = docs.select("doc_id", "source", "n_chars")
+    per_source = kept.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    total = per_source.agg(F.sum("chars").alias("n"), F.count(F.lit(1)).alias("k"))
+    weights = per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.least(
+            (F.lit(1.0) / F.col("k")) / (F.col("chars") / F.col("n")), F.lit(3.0)
+        ).alias("wt"),
+    )
+    weighted = kept.join(F.broadcast(weights), "source")
+    return resample_to_mixture(weighted, F.col("wt"), id_col="doc_id", seed="mix-v1").select(
+        "doc_id", "source", "copy_num"
     )

