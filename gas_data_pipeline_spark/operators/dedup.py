@@ -84,6 +84,56 @@ def exact_dedup_ranked(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def span_dedup_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 20,
+) -> DataFrame:
+    """X1 sub-document dedup: chunk each document into consecutive
+    ``span_words``-word spans, drop every span whose exact text already
+    occurred earlier in the corpus (first occurrence by (id, position)
+    wins), and reassemble the surviving text — the pass that strips
+    repeated boilerplate passages that document-level dedup can't see
+    (the documents differ; the paragraph repeats).
+
+    Returns one row per input document: ``n_spans``, ``n_kept``, and
+    ``cleaned_text`` (may be empty when every span was seen before).
+
+    Scale shape: span construction is a narrow explode over a
+    transform/sequence chunking (fan-out = n_words / span_words); the
+    only shuffles are the canonical ones — partition by span text for
+    the first-occurrence window, partition by document id to
+    reassemble. No joins, no driver state; at 100 TB the span window
+    is the same hash-partitioned pass as exact doc dedup, just keyed
+    on spans."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(words, i * span_words + 1, span_words), " "),
+    )
+    spans = df.select(
+        F.col(id_col), F.posexplode(chunk).alias("span_idx", "span_text")
+    )
+    w = Window.partitionBy("span_text").orderBy(F.col(id_col), F.col("span_idx"))
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    keep_text = F.when(F.col("rn") == 1, F.col("span_text"))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.count(keep_text).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("span_idx"), keep_text.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 def jaccard_pairs_inverted_index(
     df: DataFrame,
     id_col: str,

@@ -22,6 +22,7 @@ from gas_data_pipeline_spark.catalog import spread_scan, table
 from gas_data_pipeline_spark.operators.dedup import (
     char_shingles,
     exact_dedup_ranked,
+    span_dedup_exact,
     jaccard_pairs_bitset_gemm,
     jaccard_pairs_inverted_index,
     minhash_near_dup_pairs,
@@ -97,6 +98,39 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_ranked(
         table(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+@register(
+    "dedup_span_exact",
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, s.x AS span_idx,
+                   array_to_string(words[s.x*20+1 : s.x*20+20], ' ') AS span_text
+            FROM w, unnest(generate_series(0, CAST(ceil(len(words)/20.0) AS BIGINT) - 1)) AS s(x)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+            FROM spans
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END, ' ' ORDER BY span_idx), '')
+                 AS cleaned_text
+        FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 sub-document (passage) dedup: 20-word spans, corpus-wide
+    first-occurrence wins, documents reassembled from their surviving
+    spans — catches repeated boilerplate that document-level dedup
+    misses. Narrow chunk explode + the two canonical shuffles (span
+    hash, then doc id)."""
+    return span_dedup_exact(table(spark, sf_dir, "documents"), "doc_id", "text", 20)
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)

@@ -405,3 +405,31 @@ def test_incremental_dedup_gates_planted_copies(spark):
     # never survive.
     assert not any(i % 30 in (0, 10) for i in ids)
     assert len(ids) > 0
+
+
+def test_span_dedup_exact_removes_repeated_passage(spark):
+    """A 20-word passage repeated verbatim across two documents is kept
+    only at its first occurrence; unique spans survive untouched."""
+    from gas_data_pipeline_spark.operators.dedup import span_dedup_exact
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"c{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),
+            (2, f"{boiler} {uniq_b}"),
+            (3, uniq_b),  # whole doc seen before -> empty cleaned_text
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_dedup_exact(docs, "doc_id", "text", span_words=20).collect()
+    }
+    assert out[1].cleaned_text == f"{boiler} {uniq_a}"
+    assert (out[1].n_spans, out[1].n_kept) == (2, 2)
+    assert out[2].cleaned_text == uniq_b
+    assert (out[2].n_spans, out[2].n_kept) == (2, 1)
+    assert out[3].cleaned_text == ""
+    assert (out[3].n_spans, out[3].n_kept) == (1, 0)
