@@ -300,3 +300,62 @@ def stream_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
     )
     return run_stream_to_table(agg, output_mode="complete")
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+        SELECT c.user_id AS user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_seconds
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join: click events joined to
+    purchase events of the same user within the following 30 minutes —
+    the attribution join every event pipeline runs. Both sides carry
+    event-time watermarks and the join condition bounds event-time
+    distance, which is what lets the engine expire buffered state
+    instead of holding both streams forever; at scale state size is
+    (watermark window x arrival rate), independent of stream length.
+    Must produce exactly the batch interval-join answer."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 day")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 day")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("bigint")
+        .alias("gap_seconds"),
+    )
+    return run_stream_to_table(out, output_mode="append")
