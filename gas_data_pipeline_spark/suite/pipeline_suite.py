@@ -110,3 +110,46 @@ def export_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP"
     ).csv(path)
     return back.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        numbered AS (
+            SELECT *, sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS interval_no
+            FROM ordered
+        ),
+        intervals AS (
+            SELECT user_id, interval_no, min(event_type) AS event_type,
+                   min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_changes
+            FROM numbered GROUP BY user_id, interval_no
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY interval_no) AS valid_to,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY interval_no) IS NULL
+                 AS is_current,
+               n_changes
+        FROM intervals
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history built from a change log: each
+    user's event-type run collapses into validity intervals
+    ([valid_from, valid_to), open interval flagged is_current) so facts
+    can join the dimension as-of their own event time. The reference
+    stores only latest-per-key (its upsert path); this is the versioned
+    form a lakehouse keeps alongside it. One shuffle on the key, then
+    ordered within-partition passes — no joins."""
+    from gas_data_pipeline_spark.pipeline.scd import scd2_intervals
+
+    ev = table(spark, sf_dir, "events")
+    return scd2_intervals(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts", tiebreak_col="event_id"
+    )

@@ -367,3 +367,30 @@ def test_stateful_stats_carry_state_across_microbatches(spark, tmp_path):
         assert abs(final.loc[et].total - exact.loc[et].total) < 1e-6
         assert final.loc[et].vmin == exact.loc[et].vmin
         assert final.loc[et].vmax == exact.loc[et].vmax
+
+
+def test_scd2_intervals_hand_built_history(spark):
+    """Runs collapse, intervals chain (valid_to = next valid_from),
+    exactly one open interval per key, input order irrelevant."""
+    from gas_data_pipeline_spark.pipeline.scd import scd2_intervals
+
+    rows = [
+        (1, "A", 10, 100),
+        (1, "A", 20, 101),
+        (1, "B", 30, 102),
+        (1, "A", 40, 103),
+        (2, "X", 15, 200),
+    ]
+    log = spark.createDataFrame(
+        rows[::-1], "k bigint, v string, t bigint, seq bigint"  # reversed input order
+    )
+    out = scd2_intervals(log, "k", "v", "t", "seq").toPandas()
+    u1 = out[out.k == 1].sort_values("valid_from").reset_index(drop=True)
+    assert list(u1.v) == ["A", "B", "A"]
+    assert list(u1.n_changes) == [2, 1, 1]
+    assert list(u1.valid_from) == [10, 30, 40]
+    assert list(u1.valid_to)[:2] == [30, 40]
+    assert u1.valid_to.isna().iloc[2] and bool(u1.is_current.iloc[2])
+    assert not u1.is_current.iloc[:2].any()
+    u2 = out[out.k == 2]
+    assert len(u2) == 1 and bool(u2.is_current.iloc[0])
