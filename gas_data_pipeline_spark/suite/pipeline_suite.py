@@ -153,3 +153,46 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(
         ev, key_col="user_id", attr_col="event_type", ts_col="ts", tiebreak_col="event_id"
     )
+
+
+@register(
+    "jsonl_ingest_quarantine",
+    oracle="""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents WHERE doc_id % 97 <> 0 GROUP BY lang
+        UNION ALL
+        SELECT '_quarantined', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+        FROM documents WHERE doc_id % 97 = 0
+    """,
+)
+def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-loss JSONL ingest: malformed lines are quarantined with the
+    raw text, never dropped (the file analog of the reference's
+    store-then-transform bronze order). The query writes the documents
+    table as JSONL with a deterministic subset of lines corrupted
+    (truncated), reads it back through the quarantine reader, and
+    reports per-language parsed counts plus the quarantined line count
+    — which the oracle reproduces from the clean table."""
+    from gas_data_pipeline_spark.sources.files import read_jsonl_quarantine
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    corrupted = F.when(
+        F.col("doc_id") % 97 == 0, F.substring(line, 1, 10)
+    ).otherwise(line)
+    scratch = _scratch()
+    docs.select(corrupted.alias("value")).write.mode("overwrite").text(scratch)
+    good, bad = read_jsonl_quarantine(
+        spark, scratch, "doc_id bigint, lang string, n_chars bigint"
+    )
+    per_lang = good.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    quarantined = bad.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+        F.lit("_quarantined").alias("lang"),
+        "n_rows",
+        F.lit(None).cast("bigint").alias("total_chars"),
+    )
+    return per_lang.unionByName(quarantined)

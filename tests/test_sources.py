@@ -193,3 +193,23 @@ def test_flatten_gie_agsi_flat_and_alsi_nested(spark):
     }
     quality = {r.country: r.quality for r in out.itertuples()}
     assert quality == {"Germany": "E", "France": "C"}
+
+
+def test_read_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Malformed lines land in quarantine with their raw text; parsed
+    rows carry the declared schema; nothing is lost."""
+    from gas_data_pipeline_spark.sources.files import read_jsonl_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        "not json at all\n"
+        '{"id": 2, "name": null}\n'
+        '{"id":\n'
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), "id bigint, name string")
+    g = good.toPandas().sort_values("id").reset_index(drop=True)
+    assert list(g.id) == [1, 2]
+    assert g.name[0] == "a" and g.name[1] is None
+    b = sorted(bad.toPandas().raw_line)
+    assert b == ["not json at all", '{"id":']
