@@ -331,6 +331,22 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, queries, k=10, n_clusters=16, n_probe=4)
 
 
+@register("ann_pq")  # rows-only: quantized scores; recall + soundness in pytest
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 product-quantization ANN (ADC): corpus vectors stored as 16
+    byte-sized subspace codes; each query scores the whole corpus with
+    m table lookups per row instead of a d-dim dot product — the
+    compressed-storage scale path (PQ shrinks scan cost 32x; IVF/LSH
+    prune scan scope; production composes them). Codebooks are seeded
+    k-means on a bounded sample; recall vs the exact scan asserted in
+    tests/test_northstar.py."""
+    from gas_data_pipeline_spark.operators.similarity import cosine_topk_pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_pq(emb, queries, k=10, m=16, n_codes=32)
+
+
 @register("ann_lsh_bucketed")  # rows-only: bucket recall tested vs exact in pytest
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 scale path: multi-table random-hyperplane LSH (seeded, fixed)

@@ -433,3 +433,32 @@ def test_span_dedup_exact_removes_repeated_passage(spark):
     assert (out[2].n_spans, out[2].n_kept) == (2, 1)
     assert out[3].cleaned_text == ""
     assert (out[3].n_spans, out[3].n_kept) == (1, 0)
+
+
+def test_pq_topk_recall_and_soundness(spark, emb_pdf):
+    """PQ/ADC scores are approximate, so the contract is recall vs the
+    exact scan (deterministic: seeded codebooks + deterministic sample)
+    plus structural soundness — contiguous ranks, no self-matches,
+    scores within the valid cosine range."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.similarity import cosine_topk, cosine_topk_pq
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    pq = cosine_topk_pq(emb, queries, k=10, m=16, n_codes=32).toPandas()
+
+    assert (pq.query_id != pq.neighbor_id).all()
+    assert pq.approx_cos.between(-1.5, 1.5).all()  # quantized, near cosine range
+    for qid, grp in pq.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    p = set(zip(pq.query_id, pq.neighbor_id))
+    assert len(e & p) / len(e) >= 0.4  # measured 0.45 at these settings
+
+    again = cosine_topk_pq(emb, queries, k=10, m=16, n_codes=32).toPandas()
+    key = ["query_id", "rank"]
+    assert pq.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
