@@ -5,7 +5,7 @@ expressions (regex + array lambdas), zero Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gas_data_pipeline_spark.functions.exprs import bind
@@ -207,3 +207,36 @@ def word_bigrams(text: Column) -> Column:
         ).otherwise(F.array().cast("array<string>"))
 
     return bind(F.filter(tokenize(text), is_word), grams)
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """X3 model-based quality signal: score each document under the
+    corpus's own unigram language model — avg log p(token) and the
+    perplexity proxy exp(-avg). Documents full of globally-rare tokens
+    (noise, mojibake, code dumped into prose) score high-perplexity;
+    the standard cheap stand-in for a KenLM-style filter when no
+    external model may be loaded.
+
+    Self-trained, so there is no OOV case: every token is in the
+    vocabulary by construction. Documents with zero word tokens have
+    no distribution to score and are absent from the output.
+
+    Scale shape: token explode → map-side-combinable vocab count → a
+    |vocab|-sized probability table joined back to the token stream
+    (broadcast here; at open-vocabulary scale this becomes the plain
+    shuffle equi-join and AQE handles term skew) → per-doc aggregate.
+    No Python anywhere."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.filter(tokenize(F.col(text_col)), is_word)).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    lp = F.log(F.col("cnt") / F.col("n"))
+    scored = toks.join(F.broadcast(vocab), "term").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg(lp), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg(lp)), 6).alias("ppl_proxy"),
+    )

@@ -454,6 +454,42 @@ def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logprob",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(
+                list_filter(
+                    regexp_extract_all(lower(text), '[a-z0-9]+|[^\\sa-z0-9]'),
+                    t -> regexp_matches(t, '^[a-z0-9]')
+                )
+            ) AS term
+            FROM documents
+        ),
+        vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        total AS (SELECT sum(cnt) AS n FROM vocab),
+        scored AS (
+            SELECT t.doc_id, ln(vocab.cnt / total.n) AS lp
+            FROM toks t JOIN vocab USING (term) CROSS JOIN total
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(lp), 6) AS avg_logprob,
+               round(exp(-avg(lp)), 6) AS ppl_proxy
+        FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 model-based quality scoring: every document scored under the
+    corpus's own unigram LM — avg log p(token) + perplexity proxy, the
+    cheap stand-in for a KenLM quality filter. Token explode,
+    map-side-combinable vocab count, broadcast probability table, one
+    per-doc aggregate; no Python."""
+    from gas_data_pipeline_spark.operators.text import unigram_logprob
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return unigram_logprob(docs, "doc_id", "text")
+
+
+@register(
     "tfidf_top_terms",
     oracle="""
         WITH toks AS (

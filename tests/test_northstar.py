@@ -462,3 +462,19 @@ def test_pq_topk_recall_and_soundness(spark, emb_pdf):
     assert pq.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_unigram_logprob_orders_noise_above_prose(spark):
+    """A document of globally-rare tokens must score strictly higher
+    perplexity than one built from the corpus's common tokens."""
+    from gas_data_pipeline_spark.operators.text import unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)] + [(9, "zq xv qj wk")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = unigram_logprob(docs).toPandas().set_index("doc_id")
+    assert out.loc[9].ppl_proxy > out.loc[0].ppl_proxy
+    assert (out.loc[range(9)].ppl_proxy == out.loc[0].ppl_proxy).all()
+    # Empty/wordless documents are absent, not zero-scored.
+    with_empty = spark.createDataFrame(rows + [(10, "")], "doc_id bigint, text string")
+    out2 = unigram_logprob(with_empty).toPandas()
+    assert 10 not in set(out2.doc_id)
