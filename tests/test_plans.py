@@ -185,3 +185,38 @@ def test_wau_fanout_has_no_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" not in plan
     assert "Generate explode" in plan
+
+
+def test_mixture_apply_broadcasts_weights_no_smj(spark):
+    """The per-source weight table is tiny — it must broadcast back to
+    the corpus; a SortMergeJoin here would shuffle the whole corpus by
+    source (a handful of hot keys: worst-case skew)."""
+    plan = _plan(spark, "curation_mixture_apply")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_has_no_joins(spark):
+    """Span dedup is windows + aggregation only; any join in the plan
+    means the reassembly regressed to a self-join."""
+    plan = _plan(spark, "dedup_span_exact")
+    assert "Join" not in plan
+    # Exactly the two logical rendezvous: span-text window, doc regroup
+    # (plus AQE bookkeeping); no third data shuffle.
+    assert "Window" in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The vocabulary probability table joins back to the token stream
+    as a broadcast; the only big exchange is the per-doc aggregate."""
+    plan = _plan(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_key_exchange(spark):
+    """SCD2 interval building is per-key window work — one exchange on
+    the key, no joins."""
+    plan = _plan(spark, "scd2_user_state_history")
+    assert "Join" not in plan
+    assert "Window" in plan
