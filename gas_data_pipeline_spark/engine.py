@@ -421,7 +421,51 @@ class GasDataEngine:
             return S.cosine_topk_lsh(corpus, queries, k=k)
         if method == "ivf":
             return S.cosine_topk_ivf(corpus, queries, k=k)
+        if method == "pq":
+            return S.cosine_topk_pq(corpus, queries, k=k)
         raise ValueError(f"unknown search method: {method}")
+
+    def dedup_spans(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        span_words: int = 20,
+    ) -> DataFrame:
+        """X1: sub-document passage dedup — strip spans whose exact
+        text occurred earlier in the corpus, reassemble the rest."""
+        from gas_data_pipeline_spark.operators.dedup import span_dedup_exact
+
+        return span_dedup_exact(df, id_col, text_col, span_words)
+
+    def score_quality_lm(
+        self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """X3: model-based quality — perplexity proxy under the
+        corpus's own unigram LM (no external model, no OOV)."""
+        from gas_data_pipeline_spark.operators.text import unigram_logprob
+
+        return unigram_logprob(df, id_col, text_col)
+
+    def dimension_history(
+        self,
+        changes: DataFrame,
+        key_col: str,
+        attr_col: str,
+        ts_col: str,
+        tiebreak_col: str | None = None,
+    ) -> DataFrame:
+        """SCD2: collapse a change log into validity intervals so facts
+        can join the dimension as of their own time."""
+        from gas_data_pipeline_spark.pipeline.scd import scd2_intervals
+
+        return scd2_intervals(changes, key_col, attr_col, ts_col, tiebreak_col)
+
+    def ingest_jsonl(self, path: str, schema: str) -> tuple[DataFrame, DataFrame]:
+        """Zero-loss JSONL ingest: (parsed, quarantined raw lines)."""
+        from gas_data_pipeline_spark.sources.files import read_jsonl_quarantine
+
+        return read_jsonl_quarantine(self.spark, path, schema)
 
     def profile_text(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """X3: tokens / quality score / language guess per document —

@@ -339,3 +339,37 @@ def test_bitset_kernel_refuses_open_vocab(spark):
         jaccard_pairs_bitset_gemm(
             docs, "doc_id", word_shingles(F.col("text"), n=3), 0.5, max_vocab=100
         ).count()
+
+
+def test_facade_exposes_new_operators(spark, tmp_path):
+    """Wiring smoke for the latest facade methods: span dedup, LM
+    quality, SCD2 history, PQ search, JSONL quarantine."""
+    from gas_data_pipeline_spark.engine import GasDataEngine
+    from tests.conftest import SF_SMALL
+
+    eng = GasDataEngine(spark, str(tmp_path / "lake"))
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id bigint, text string"
+    )
+    spans = eng.dedup_spans(docs, span_words=5).toPandas().set_index("doc_id")
+    assert spans.loc[2].n_kept == 0 and spans.loc[1].n_kept == 1
+
+    lm = eng.score_quality_lm(docs).toPandas()
+    assert set(lm.columns) == {"doc_id", "n_tokens", "avg_logprob", "ppl_proxy"}
+
+    log = spark.createDataFrame(
+        [(1, "A", 10), (1, "B", 20)], "k bigint, v string, t bigint"
+    )
+    hist = eng.dimension_history(log, "k", "v", "t").toPandas()
+    assert len(hist) == 2 and hist.is_current.sum() == 1
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    import pyspark.sql.functions as F
+
+    pq = eng.search_similar(emb, emb.filter(F.col("vec_id") < 2), k=3, method="pq")
+    assert pq.count() == 6
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1}\nbroken\n')
+    good, bad = eng.ingest_jsonl(str(p), "a bigint")
+    assert good.count() == 1 and bad.count() == 1
