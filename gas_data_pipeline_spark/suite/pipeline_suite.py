@@ -196,3 +196,30 @@ def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("total_chars"),
     )
     return per_lang.unionByName(quarantined)
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction is content-neutral: fragment the orders
+    table into 64 tiny files (the state an incremental writer leaves),
+    compact to ~4 near-target-size files, and return the compacted
+    content — which must be byte-identical to the source. File-count
+    and sizing invariants are asserted in tests/test_pipeline.py; the
+    oracle proves the rewrite loses and alters nothing."""
+    from gas_data_pipeline_spark.pipeline.compaction import (
+        compact_parquet,
+        dir_parquet_stats,
+        write_fragmented,
+    )
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = _scratch()
+    write_fragmented(src, scratch, n_files=64)
+    _n, total = dir_parquet_stats(scratch)
+    compact_parquet(spark, scratch, target_bytes=max(1, total // 4))
+    return spark.read.parquet(scratch)

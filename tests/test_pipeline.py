@@ -394,3 +394,27 @@ def test_scd2_intervals_hand_built_history(spark):
     assert not u1.is_current.iloc[:2].any()
     u2 = out[out.k == 2]
     assert len(u2) == 1 and bool(u2.is_current.iloc[0])
+
+
+def test_compaction_shrinks_file_count_preserves_rows(spark, tmp_path):
+    from gas_data_pipeline_spark.pipeline.compaction import (
+        compact_parquet,
+        dir_parquet_stats,
+        write_fragmented,
+    )
+
+    src = spark.range(20000).selectExpr("id", "id * 2 AS v")
+    path = str(tmp_path / "t")
+    write_fragmented(src, path, n_files=32)
+    n0, total = dir_parquet_stats(path)
+    assert n0 == 32
+    n1 = compact_parquet(spark, path, target_bytes=max(1, total // 3))
+    n_after, _ = dir_parquet_stats(path)
+    assert n1 == n_after and 1 <= n_after <= 8
+    back = spark.read.parquet(path)
+    assert back.count() == 20000
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(20000))
+    # Failed-compaction safety: original untouched if read fails midway
+    # is covered by the temp-dir design; here assert temp dir is gone.
+    import os
+    assert not os.path.exists(path + ".compacting") and not os.path.exists(path + ".old")
