@@ -1027,3 +1027,84 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("_observed")
         .drop("_observed")
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click'
+              AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 DAY
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 DAY
+            GROUP BY e.user_id
+        ),
+        counts AS (
+            SELECT 1 AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        )
+        SELECT step, stage, n_users,
+               round(n_users / first_value(n_users) OVER (ORDER BY step), 6)
+                 AS share_of_entry
+        FROM counts
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel: users whose first 'view' is followed
+    by a 'click' within a day, then a 'purchase' within a day of that
+    click — each step anchored to the PREVIOUS step's first qualifying
+    time (the product-analytics conversion query). Each stage is one
+    per-user aggregate joined to the prior stage's (user, anchor) pairs
+    — the stage tables shrink monotonically, the event table is scanned
+    with a pushed event-type filter per stage, and the final summary is
+    3 rows. No windows over the raw stream, no self-join explosion."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 1 DAY")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = None
+    for step, stage, df in ((1, "view", s1), (2, "click", s2), (3, "purchase", s3)):
+        row = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(stage).alias("stage"), "n_users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("step")
+    return counts.select(
+        "step",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users") / F.first("n_users").over(w), 6).alias(
+            "share_of_entry"
+        ),
+    )
