@@ -347,6 +347,21 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pq(emb, queries, k=10, m=16, n_codes=32)
 
 
+@register("ann_ivfpq")  # rows-only: doubly-approximate; recall bound in pytest
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 composite IVF+PQ index (the FAISS production shape): IVF
+    prunes which inverted lists a query scans, PQ makes scanning a
+    list cost m byte-table lookups per row. One shared bounded
+    training sample; candidates via the cluster equi-join; ADC scoring
+    Arrow-vectorized over the joined pairs. Recall vs the exact scan
+    asserted in tests/test_northstar.py."""
+    from gas_data_pipeline_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_ivfpq(emb, queries, k=10)
+
+
 @register("ann_lsh_bucketed")  # rows-only: bucket recall tested vs exact in pytest
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 scale path: multi-table random-hyperplane LSH (seeded, fixed)
