@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -266,3 +267,95 @@ def test_quality_and_bigrams_never_throw_on_degenerate_text(spark, docs):
             assert row.n_bigrams == 0
         else:
             assert row.n_bigrams == max(0, row.n_words - 1)
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 3),                  # key
+            st.integers(0, 50),                 # ts
+            st.sampled_from(["A", "B", "C"]),   # attr value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_intervals_match_python_recompute(spark, log):
+    """SCD2 interval building equals a sequential Python fold for ANY
+    change log (ties broken by a unique seq column)."""
+    from gas_data_pipeline_spark.pipeline.scd import scd2_intervals
+
+    rows = [(k, t, v, i) for i, (k, t, v) in enumerate(log)]
+    df = spark.createDataFrame(rows, "k bigint, t bigint, v string, seq bigint")
+    got = scd2_intervals(df, "k", "v", "t", "seq").toPandas()
+
+    # Python mirror: per key, ordered by (t, seq), collapse runs. Two
+    # changes at the same t yield a zero-length interval, so compare as
+    # multisets of full rows rather than keying on (k, valid_from).
+    expect = []
+    by_key: dict[int, list] = {}
+    for k, t, v, seq in sorted(rows, key=lambda r: (r[0], r[1], r[3])):
+        by_key.setdefault(k, []).append((t, v))
+    for k, seq_rows in by_key.items():
+        ivs = []
+        for t, v in seq_rows:
+            if ivs and ivs[-1][0] == v:
+                ivs[-1][2] += 1
+            else:
+                ivs.append([v, t, 1])
+        for i, (v, t, n) in enumerate(ivs):
+            valid_to = ivs[i + 1][1] if i + 1 < len(ivs) else None
+            expect.append((k, v, t, valid_to, valid_to is None, n))
+
+    got_rows = [
+        (
+            int(r.k),
+            r.v,
+            int(r.valid_from),
+            None if pd.isna(r.valid_to) else int(r.valid_to),
+            bool(r.is_current),
+            int(r.n_changes),
+        )
+        for r in got.itertuples()
+    ]
+    key = lambda t: (t[0], t[2], t[3] is None, t[3] or 0, t[1])
+    assert sorted(got_rows, key=key) == sorted(expect, key=key)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=9),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_span_dedup_matches_python_recompute(spark, docs):
+    """Span dedup (span_words=3) equals the sequential first-occurrence
+    fold for ANY corpus, including empty documents and sub-span tails."""
+    from gas_data_pipeline_spark.operators.dedup import span_dedup_exact
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = span_dedup_exact(df, "doc_id", "text", span_words=3).toPandas()
+
+    seen: set[str] = set()
+    expect = {}
+    for i, words in enumerate(docs):
+        toks = " ".join(words).strip().split(" ") if True else []
+        # Mirror split semantics: split('\s+') of '' yields [''].
+        base = " ".join(words)
+        toks = re.split(r"\s+", base.lower().strip(" "))
+        spans = [" ".join(toks[j : j + 3]) for j in range(0, len(toks), 3)]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        expect[i] = (len(spans), len(kept), " ".join(kept))
+
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        n_spans, n_kept, cleaned = expect[r.doc_id]
+        assert (r.n_spans, r.n_kept, r.cleaned_text) == (n_spans, n_kept, cleaned)
