@@ -38,16 +38,30 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 
 
 def _read(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+    """Parquet read that normalizes timestamp physical types.
 
-    Spark's TimestampType is microsecond-precision and Spark 4 rejects
-    parquet nanos outright ([PARQUET_TYPE_ILLEGAL]); the ``events``
-    table stores ``ts`` as timestamp[ns]. We read nanos as raw int64
-    (legacy conf, runtime-settable) and floor-divide to micros —
-    exactly DuckDB's ns→us truncation, so oracles agree. Integer
-    division (`div`), not `/`: double division is lossy above 2^53.
+    Driver-generated data has shipped ``events.ts`` both as
+    timestamp[ns] and as timestamp[us] with isAdjustedToUTC=false, and
+    the generator can change between rounds, so the scan chokepoint
+    tolerates both:
+
+    - nanos: Spark's TimestampType is microsecond-precision and Spark 4
+      rejects parquet nanos outright ([PARQUET_TYPE_ILLEGAL]). We read
+      nanos as raw int64 (legacy conf, runtime-settable) and
+      floor-divide to micros — exactly DuckDB's ns→us truncation, so
+      oracles agree. Integer division (`div`), not `/`: double division
+      is lossy above 2^53.
+    - tz-less micros: Spark 4 infers TIMESTAMP_NTZ by default, which
+      half the temporal functions (unix_micros, window, watermarks)
+      reject. Disabling the inference reads them as session-local
+      TIMESTAMP; with the UTC session invariant (session.py) the values
+      match DuckDB's naive timestamps bit-for-bit.
+
+    Both confs are runtime-settable, so this holds even under the
+    external driver's own SparkSession, which we don't configure.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):

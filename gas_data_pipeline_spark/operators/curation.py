@@ -295,3 +295,38 @@ def resample_to_mixture(
         .withColumn("copy_num", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("_n_copies"))))
         .drop("_n_copies")
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    domain_col: str = "source",
+    k: int = 15,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/C4 anti-spam move): keep
+    at most ``k`` documents per domain, preferring higher
+    ``quality_col`` (ties broken by ``id_col`` for determinism). Output
+    keeps every input column and adds ``domain_rank`` (1-based within
+    the domain) and ``n_in_domain`` (pre-cap domain size, so the
+    drop rate per domain is reportable downstream).
+
+    Scale shape: one shuffle on the domain key, then a per-partition
+    sorted pass — identical to what a MERGE-style top-k would do. A
+    pathological mega-domain (one domain = appreciable fraction of the
+    corpus) serializes its partition; the fix at that scale is a
+    two-pass rank (per-partition partial top-k, then merge the ≤
+    k*n_partitions survivors), worth its extra pass only when a domain
+    exceeds executor-partition size — not wired here because the cap's
+    whole purpose is that domains are small after it."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    wd = Window.partitionBy(domain_col)
+    return (
+        docs.withColumn("domain_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("n_in_domain", F.count(F.lit(1)).over(wd).cast("bigint"))
+        .filter(F.col("domain_rank") <= k)
+    )

@@ -939,3 +939,43 @@ def incremental_dedup(
     jac = F.col("c") / (F.col("n_new") + F.col("n_ex") - F.col("c"))
     dirty = common.filter(jac >= threshold).select(F.col("id_new").alias(id_col)).distinct()
     return survivors.join(dirty, id_col, "left_anti")
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    quality: Column | None = None,
+) -> DataFrame:
+    """Canonicalization step after near-dup clustering: given the full
+    corpus and the (id, label) output of `connected_components`, keep
+    exactly one representative per duplicate cluster — the highest-
+    ``quality`` member, ties broken by lowest id — and flag the rest
+    for retirement. Documents in no cluster are their own singleton
+    component and always keep.
+
+    This is the piece per-pair dedup gets wrong: with pairs (a,b) and
+    (b,c), retiring "the worse of each pair" can retire b twice and
+    keep both a and c even when all three are mutual near-dups; the
+    component-wise argmax retires b and c together.
+
+    Scale shape: the labels table is |docs-in-pairs|-sized — usually a
+    small fraction of the corpus, and the left join broadcasts it when
+    so. The argmax is one window over component_id (cluster-sized
+    partitions, bounded by the dedup threshold's cluster sizes).
+    """
+    q = quality if quality is not None else F.length("text")
+    lab = labels.select(F.col("id").alias(id_col), F.col("label"))
+    labeled = (
+        docs.join(lab, id_col, "left")
+        .withColumn("component_id", F.coalesce("label", F.col(id_col)))
+        .drop("label")
+    )
+    w = Window.partitionBy("component_id").orderBy(q.desc(), F.col(id_col))
+    wd = Window.partitionBy("component_id")
+    return (
+        labeled.withColumn(
+            "component_size", F.count(F.lit(1)).over(wd).cast("bigint")
+        )
+        .withColumn("keep", F.row_number().over(w) == 1)
+    )

@@ -240,3 +240,48 @@ def unigram_logprob(
         F.round(F.avg(lp), 6).alias("avg_logprob"),
         F.round(F.exp(-F.avg(lp)), 6).alias("ppl_proxy"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding word-window chunking (RAG / context-window prep): split
+    each document into ``chunk``-word pieces whose starts step by
+    ``stride`` words, so consecutive pieces share ``chunk - stride``
+    words of overlap. Start positions run through
+    ``max(n_words - overlap - 1, 0)`` inclusive, which is the minimal
+    start set that still covers every word — no trailing chunk whose
+    words are all already covered, and short documents yield exactly
+    one chunk.
+
+    Scale shape: a narrow, bounded row expansion (``~n_words/stride``
+    rows per document, no shuffle at all) — the chunker rides the scan
+    and any downstream partitioning is inherited from the corpus. No
+    Python in the row path: split/sequence/explode/slice are all
+    codegen'd expressions.
+    """
+    if not (0 < stride <= chunk):
+        raise ValueError(f"need 0 < stride <= chunk, got {chunk=} {stride=}")
+    overlap = chunk - stride
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("__words") - F.lit(overlap + 1), F.lit(0)),
+        F.lit(stride),
+    )
+    piece = F.slice(F.col("__words"), F.col("start_word") + 1, chunk)
+    return (
+        docs.select(F.col(id_col), words.alias("__words"))
+        .select(F.col(id_col), "__words", F.explode(starts).alias("start_word"))
+        .select(
+            F.col(id_col),
+            (F.col("start_word") / stride).cast("bigint").alias("chunk_seq"),
+            F.col("start_word").cast("bigint").alias("start_word"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("bigint").alias("n_words"),
+        )
+    )

@@ -39,6 +39,10 @@ def get_spark(
         .master(master)
         # Timestamp invariant (see module docstring).
         .config("spark.sql.session.timeZone", "UTC")
+        # Tz-less parquet timestamps read as session-local TIMESTAMP
+        # (not NTZ) so temporal functions and oracles agree; see
+        # catalog._read for the per-read enforcement.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Runtime re-planning: partition coalescing + skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

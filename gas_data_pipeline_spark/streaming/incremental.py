@@ -29,27 +29,53 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
-EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-    "event_type STRING, value DOUBLE, props STRING"
-)
+def _events_schema(ts_sql_type: str) -> str:
+    return (
+        f"event_id BIGINT, ts {ts_sql_type}, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+
+
+def events_stream_from_dir(
+    spark: SparkSession, path: str, glob: str | None = None, **options: str
+) -> DataFrame:
+    """File-based readStream over an events-shaped parquet directory.
+
+    File streams require a declared schema, and the driver's generator
+    has shipped ``ts`` both as timestamp[ns] (which Spark must read as
+    raw int64 — see catalog._read) and as tz-less timestamp[us]. A
+    one-file batch probe of the footer decides which declaration and
+    conversion this round's data needs, so the stream layer survives
+    generator changes the same way the batch chokepoint does.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    probe = spark.read
+    if glob:
+        probe = probe.option("pathGlobFilter", glob)
+    ts_type = probe.parquet(path).schema["ts"].dataType
+    ts_is_long = isinstance(ts_type, LongType)
+
+    reader = spark.readStream.schema(
+        _events_schema("BIGINT" if ts_is_long else "TIMESTAMP")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(path)
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based readStream over the events table (the streaming analog
-    of the reference's hourly re-poll). Schema is declared (required
-    for file streams); nanosecond timestamps handled as in the batch
-    catalog."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # File streams need a directory source; select just the events
-    # table out of the shared dir with a glob filter.
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    of the reference's hourly re-poll). Selects just the events table
+    out of the shared dir with a glob filter."""
+    return events_stream_from_dir(spark, sf_dir, glob="events.parquet")
 
 
 class _state_partitions:

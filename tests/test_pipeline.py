@@ -318,7 +318,7 @@ def test_stateful_stats_carry_state_across_microbatches(spark, tmp_path):
     from pyspark.sql import functions as F
     from gas_data_pipeline_spark.catalog import table
     from gas_data_pipeline_spark.streaming.incremental import (
-        EVENTS_SCHEMA,
+        events_stream_from_dir,
         stateful_series_stats,
     )
     from tests.conftest import SF_SMALL
@@ -326,13 +326,7 @@ def test_stateful_stats_carry_state_across_microbatches(spark, tmp_path):
     src = str(tmp_path / "events_parts")
     table(spark, SF_SMALL, "events").repartition(3).write.parquet(src)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = events_stream_from_dir(spark, src, maxFilesPerTrigger="1")
     name = f"state_{uuid.uuid4().hex[:8]}"
     q = (
         stateful_series_stats(stream)
