@@ -267,7 +267,14 @@ def chunk_documents(
     if not (0 < stride <= chunk):
         raise ValueError(f"need 0 < stride <= chunk, got {chunk=} {stride=}")
     overlap = chunk - stride
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split() on an all-whitespace string yields [''] and on NULL yields
+    # NULL — both would otherwise become phantom chunks, so empty tokens
+    # are filtered from the array (this also strips the trailing empty
+    # token a \n/\t-terminated doc produces, which trim() alone misses)
+    # and zero-word docs are dropped before the explode.
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.size("__words") - F.lit(overlap + 1), F.lit(0)),
@@ -276,6 +283,7 @@ def chunk_documents(
     piece = F.slice(F.col("__words"), F.col("start_word") + 1, chunk)
     return (
         docs.select(F.col(id_col), words.alias("__words"))
+        .where(F.size("__words") > 0)
         .select(F.col(id_col), "__words", F.explode(starts).alias("start_word"))
         .select(
             F.col(id_col),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -52,11 +53,18 @@ def events_stream_from_dir(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    probe = spark.read
-    if glob:
-        probe = probe.option("pathGlobFilter", glob)
-    ts_type = probe.parquet(path).schema["ts"].dataType
-    ts_is_long = isinstance(ts_type, LongType)
+    try:
+        probe = spark.read
+        if glob:
+            probe = probe.option("pathGlobFilter", glob)
+        ts_type = probe.parquet(path).schema["ts"].dataType
+        ts_is_long = isinstance(ts_type, LongType)
+    except AnalysisException:
+        # Cold start: the source dir is empty (or not yet created), so
+        # there is no footer to probe. Fall back to the TIMESTAMP
+        # declaration so the stream can be defined before data arrives —
+        # a file stream only binds files at micro-batch planning time.
+        ts_is_long = False
 
     reader = spark.readStream.schema(
         _events_schema("BIGINT" if ts_is_long else "TIMESTAMP")

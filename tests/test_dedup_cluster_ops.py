@@ -1,0 +1,185 @@
+"""Unit tests for the cluster-canonicalization / corpus-shaping
+operators added in round 2 (flagged untested by the round-2 advisor):
+
+- ``keep_best_per_cluster``: transitive (a,b),(b,c) clusters must keep
+  exactly one representative, not "the better of each pair".
+- ``domain_cap``: per-domain top-k with deterministic tie-breaking.
+- ``chunk_documents``: full word coverage, short-doc single chunk, and
+  the degenerate inputs (null / empty / whitespace-only / trailing
+  newline text) that used to emit phantom rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- helpers
+def _docs(spark, rows, schema="doc_id string, text string, source string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------- keep_best_per_cluster
+def test_keep_best_transitive_cluster_keeps_one(spark):
+    """Pairs (a,b) and (b,c) form ONE component {a,b,c}; the argmax must
+    keep only the highest-quality member even though a and c were never
+    directly paired — the exact failure mode of per-pair dedup."""
+    from gas_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        keep_best_per_cluster,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            ("a", "x" * 10, "s1"),
+            ("b", "x" * 30, "s1"),  # longest -> best quality
+            ("c", "x" * 20, "s1"),
+            ("d", "unrelated", "s2"),  # singleton, always kept
+        ],
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    out = keep_best_per_cluster(docs, labels).toPandas().set_index("doc_id")
+
+    assert bool(out.loc["b", "keep"]) is True
+    assert bool(out.loc["a", "keep"]) is False
+    assert bool(out.loc["c", "keep"]) is False
+    assert bool(out.loc["d", "keep"]) is True
+    # one component of size 3 + a singleton
+    assert int(out.loc["a", "component_size"]) == 3
+    assert out.loc["a", "component_id"] == out.loc["c", "component_id"]
+    assert int(out.loc["d", "component_size"]) == 1
+    # exactly one keeper per component
+    kept = out[out["keep"]].groupby("component_id").size()
+    assert (kept == 1).all()
+
+
+def test_keep_best_tie_breaks_by_lowest_id(spark):
+    from gas_data_pipeline_spark.operators.dedup import keep_best_per_cluster
+
+    docs = _docs(
+        spark,
+        [("a", "same len", "s"), ("b", "same len", "s")],
+    )
+    labels = spark.createDataFrame([("a", "a"), ("b", "a")], "id string, label string")
+    out = keep_best_per_cluster(docs, labels).toPandas().set_index("doc_id")
+    assert bool(out.loc["a", "keep"]) is True
+    assert bool(out.loc["b", "keep"]) is False
+
+
+def test_keep_best_custom_quality_column(spark):
+    from gas_data_pipeline_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 9.0)], "doc_id string, score double"
+    )
+    labels = spark.createDataFrame([("a", "a"), ("b", "a")], "id string, label string")
+    out = (
+        keep_best_per_cluster(docs, labels, quality=F.col("score"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc["b", "keep"]) is True and bool(out.loc["a", "keep"]) is False
+
+
+# ------------------------------------------------------------ domain_cap
+def test_domain_cap_top_k_and_counts(spark):
+    from gas_data_pipeline_spark.operators.curation import domain_cap
+
+    rows = [(f"d{i:02d}", "example.com", float(i)) for i in range(10)]
+    rows += [("z1", "rare.org", 5.0)]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, q double")
+    out = domain_cap(docs, domain_col="source", k=3, quality_col="q").toPandas()
+
+    big = out[out.source == "example.com"]
+    # top-3 by quality desc: d09, d08, d07
+    assert sorted(big.doc_id) == ["d07", "d08", "d09"]
+    assert sorted(big.domain_rank) == [1, 2, 3]
+    assert (big.n_in_domain == 10).all()
+    rare = out[out.source == "rare.org"]
+    assert list(rare.doc_id) == ["z1"] and int(rare.n_in_domain.iloc[0]) == 1
+
+
+def test_domain_cap_tie_breaks_by_id(spark):
+    from gas_data_pipeline_spark.operators.curation import domain_cap
+
+    docs = spark.createDataFrame(
+        [("b", "d", 1.0), ("a", "d", 1.0), ("c", "d", 1.0)],
+        "doc_id string, source string, q double",
+    )
+    out = (
+        domain_cap(docs, domain_col="source", k=2, quality_col="q")
+        .toPandas()
+        .sort_values("domain_rank")
+    )
+    # equal quality -> ascending id order wins: a (rank 1), b (rank 2)
+    assert list(out.doc_id) == ["a", "b"]
+
+
+# ------------------------------------------------------- chunk_documents
+def test_chunk_covers_every_word_with_overlap(spark):
+    from gas_data_pipeline_spark.operators.text import chunk_documents
+
+    n, chunk, stride = 150, 64, 48
+    words = [f"w{i}" for i in range(n)]
+    docs = spark.createDataFrame([("d", " ".join(words))], "doc_id string, text string")
+    out = chunk_documents(docs, chunk=chunk, stride=stride).toPandas()
+
+    covered = set()
+    for _, r in out.iterrows():
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_words <= chunk
+        assert toks == words[r.start_word : r.start_word + len(toks)]
+        covered.update(toks)
+    assert covered == set(words)
+    assert list(out.sort_values("chunk_seq").start_word) == [0, 48, 96]
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    from gas_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([("d", "just five small words here")], "doc_id string, text string")
+    out = chunk_documents(docs, chunk=64, stride=48).toPandas()
+    assert len(out) == 1
+    assert int(out.n_words.iloc[0]) == 5
+    assert out.chunk_text.iloc[0] == "just five small words here"
+
+
+def test_chunk_degenerate_docs_emit_no_rows(spark):
+    """Null text, empty text, and whitespace-only text used to produce
+    phantom chunks (NULL chunk_text / n_words=1 from split('')); all
+    three must now yield zero rows."""
+    from gas_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [("null", None), ("empty", ""), ("ws", "  \n\t ")],
+        "doc_id string, text string",
+    )
+    assert chunk_documents(docs).count() == 0
+
+
+def test_chunk_trailing_newline_does_not_inflate_word_count(spark):
+    from gas_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [("d", "alpha beta gamma\n"), ("e", "\t alpha  beta\tgamma \n")],
+        "doc_id string, text string",
+    )
+    out = chunk_documents(docs).toPandas().set_index("doc_id")
+    assert int(out.loc["d", "n_words"]) == 3
+    assert int(out.loc["e", "n_words"]) == 3
+    assert out.loc["e", "chunk_text"] == "alpha beta gamma"
+
+
+def test_chunk_invalid_stride_raises(spark):
+    from gas_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([("d", "a b")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk=8, stride=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk=8, stride=9)
