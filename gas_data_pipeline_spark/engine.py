@@ -29,7 +29,6 @@ from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from gas_data_pipeline_spark.functions import make_series_id
 from gas_data_pipeline_spark.pipeline.bronze import bronze_append, read_bronze
@@ -215,12 +214,18 @@ class GasDataEngine:
         # W3: stable pagination needs a total order (SURVEY §7 #2). The
         # reference applies ORDER BY/LIMIT/OFFSET in DATA_QUERY *first*
         # and only then groups the paginated rows into the nested
-        # response (queries.py:3-26 + routes.py:40-61) — so the window
-        # applies to the flat rows in BOTH shapes.
-        w = Window.orderBy("observation_time", "series_id")
-        paged = flat.withColumn("__rn", F.row_number().over(w)).filter(
-            (F.col("__rn") > offset) & (F.col("__rn") <= offset + limit)
-        ).drop("__rn")
+        # response (queries.py:3-26 + routes.py:40-61) — so the page
+        # slice applies to the flat rows in BOTH shapes. Native
+        # offset/limit plans as TakeOrderedAndProject(offset+limit) —
+        # a distributed partial top-k per partition merged on the
+        # driver, bounded by the API caps (limit ≤ 5000) — instead of
+        # funneling the whole filtered result through one
+        # global-window task.
+        paged = (
+            flat.orderBy("observation_time", "series_id")
+            .offset(offset)
+            .limit(limit)
+        )
         if nested:
             return (
                 paged.groupBy("series_id", "dataset_id", "source", "frequency")
@@ -412,7 +417,8 @@ class GasDataEngine:
         method: str = "exact",
     ) -> DataFrame:
         """X2: cosine top-k neighbors. method: 'exact' (block GEMM),
-        'lsh' (multi-table hyperplane), 'ivf' (k-means inverted lists)."""
+        'lsh' (multi-table hyperplane), 'ivf' (k-means inverted lists),
+        'pq' (product-quantized full scan), 'ivfpq' (composite)."""
         from gas_data_pipeline_spark.operators import similarity as S
 
         if method == "exact":
@@ -423,6 +429,8 @@ class GasDataEngine:
             return S.cosine_topk_ivf(corpus, queries, k=k)
         if method == "pq":
             return S.cosine_topk_pq(corpus, queries, k=k)
+        if method == "ivfpq":
+            return S.cosine_topk_ivfpq(corpus, queries, k=k)
         raise ValueError(f"unknown search method: {method}")
 
     def dedup_spans(

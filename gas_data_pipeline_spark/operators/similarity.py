@@ -520,6 +520,8 @@ def cosine_topk_pq(
     n_codes: int = 32,
     train_sample: int = 4096,
     seed: int = 42,
+    n_blocks: int = 16,
+    n_query_blocks: int = 1,
 ) -> DataFrame:
     """X2 product-quantization ANN with asymmetric distance (ADC):
     corpus vectors are stored only as ``m`` byte-sized code ids; each
@@ -530,12 +532,20 @@ def cosine_topk_pq(
     shrinks what a scan COSTS — 32x smaller vectors, cache-resident
     tables), composable with IVF in a real deployment.
 
-    Scale shape: codebook training is a bounded driver-side sample;
-    encoding is one distributed Arrow pass; scoring is mapInPandas
-    over code batches with batch-local top-k (each batch emits at most
-    queries x k rows), then a global per-query top-k window. The
-    queries side is collected to build ADC tables — it is the small,
-    bounded side by API contract (same bound as broadcasting it).
+    Scale shape: codebook training is a bounded driver-side sample —
+    the ONLY vectors that ever reach the driver. Corpus encoding is
+    one distributed Arrow pass. Both sides then block-pack (corpus
+    codes into ``n_blocks`` code-matrix rows, queries into
+    ``n_query_blocks`` vector-matrix rows via ``pack_blocks``) and
+    every (code-block x query-block) pair scores in one mapInPandas
+    task: the ADC tables for the block's queries are built inside the
+    closure from the codebooks (shipped by value, a few KB) — a
+    (block_queries x m x n_codes) einsum — and all lookups happen as
+    one fancy-indexed sum. Each pair emits at most queries x k rows
+    map-side, then a global per-query top-k window. Neither side is
+    ever driver-materialized, so the query set can be corpus-sized:
+    raise ``n_query_blocks`` so one block's (ids + float64 matrix +
+    ADC tables) fits an Arrow batch.
 
     Scores are approximate (quantized); tests assert recall against
     the exact scan plus rank monotonicity, not score equality.
@@ -548,51 +558,74 @@ def cosine_topk_pq(
 
     encode = pq_encode_udf(books)
     codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+        F.col(id_col).cast("bigint").alias("neighbor_id"),
+        encode(F.col(vec_col)).alias("codes"),
     )
 
-    q_pdf = queries.select(id_col, vec_col).toPandas()
-    Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    q_ids = q_pdf[id_col].to_numpy()
-    mm, nc, dsub = books.shape
-    # ADC tables: T[q, j, c] = <q_sub_j, codeword_jc>
-    T = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books)
+    def pack_codes(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("neighbor_id")
+        C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "block": [int(pdf["__block"].iloc[0])],
+                "ids": [pdf["neighbor_id"].tolist()],
+                "codes": [C.ravel().tolist()],
+            }
+        )
+
+    code_blocks = (
+        codes.withColumn(
+            "__block", F.pmod(F.hash("neighbor_id"), F.lit(n_blocks))
+        )
+        .groupBy("__block")
+        .applyInPandas(
+            pack_codes, schema="block int, ids array<bigint>, codes array<int>"
+        )
+    )
+    qb = pack_blocks(queries, id_col, vec_col, n_query_blocks).select(
+        F.col("ids").alias("q_ids"),
+        F.col("mat").alias("q_mat"),
+        F.col("dim").alias("q_dim"),
+    )
+    paired = code_blocks.crossJoin(qb)
 
     out_schema = "query_id bigint, neighbor_id bigint, approx_cos double"
     topk = int(k)
+    B = books  # (m, n_codes, dim/m) — ships by value in the closure
 
     def score(batches):
         import numpy as np
         import pandas as pd
 
+        mm, _, dsub = B.shape
         for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
-            nid = pdf["neighbor_id"].to_numpy()
-            rows = []
-            for qi in range(len(q_ids)):
-                s = T[qi][np.arange(mm), C].sum(axis=1)  # (B,) m lookups per row
-                mask = nid != q_ids[qi]
-                sp, np_ = s[mask], nid[mask]
-                take = min(topk, len(sp))
-                if not take:
-                    continue
-                idx = np.argpartition(-sp, take - 1)[:take]
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids[qi],
-                            "neighbor_id": np_[idx],
-                            "approx_cos": sp[idx],
-                        }
-                    )
+            out = {"query_id": [], "neighbor_id": [], "approx_cos": []}
+            for row in pdf.itertuples():
+                C = np.asarray(row.codes, dtype=np.int64).reshape(-1, mm)
+                nid = np.asarray(row.ids, dtype=np.int64)
+                Q = np.asarray(row.q_mat, dtype=np.float64).reshape(
+                    -1, int(row.q_dim)
                 )
-            if rows:
-                yield pd.concat(rows, ignore_index=True)
+                Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                q_ids = np.asarray(row.q_ids, dtype=np.int64)
+                # Per-block ADC tables: T[q, j, c] = <q_sub_j, codeword_jc>
+                T = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), B)
+                # S[q, b] = Σ_j T[q, j, C[b, j]] — all m lookups fancy-indexed.
+                S = T[:, np.arange(mm), C].sum(axis=2)  # (n_q, block_rows)
+                S = np.where(q_ids[:, None] == nid[None, :], -np.inf, S)
+                take = min(topk, S.shape[1])
+                idx = np.argpartition(-S, take - 1, axis=1)[:, :take]
+                for qi in range(len(q_ids)):
+                    cols = idx[qi]
+                    cols = cols[np.isfinite(S[qi, cols])]
+                    out["query_id"].extend([q_ids[qi]] * len(cols))
+                    out["neighbor_id"].extend(nid[cols].tolist())
+                    out["approx_cos"].extend(S[qi, cols].tolist())
+            yield pd.DataFrame(out)
 
-    scored = codes.mapInPandas(score, schema=out_schema)
+    scored = paired.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("neighbor_id")
     )
@@ -626,6 +659,16 @@ def cosine_topk_ivfpq(
 
     Approximate on both axes (pruning misses + quantization noise):
     the test contract is recall vs the exact scan, not score equality.
+
+    Scale shape: the only driver-side data is the bounded training
+    sample. Query vectors ride the cluster equi-join (no forced
+    broadcast — AQE picks broadcast when the probe set is small and a
+    skew-split shuffle join when it is corpus-sized), and the ADC
+    tables are built INSIDE the scoring UDF per Arrow batch: the
+    batch's queries are factorized to uniques, one einsum against the
+    by-value codebooks builds their (m x n_codes) tables, and every
+    pair scores with m fancy-indexed lookups. No query-set size ever
+    touches driver memory.
     """
     sample_pdf = (
         corpus.select(vec_col).orderBy(F.col(id_col)).limit(train_sample).toPandas()
@@ -642,39 +685,43 @@ def cosine_topk_ivfpq(
         F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
     )
 
-    q_pdf = queries.select(id_col, vec_col).toPandas()
-    Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    q_ids_sorted = np.sort(q_pdf[id_col].to_numpy())
-    order = np.argsort(q_pdf[id_col].to_numpy())
-    mm, nc, dsub = books.shape
-    T = np.einsum("qjd,jcd->qjc", Q[order].reshape(len(Q), mm, dsub), books)
-
     probe_n = ivf_assign_udf(centroids, n_probe=n_probe)
     qb = queries.select(
         F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
         F.explode(probe_n(F.col(vec_col))).alias("cluster"),
     )
-    pairs = cb.join(F.broadcast(qb), "cluster").filter(
+    pairs = cb.join(qb, "cluster").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
 
     from pyspark.sql.functions import pandas_udf
 
+    B = books  # (m, n_codes, dim/m) — ships by value in the closure
+
     @pandas_udf("double")
-    def adc(codes: pd.Series, qid: pd.Series) -> pd.Series:
+    def adc(codes: pd.Series, qid: pd.Series, qvec: pd.Series) -> pd.Series:
         import numpy as np
 
-        C = np.stack(codes.to_numpy()).astype(np.int64)  # (B, m)
-        qi = np.searchsorted(q_ids_sorted, qid.to_numpy())
+        mm, _, dsub = B.shape
+        C = np.stack(codes.to_numpy()).astype(np.int64)  # (batch, m)
+        q = qid.to_numpy()
+        # One ADC table per UNIQUE query in the batch (each query joins
+        # ~|cluster| corpus rows, so uniques << batch rows).
+        uniq, first, inv = np.unique(q, return_index=True, return_inverse=True)
+        Qu = np.stack(qvec.iloc[first].to_numpy()).astype(np.float64)
+        Qu = Qu / np.linalg.norm(Qu, axis=1, keepdims=True)
+        T = np.einsum("qjd,jcd->qjc", Qu.reshape(len(Qu), mm, dsub), B)
         # Gather each row's ADC table, then its m code lookups.
         s = np.take_along_axis(
-            T[qi], C[:, :, None], axis=2
+            T[inv], C[:, :, None], axis=2
         )[:, :, 0].sum(axis=1)
         return pd.Series(s)
 
     scored = pairs.select(
-        "query_id", "neighbor_id", adc(F.col("codes"), F.col("query_id")).alias("approx_cos")
+        "query_id",
+        "neighbor_id",
+        adc(F.col("codes"), F.col("query_id"), F.col("q_vec")).alias("approx_cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("neighbor_id")

@@ -148,6 +148,75 @@ def run_foreach_batch(
         q.awaitTermination()
 
 
+DEFAULT_LOOKBACK_DAYS = 30  # reference app/db/models.py:36 column default
+
+
+def lookback_bounded_upsert(
+    batch: DataFrame,
+    series_dim: DataFrame,
+    path: str,
+    now=None,
+    order_cols: list[str] | None = None,
+) -> None:
+    """Per-series lookback reconciliation (reference intent:
+    ``meta_series.lookback_days`` — app/db/models.py:36 — sized each
+    series' re-fetch window, scripts/run_ingestion.py:8 /
+    gie/constants.py:7): a late/updated row upserts only if its
+    observation_time falls inside ITS OWN series' lookback window
+    ``[now - lookback_days, now]``; older rows are outside what the
+    scheduler would ever refetch and are dropped. Unregistered series
+    get the model's default of 30 days.
+
+    Scale shape: the series dim is a broadcast-sized join (AQE picks
+    it), the bound is a codegen'd per-row filter, and the surviving
+    rows flow into the partition-scoped silver upsert — no new
+    shuffles beyond the upsert's own.
+    """
+    now_col = (
+        F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    )
+    dim = series_dim.select(
+        "series_id", F.col("lookback_days").alias("__lb_days")
+    )
+    bounded = (
+        batch.join(dim, "series_id", "left")
+        .withColumn(
+            "__lb_days", F.coalesce("__lb_days", F.lit(DEFAULT_LOOKBACK_DAYS))
+        )
+        .filter(
+            F.col("observation_time")
+            >= now_col - F.make_interval(days=F.col("__lb_days"))
+        )
+        .drop("__lb_days")
+    )
+    from gas_data_pipeline_spark.pipeline.silver import upsert_observations
+
+    upsert_observations(batch.sparkSession, bounded, path, order_cols=order_cols)
+
+
+def run_incremental_upsert(
+    stream_df: DataFrame,
+    series_dim: DataFrame,
+    path: str,
+    checkpoint: str,
+    now=None,
+    order_cols: list[str] | None = None,
+    state_partitions: int | None = 8,
+) -> None:
+    """ST3 with per-series lookback: the production scheduler loop —
+    each micro-batch reconciles against each series' own
+    ``lookback_days`` horizon, then upserts idempotently."""
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        lookback_bounded_upsert(
+            bdf, series_dim, path, now=now, order_cols=order_cols
+        )
+
+    run_foreach_batch(
+        stream_df, write_batch, checkpoint, state_partitions=state_partitions
+    )
+
+
 def hourly_rollup(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """ST1/ST2 + the tumbling-window downsample the reference's
     intraday->daily frequency split implies (SURVEY §2.9 not-present

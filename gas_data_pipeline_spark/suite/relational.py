@@ -428,13 +428,13 @@ def group_to_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                        * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                        * (1 - CAST(l_discount AS DECIMAL(12,4)))
-                        * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
                CAST(min(l_quantity) AS DOUBLE) AS min_qty,
                CAST(max(l_quantity) AS DOUBLE) AS max_qty,
                count(*) AS count_order
@@ -448,19 +448,26 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the standard-aggregate surface
     (sum/min/max/count) the reference lacks but the engine provides
     (SURVEY §2.4). Filter pushes to the scan; aggregation is partial
-    (map-side combine) before the single shuffle. Doubles are rounded
-    per-term and summed in DECIMAL so partial-aggregation order cannot
-    change the result (exactness > float associativity)."""
+    (map-side combine) before the single shuffle. Values are cast to
+    decimal and summed exactly so partial-aggregation order cannot
+    change the result (exactness > float associativity).
+
+    Precision budget (VERDICT r2 #5): the business values are exact
+    2-decimal numbers (qty ≤ 50, price < 1e6, disc/tax < 1), so the
+    tightest faithful casts are (8,2)/(3,2). Under Spark's decimal
+    multiply rule (p1+p2+1, s1+s2) the full product chain tops out at
+    (8,2)x(4,2)->(13,4), x(4,2)->(18,6) — every intermediate stays
+    within precision 18, i.e. an UNSCALED-LONG-backed Decimal in
+    codegen, never a per-row java.math.BigDecimal like the previous
+    (12,4) casts forced (their chain hit precision 40). Exactness is
+    unchanged; the hot loop is integer arithmetic."""
     li = table(spark, sf_dir, "lineitem")
 
-    # Exact decimal arithmetic: doubles carry ~2-decimal business values,
-    # so a scale-4 decimal cast is deterministic in both engines, and all
-    # products/sums thereafter are exact (associative — safe under
-    # partial aggregation) regardless of aggregation order.
-    qty = F.col("l_quantity").cast("decimal(12,4)")
-    ext = F.col("l_extendedprice").cast("decimal(12,4)")
-    disc = F.col("l_discount").cast("decimal(12,4)")
-    tax = F.col("l_tax").cast("decimal(12,4)")
+    qty = F.col("l_quantity").cast("decimal(8,2)")
+    ext = F.col("l_extendedprice").cast("decimal(8,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
 
     def dsum(col, alias):
         return F.sum(col).cast("double").alias(alias)
@@ -471,8 +478,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum(qty, "sum_qty"),
             dsum(ext, "sum_base_price"),
-            dsum(ext * (F.lit(1) - disc), "sum_disc_price"),
-            dsum(ext * (F.lit(1) - disc) * (F.lit(1) + tax), "sum_charge"),
+            dsum(ext * (one - disc), "sum_disc_price"),
+            dsum(ext * (one - disc) * (one + tax), "sum_charge"),
             F.min("l_quantity").cast("double").alias("min_qty"),
             F.max("l_quantity").cast("double").alias("max_qty"),
             F.count(F.lit(1)).alias("count_order"),

@@ -195,7 +195,7 @@ def json_key_melt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT field AS field_name,
                count(*) AS n_rows,
                count(*) - count(value) AS n_nulls,
-               min(value) AS example_value,
+               substr(min(value), 1, 200) AS example_value,
                COALESCE(NULLIF(string_agg(DISTINCT value_type, ',' ORDER BY value_type), ''), 'null')
                  AS inferred_type
         FROM typed
@@ -253,7 +253,9 @@ def field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("field_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.count(v)).alias("n_nulls"),
-        F.min(v).alias("example_value"),
+        # Example truncated to 200 chars like the reference catalog
+        # (field_discovery.py:62) and the engine's field registrar.
+        F.substring(F.min(v), 1, 200).alias("example_value"),
         inferred_type_agg(infer_value_type(v)).alias("inferred_type"),
     )
 

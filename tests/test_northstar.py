@@ -506,3 +506,45 @@ def test_ivfpq_topk_recall_and_soundness(spark):
     assert apx.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_pq_ivfpq_corpus_scale_query_side(spark):
+    """VERDICT r2 #1: the PQ/IVFPQ query side must be distributed, not
+    driver-materialized. Contract: a query frame several times the
+    corpus size runs through both paths, every query gets ranked
+    neighbors, and the per-query results are IDENTICAL to a
+    bounded-query run — per-query scoring is independent, so growing
+    the query set must not change any query's neighbors."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        cosine_topk_pq,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    # 3x-corpus query set: the corpus itself plus two id-shifted copies.
+    big_q = emb.unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    ).unionByName(
+        emb.select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    )
+    assert big_q.count() == 3 * n
+
+    small_q = emb.filter(F.col("vec_id") < 8)
+    key = ["query_id", "rank"]
+
+    pq_small = cosine_topk_pq(emb, small_q, k=5, m=16, n_codes=32).toPandas()
+    pq_big = cosine_topk_pq(
+        emb, big_q, k=5, m=16, n_codes=32, n_query_blocks=4
+    ).toPandas()
+    assert pq_big.query_id.nunique() == 3 * n
+    assert (pq_big.groupby("query_id")["rank"].max() == 5).all()
+    sub = pq_big[pq_big.query_id < 8].sort_values(key).reset_index(drop=True)
+    assert sub.equals(pq_small.sort_values(key).reset_index(drop=True))
+
+    ivf_small = cosine_topk_ivfpq(emb, small_q, k=5).toPandas()
+    ivf_big = cosine_topk_ivfpq(emb, big_q, k=5).toPandas()
+    assert ivf_big.query_id.nunique() == 3 * n
+    sub = ivf_big[ivf_big.query_id < 8].sort_values(key).reset_index(drop=True)
+    assert sub.equals(ivf_small.sort_values(key).reset_index(drop=True))

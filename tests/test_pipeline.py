@@ -117,6 +117,60 @@ def test_delete_reload(spark, scratch):
     rows = sorted((r.source, r.value) for r in spark.read.parquet(scratch).collect())
     assert rows == [("gie", 9.0), ("other", 3.0)]
     assert not os.path.exists(scratch + ".staging")
+    assert not os.path.exists(scratch + ".old")
+
+
+def _partition_files(path, value):
+    pdir = os.path.join(path, f"source={value}")
+    return {
+        f: os.path.getmtime(os.path.join(pdir, f))
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    }
+
+
+def test_delete_reload_partition_scoped(spark, scratch):
+    """VERDICT r2 #2: with a partitioned target, delete_reload must
+    rewrite ONLY the partitions the predicate/replacement touch — the
+    untouched partition's data files survive byte-identical (same
+    names, same mtimes), proving no read-rewrite of the full table."""
+    from gas_data_pipeline_spark.pipeline.dims import delete_reload
+
+    base = spark.createDataFrame(
+        [("gie", 1.0), ("gie", 2.0), ("entsog", 3.0), ("ng", 4.0)],
+        "source string, value double",
+    )
+    base.write.partitionBy("source").parquet(scratch)
+    before_entsog = _partition_files(scratch, "entsog")
+    before_ng = _partition_files(scratch, "ng")
+
+    replacement = spark.createDataFrame([("gie", 9.0)], "source string, value double")
+    delete_reload(
+        spark, replacement, scratch, F.col("source") == "gie", partition_col="source"
+    )
+    rows = sorted((r.source, r.value) for r in spark.read.parquet(scratch).collect())
+    assert rows == [("entsog", 3.0), ("gie", 9.0), ("ng", 4.0)]
+    # untouched partitions: identical files, never rewritten
+    assert _partition_files(scratch, "entsog") == before_entsog
+    assert _partition_files(scratch, "ng") == before_ng
+
+
+def test_delete_reload_partitioned_pure_delete(spark, scratch):
+    """A predicate partition with no replacement rows must be fully
+    dropped (dynamic overwrite alone would leave it stale)."""
+    from gas_data_pipeline_spark.pipeline.dims import delete_reload
+
+    base = spark.createDataFrame(
+        [("gie", 1.0), ("ng", 4.0)], "source string, value double"
+    )
+    base.write.partitionBy("source").parquet(scratch)
+    empty = spark.createDataFrame([], "source string, value double")
+    delete_reload(
+        spark, empty, scratch, F.col("source") == "gie", partition_col="source"
+    )
+    rows = [(r.source, r.value) for r in spark.read.parquet(scratch).collect()]
+    assert rows == [("ng", 4.0)]
+    assert not os.path.exists(os.path.join(scratch, "source=gie"))
 
 
 # ---------------------------------------------------------------------------
@@ -412,3 +466,94 @@ def test_compaction_shrinks_file_count_preserves_rows(spark, tmp_path):
     # is covered by the temp-dir design; here assert temp dir is gone.
     import os
     assert not os.path.exists(path + ".compacting") and not os.path.exists(path + ".old")
+
+
+def test_lookback_bounded_upsert_per_series_windows(spark, tmp_path):
+    """VERDICT r2 #6: each series reconciles late data only within its
+    OWN lookback_days window (reference meta_series.lookback_days,
+    models.py:36). s_short (2 days) must drop a 5-day-old row that
+    s_long (30 days) accepts; an unregistered series falls back to the
+    30-day default."""
+    from datetime import datetime
+
+    from gas_data_pipeline_spark.streaming.incremental import (
+        lookback_bounded_upsert,
+    )
+
+    silver = str(tmp_path / "silver")
+    now = datetime(2024, 6, 30, 12, 0, 0)
+    dim = spark.createDataFrame(
+        [("s_short", 2), ("s_long", 30)], "series_id string, lookback_days int"
+    )
+    rows = [
+        # 5 days old: inside s_long's window, outside s_short's.
+        ("s_short", datetime(2024, 6, 25, 10), 1.0),
+        ("s_long", datetime(2024, 6, 25, 10), 2.0),
+        # 1 day old: inside both.
+        ("s_short", datetime(2024, 6, 29, 10), 3.0),
+        ("s_long", datetime(2024, 6, 29, 10), 4.0),
+        # unregistered series, 20 days old: default 30-day window keeps it.
+        ("s_new", datetime(2024, 6, 10, 10), 5.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "series_id string, observation_time timestamp, value double"
+    ).withColumn("ingestion_time", F.current_timestamp())
+    lookback_bounded_upsert(batch, dim, silver, now=now)
+
+    got = sorted(
+        (r.series_id, r.value)
+        for r in spark.read.parquet(silver).collect()
+    )
+    assert got == [("s_long", 2.0), ("s_long", 4.0), ("s_new", 5.0), ("s_short", 3.0)]
+
+
+def test_run_incremental_upsert_streaming_lookback(spark, tmp_path):
+    """The streaming wrapper: a file-stream micro-batch run through
+    run_incremental_upsert applies the same per-series windows and
+    upserts idempotently (second run changes nothing)."""
+    from datetime import datetime
+
+    from gas_data_pipeline_spark.streaming.incremental import (
+        run_incremental_upsert,
+    )
+
+    src = str(tmp_path / "incoming")
+    silver = str(tmp_path / "silver")
+    now = datetime(2024, 6, 30, 12, 0, 0)
+    dim = spark.createDataFrame(
+        [("s_short", 2), ("s_long", 30)], "series_id string, lookback_days int"
+    )
+    batch = spark.createDataFrame(
+        [
+            ("s_short", datetime(2024, 6, 25, 10), 1.0, datetime(2024, 6, 30)),
+            ("s_long", datetime(2024, 6, 25, 10), 2.0, datetime(2024, 6, 30)),
+            ("s_short", datetime(2024, 6, 29, 10), 3.0, datetime(2024, 6, 30)),
+        ],
+        "series_id string, observation_time timestamp, value double, ingestion_time timestamp",
+    )
+    batch.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "series_id string, observation_time timestamp, "
+            "value double, ingestion_time timestamp"
+        ).parquet(src)
+    )
+    run_incremental_upsert(stream, dim, silver, str(tmp_path / "ckpt1"), now=now)
+    got = sorted(
+        (r.series_id, r.value) for r in spark.read.parquet(silver).collect()
+    )
+    assert got == [("s_long", 2.0), ("s_short", 3.0)]
+
+    # Idempotency: replay the same data through a fresh checkpoint.
+    stream2 = (
+        spark.readStream.schema(
+            "series_id string, observation_time timestamp, "
+            "value double, ingestion_time timestamp"
+        ).parquet(src)
+    )
+    run_incremental_upsert(stream2, dim, silver, str(tmp_path / "ckpt2"), now=now)
+    again = sorted(
+        (r.series_id, r.value) for r in spark.read.parquet(silver).collect()
+    )
+    assert again == got

@@ -220,3 +220,37 @@ def test_scd2_single_key_exchange(spark):
     plan = _plan(spark, "scd2_user_state_history")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_pagination_is_take_ordered_with_offset(spark):
+    """VERDICT r2 #3: LIMIT/OFFSET pagination must plan as
+    TakeOrderedAndProject (distributed partial top-k, bounded by
+    offset+limit) — never a global no-partition Window that funnels
+    the whole result through one task."""
+    plan = _plan(spark, "limit_offset_pagination")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_engine_get_data_pagination_is_take_ordered(spark, tmp_path):
+    """The engine read path (get_data) shares the bounded-top-k plan:
+    no global window, TakeOrderedAndProject with the offset folded in."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from gas_data_pipeline_spark.engine import GasDataEngine
+
+    eng = GasDataEngine(spark, str(tmp_path))
+    batch = spark.createDataFrame(
+        [(f"s{i % 3}", datetime(2024, 1, 1 + i % 5), float(i)) for i in range(30)],
+        "site_id string, observed_at timestamp, flow_rate double",
+    )
+    eng.ingest_batch(
+        batch, dataset_id="D", source="test", id_cols=["site_id"],
+        time_col="observed_at",
+    )
+    df = eng.get_data(limit=10, offset=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
