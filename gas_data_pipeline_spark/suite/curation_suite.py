@@ -524,3 +524,29 @@ def curation_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_to_mixture(weighted, F.col("wt"), id_col="doc_id", seed="mix-v1").select(
         "doc_id", "source", "copy_num"
     )
+
+
+@register(
+    "curation_domain_cap",
+    oracle="""
+        SELECT doc_id, source, n_chars, domain_rank, n_in_domain
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ) AS BIGINT) AS domain_rank,
+                   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_in_domain
+            FROM documents
+        ) WHERE domain_rank <= 15
+    """,
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/C4 anti-spam shape):
+    keep the top-15 documents per source by quality (n_chars, ties to
+    lowest doc_id), reporting pre-cap domain size so drop rates stay
+    auditable. One shuffle on the domain key + a per-partition sorted
+    pass (operators/curation.domain_cap)."""
+    from gas_data_pipeline_spark.operators.curation import domain_cap
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return domain_cap(docs, domain_col="source", k=15, quality_col="n_chars")

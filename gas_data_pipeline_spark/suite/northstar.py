@@ -896,3 +896,106 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.filter(F.col("doc_id") % 10 != 0)
     survivors = incremental_dedup(new_batch, existing, threshold=0.5)
     return survivors.select("doc_id")
+
+
+_KEEP_BEST_ORACLE = f"""
+        WITH RECURSIVE docs AS ({_PLANT_SQL}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([
+                       words[x] || ' ' || words[x+1] || ' ' || words[x+2]
+                       FOR x IN range(1, greatest(len(words) - 1, 1))
+                   ]) AS shingles
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM docs)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.shingles, b.shingles))
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+        labeled AS (
+            SELECT d.doc_id,
+                   COALESCE(c.component_id, d.doc_id) AS component_id,
+                   length(d.text) AS q
+            FROM docs d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, component_id,
+               CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+                 AS component_size,
+               row_number() OVER (
+                   PARTITION BY component_id ORDER BY q DESC, doc_id
+               ) = 1 AS keep
+        FROM labeled
+"""
+
+
+@register("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 canonicalization: near-dup pairs -> connected components ->
+    keep exactly ONE representative per cluster (highest quality =
+    longest text, ties to lowest doc_id), singletons always kept —
+    the retirement set per-pair dedup gets wrong under transitivity
+    (pairs (a,b),(b,c) must keep one of {a,b,c}, not two). Spark
+    side: operators/dedup.keep_best_per_cluster (one window over the
+    component id); oracle: recursive-CTE transitive closure + the
+    same argmax window."""
+    from gas_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        keep_best_per_cluster,
+    )
+
+    docs = _docs_with_planted(spark, sf_dir)
+    pairs = jaccard_pairs_inverted_index(
+        docs, "doc_id", word_shingles(F.col("text"), n=3), threshold=0.5
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs, "id_a", "id_b")
+    return keep_best_per_cluster(docs, labels).select(
+        "doc_id", "component_id", "component_size", "keep"
+    )
+
+
+@register(
+    "text_chunk_sliding",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id,
+                   [w FOR w IN regexp_split_to_array(text, '\\s+') IF w <> ''] AS ws
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        ne AS (SELECT * FROM words WHERE len(ws) > 0),
+        chunks AS (
+            SELECT doc_id, ws, CAST(s AS BIGINT) AS start_word
+            FROM ne, UNNEST(range(0, greatest(len(ws) - 17, 0) + 1, 48)) AS t(s)
+        )
+        SELECT doc_id,
+               CAST(start_word // 48 AS BIGINT) AS chunk_seq,
+               start_word,
+               array_to_string(ws[start_word + 1 : start_word + 64], ' ') AS chunk_text,
+               CAST(len(ws[start_word + 1 : start_word + 64]) AS BIGINT) AS n_words
+        FROM chunks
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 sliding-window chunking (RAG / context-window prep): 64-word
+    chunks stepping by 48 (16-word overlap), minimal start set that
+    still covers every word; degenerate docs (null/empty/whitespace)
+    emit nothing. Narrow row expansion — split/sequence/explode/slice
+    are all codegen'd, no shuffle, no Python."""
+    from gas_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return chunk_documents(docs, chunk=64, stride=48)
