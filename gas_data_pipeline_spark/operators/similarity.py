@@ -332,8 +332,11 @@ def cosine_topk_lsh(
     qb = rp_lsh_tables(queries, vec_col, dim, n_tables, n_planes).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "table", "bucket"
     )
+    # No forced broadcast of the probe side: AQE broadcasts it when
+    # small and falls back to a (skew-splittable) shuffle join when the
+    # query set is corpus-sized — no driver/executor memory ceiling.
     pairs = (
-        cb.join(F.broadcast(qb), ["table", "bucket"])
+        cb.join(qb, ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -433,7 +436,9 @@ def cosine_topk_ivf(
         F.col(vec_col).alias("q_vec"),
         F.explode(probe_n(F.col(vec_col))).alias("cluster"),
     )
-    pairs = cb.join(F.broadcast(qb), "cluster").filter(
+    # AQE picks broadcast for bounded probe sets; no forced hint (see
+    # cosine_topk_lsh note).
+    pairs = cb.join(qb, "cluster").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     cos = cosine_pairs_pandas()

@@ -40,6 +40,27 @@ def tokenize(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
 
 
+# GPT-2-style pre-tokenizer, lookahead-free variant: contraction
+# suffixes, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed symbol runs, residual whitespace. (The published
+# GPT-2 pattern's `\s+(?!\S)` lookahead is dropped so the identical
+# pattern runs under both Java regex and RE2-based oracles.)
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_pretoken_count(text: Column) -> Column:
+    """Token-budget estimator: count of BPE pre-tokenizer pieces — the
+    unit LLM context windows and training-token budgets are planned
+    in (each pre-token splits into >=1 BPE ids, so this is a tight
+    lower bound and tracks real tokenizer counts closely). Pure
+    codegen'd regexp work, no UDF."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    ).cast("bigint")
+
+
 def token_stats(text: Column) -> dict[str, Column]:
     toks = tokenize(text)
     words = F.filter(toks, is_word)

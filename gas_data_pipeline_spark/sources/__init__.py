@@ -6,6 +6,10 @@ distributed DataFrame work. Transports are injectable so correctness
 tests run on fixtures, never the network (SURVEY §7 Phase 3).
 """
 
+from gas_data_pipeline_spark.sources.jdbc import (  # noqa: F401
+    read_jdbc_table,
+    write_jdbc_table,
+)
 from gas_data_pipeline_spark.sources.rest import (  # noqa: F401
     RestSource,
     flatten_entsog,

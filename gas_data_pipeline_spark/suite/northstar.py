@@ -999,3 +999,37 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
     return chunk_documents(docs, chunk=64, stride=48)
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^\sa-z0-9]', 0))
+                    AS BIGINT) AS n_coarse_tokens,
+               CAST(len(regexp_extract_all(
+                   text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+',
+                   0)) AS BIGINT) AS n_bpe_pretokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 token counting: the whitespace/punctuation coarse count plus
+    the GPT-2-style BPE pre-tokenizer count — the unit training-token
+    budgets and context windows are planned in. All regexp
+    extraction, fully codegen'd, narrow (no shuffle)."""
+    from gas_data_pipeline_spark.operators.text import (
+        bpe_pretoken_count,
+        token_stats,
+    )
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    stats = token_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        stats["n_tokens"].alias("n_coarse_tokens"),
+        bpe_pretoken_count(F.col("text")).alias("n_bpe_pretokens"),
+        stats["n_chars"].alias("n_chars"),
+    )

@@ -183,3 +183,38 @@ def test_chunk_invalid_stride_raises(spark):
         chunk_documents(docs, chunk=8, stride=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk=8, stride=9)
+
+
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """The bounded driver union-find fast path must produce labels
+    bit-identical to the distributed hash-min Pregel loop (min node id
+    per component), on a graph with chains, a cycle, and isolated
+    pairs."""
+    import random
+
+    from gas_data_pipeline_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = set()
+    # three chains of length 6 (diameter > 2 exercises propagation)
+    for base in (0, 100, 200):
+        for i in range(6):
+            edges.add((base + i, base + i + 1))
+    # a cycle
+    edges |= {(300, 301), (301, 302), (302, 300)}
+    # random extra pairs
+    for _ in range(40):
+        a, b = rng.randrange(400, 460), rng.randrange(400, 460)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+
+    fast = connected_components(pairs, "id_a", "id_b").toPandas()
+    slow = connected_components(
+        pairs, "id_a", "id_b", driver_max_edges=0
+    ).toPandas()
+    f = fast.sort_values("id").reset_index(drop=True)
+    s = slow.sort_values("id").reset_index(drop=True)
+    assert f.equals(s)
+    # label really is the component's min id
+    assert (f.groupby("label")["id"].min().index == f.groupby("label")["id"].min().values).all()

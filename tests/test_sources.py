@@ -213,3 +213,39 @@ def test_read_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
     assert g.name[0] == "a" and g.name[1] is None
     b = sorted(bad.toPandas().raw_line)
     assert b == ["not json at all", '{"id":']
+
+
+def test_jdbc_roundtrip_with_embedded_derby(spark, tmp_path):
+    """SRC7 exercised end-to-end against embedded Derby (the JDBC
+    driver Spark ships for its metastore): write a dim over JDBC, read
+    it back whole, filtered (predicate pushed into the remote WHERE),
+    and as a partitioned parallel scan."""
+    from pyspark.sql import functions as F
+
+    from gas_data_pipeline_spark.sources.jdbc import (
+        read_jdbc_table,
+        write_jdbc_table,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    dim = spark.createDataFrame(
+        [(i, f"s{i}", float(i) * 1.5) for i in range(20)],
+        "k bigint, name string, val double",
+    )
+    write_jdbc_table(dim.coalesce(1), url, "meta_dim", mode="overwrite")
+
+    back = read_jdbc_table(spark, url, "meta_dim")
+    assert back.count() == 20
+
+    filtered = back.filter(F.col("k") >= 15)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert filtered.count() == 5
+
+    par = read_jdbc_table(
+        spark, url, "meta_dim",
+        partition_column="k", lower_bound=0, upper_bound=20, num_partitions=4,
+    )
+    assert par.rdd.getNumPartitions() == 4
+    assert par.count() == 20
