@@ -254,3 +254,21 @@ def test_engine_get_data_pagination_is_take_ordered(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_chunk_and_token_count_no_keyed_shuffle(spark):
+    """Chunking and token counting are per-row generators/expressions —
+    the only allowed exchange is spread_scan's round-robin (spreading a
+    1-split scan before CPU-heavy text work); a hash/range partitioning
+    would mean the operator regressed to keyed shuffling."""
+    for name in ("text_chunk_sliding", "text_token_count"):
+        plan = _plan(spark, name).lower()
+        assert "hashpartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name
+
+
+def test_domain_cap_single_shuffle(spark):
+    """Per-domain top-k: exactly one exchange (the domain key), the
+    rank and the pre-cap count share the same window partitioning."""
+    plan = _plan(spark, "curation_domain_cap")
+    assert plan.count("Exchange") == 1
