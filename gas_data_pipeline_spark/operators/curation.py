@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gas_data_pipeline_spark.operators.dedup import word_shingles
-from gas_data_pipeline_spark.operators.text import is_word, tokenize
+from gas_data_pipeline_spark.operators.text import (
+    is_word,
+    nullsafe_size,
+    tokenize,
+)
 
 
 def contamination_flags(
@@ -94,7 +98,12 @@ def pack_sequences(
     toks = docs.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
-        F.size(tokenize(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        # nullsafe+coalesce: a null-text doc occupies ZERO tokens —
+        # size(NULL)=-1 would otherwise DECREMENT the running sum and
+        # shift every later document's chunk span.
+        F.coalesce(nullsafe_size(tokenize(F.col(text_col))), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -131,9 +140,11 @@ def quality_rule_columns(text: Column) -> list[Column]:
     toks = tokenize(text)
     words = F.filter(toks, is_word)
     lines = F.split(text, "\n")
-    n_toks = F.size(toks)
-    n_words = F.size(words)
-    n_lines = F.size(lines)
+    # nullsafe: size(NULL)=-1 would report n_words=-1 for null text
+    # (and diverge from the DuckDB twin, where len(NULL) is NULL).
+    n_toks = nullsafe_size(toks)
+    n_words = nullsafe_size(words)
+    n_lines = nullsafe_size(lines)
     mean_word_len = F.when(
         n_words > 0,
         F.aggregate(

@@ -40,6 +40,14 @@ def tokenize(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
 
 
+def nullsafe_size(arr: Column) -> Column:
+    """``size(NULL)`` is -1 under legacy sizeOfNull (session runs ANSI
+    off); map it back to NULL so null text yields NULL counts —
+    matching SQL ``len()`` semantics — instead of a nonsense -1 that
+    would silently poison token budgets and averages."""
+    return F.nullif(F.size(arr), F.lit(-1))
+
+
 # GPT-2-style pre-tokenizer, lookahead-free variant: contraction
 # suffixes, space-prefixed letter runs, space-prefixed digit runs,
 # space-prefixed symbol runs, residual whitespace. (The published
@@ -56,7 +64,7 @@ def bpe_pretoken_count(text: Column) -> Column:
     in (each pre-token splits into >=1 BPE ids, so this is a tight
     lower bound and tracks real tokenizer counts closely). Pure
     codegen'd regexp work, no UDF."""
-    return F.size(
+    return nullsafe_size(
         F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
     ).cast("bigint")
 
@@ -65,8 +73,8 @@ def token_stats(text: Column) -> dict[str, Column]:
     toks = tokenize(text)
     words = F.filter(toks, is_word)
     return {
-        "n_tokens": F.size(toks).cast("bigint"),
-        "n_words": F.size(words).cast("bigint"),
+        "n_tokens": nullsafe_size(toks).cast("bigint"),
+        "n_words": nullsafe_size(words).cast("bigint"),
         "n_chars": F.length(text).cast("bigint"),
         "avg_word_len": F.when(
             F.size(words) > 0,
@@ -83,8 +91,8 @@ def quality_features(text: Column) -> dict[str, Column]:
     ratio) — the standard pre-training corpus filters."""
     toks = tokenize(text)
     words = F.filter(toks, is_word)
-    n_toks = F.size(toks)
-    n_words = F.size(words)
+    n_toks = nullsafe_size(toks)
+    n_words = nullsafe_size(words)
     sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     n_stop = F.size(F.filter(words, lambda t: F.array_contains(sw, t)))
     punct_ratio = F.when(
@@ -140,8 +148,8 @@ def text_profile(text: Column) -> Column:
     barrier that stops downstream re-inlining."""
 
     def with_words(toks: Column, words: Column) -> Column:
-        n_toks = F.size(toks)
-        n_words = F.size(words)
+        n_toks = nullsafe_size(toks)
+        n_words = nullsafe_size(words)
         sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
         n_stop = F.size(F.filter(words, lambda t: F.array_contains(sw, t)))
         punct_ratio = F.when(

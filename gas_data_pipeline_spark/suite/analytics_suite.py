@@ -1108,3 +1108,43 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_entry"
         ),
     )
+
+
+@register(
+    "daily_ohlc_downsample",
+    oracle="""
+        SELECT user_id AS series_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS obs_date,
+               arg_min(value, ts) AS first_value,
+               arg_max(value, ts) AS last_value,
+               min(value) AS low_value,
+               max(value) AS high_value,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def daily_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency conversion (the reference's intraday -> daily split,
+    series_autoregister.py:50,89 / energy.daily fact): downsample each
+    series to one row per gas-day carrying open/close (min_by/max_by
+    argmin-argmax over event time), low/high, count, and an exact
+    decimal sum. Pure aggregate — map-side partials
+    (partial_min_by/partial_max_by) before the single shuffle; no
+    window, no self-join, so it scales as one pass over the fact
+    table."""
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    return e.groupBy(
+        F.col("user_id").alias("series_id"), day.alias("obs_date")
+    ).agg(
+        F.min_by("value", F.col("ts")).alias("first_value"),
+        F.max_by("value", F.col("ts")).alias("last_value"),
+        F.min("value").alias("low_value"),
+        F.max("value").alias("high_value"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.round("value", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

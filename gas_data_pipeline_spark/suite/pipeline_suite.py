@@ -223,3 +223,46 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _n, total = dir_parquet_stats(scratch)
     compact_parquet(spark, scratch, target_bytes=max(1, total // 4))
     return spark.read.parquet(scratch)
+
+
+@register(
+    "quality_expectations",
+    oracle="""
+        WITH base AS (
+            SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN NOT COALESCE(value <= 400, FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_val400,
+                   CAST(sum(CASE WHEN NOT COALESCE(event_type <> 'error', FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_noerr,
+                   CAST(sum(CASE WHEN NOT COALESCE(value >= 1.0, FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_val1,
+                   CAST(sum(CASE WHEN NOT COALESCE(ts IS NOT NULL, FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_ts
+            FROM events
+        )
+        SELECT 'value_at_most_400' AS rule, v_val400 AS n_violations, n AS n_rows,
+               round(v_val400 / n, 6) AS violation_rate FROM base
+        UNION ALL SELECT 'no_error_events', v_noerr, n, round(v_noerr / n, 6) FROM base
+        UNION ALL SELECT 'value_at_least_1', v_val1, n, round(v_val1 / n, 6) FROM base
+        UNION ALL SELECT 'ts_not_null', v_ts, n, round(v_ts / n, 6) FROM base
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 as a first-class audit pass: named boolean rules stamped
+    in ONE narrow projection (null predicate = violation), per-rule
+    violation counts/rates from one tiny aggregate — the set-based
+    replacement for the reference's row-at-a-time transform validation
+    (transformer.py:78-95), with quarantine semantics instead of
+    silent drops (pipeline/expectations.py)."""
+    from gas_data_pipeline_spark.pipeline.expectations import (
+        expectation_metrics,
+    )
+
+    e = table(spark, sf_dir, "events")
+    rules = {
+        "value_at_most_400": F.col("value") <= 400,
+        "no_error_events": F.col("event_type") != "error",
+        "value_at_least_1": F.col("value") >= 1.0,
+        "ts_not_null": F.col("ts").isNotNull(),
+    }
+    return expectation_metrics(e, rules)

@@ -218,3 +218,30 @@ def test_connected_components_driver_and_distributed_paths_agree(spark):
     assert f.equals(s)
     # label really is the component's min id
     assert (f.groupby("label")["id"].min().index == f.groupby("label")["id"].min().values).all()
+
+
+def test_token_counts_null_text_yields_null_not_negative(spark):
+    """size(NULL array) is -1 under legacy sizeOfNull; token counters
+    must map that back to NULL (SQL len() semantics) — a -1 would
+    silently poison token-budget sums."""
+    from gas_data_pipeline_spark.operators.text import (
+        bpe_pretoken_count,
+        token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    t = F.col("text")
+    s = token_stats(t)
+    out = docs.select(
+        "doc_id",
+        s["n_tokens"].alias("nt"),
+        s["n_words"].alias("nw"),
+        bpe_pretoken_count(t).alias("bpe"),
+    ).toPandas().set_index("doc_id")
+    import pandas as pd
+
+    assert pd.isna(out.loc[1, "nt"]) and pd.isna(out.loc[1, "nw"]) and pd.isna(out.loc[1, "bpe"])
+    assert out.loc[2, "nt"] == 0 and out.loc[2, "bpe"] == 0
+    assert out.loc[3, "nw"] == 2

@@ -557,3 +557,35 @@ def test_run_incremental_upsert_streaming_lookback(spark, tmp_path):
         (r.series_id, r.value) for r in spark.read.parquet(silver).collect()
     )
     assert again == got
+
+
+def test_expectations_split_and_null_semantics(spark):
+    """split_valid: rows violating ANY rule quarantine with the audit
+    array; a NULL predicate result counts as a violation (three-valued
+    logic must not let null rows pass)."""
+    from gas_data_pipeline_spark.pipeline.expectations import (
+        expectation_metrics,
+        split_valid,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "a"), (3, None, "b"), (4, 7.0, None)],
+        "id long, value double, tag string",
+    )
+    rules = {
+        "value_positive": F.col("value") > 0,
+        "tag_known": F.col("tag").isin("a", "b"),
+    }
+    valid, quarantine = split_valid(df, rules)
+    v_ids = sorted(r.id for r in valid.collect())
+    assert v_ids == [1]
+    q = {r.id: sorted(r.violated_rules) for r in quarantine.collect()}
+    assert q == {
+        2: ["value_positive"],
+        3: ["value_positive"],  # NULL value -> violation
+        4: ["tag_known"],  # NULL tag -> violation
+    }
+    m = expectation_metrics(df, rules).toPandas().set_index("rule")
+    assert int(m.loc["value_positive", "n_violations"]) == 2
+    assert int(m.loc["tag_known", "n_violations"]) == 1
+    assert (m["n_rows"] == 4).all()

@@ -272,3 +272,13 @@ def test_domain_cap_single_shuffle(spark):
     rank and the pre-cap count share the same window partitioning."""
     plan = _plan(spark, "curation_domain_cap")
     assert plan.count("Exchange") == 1
+
+
+def test_daily_downsample_is_single_agg_with_partials(spark):
+    """OHLC downsample must be one aggregate with map-side partial
+    min_by/max_by — no window, no join, one exchange."""
+    plan = _plan(spark, "daily_ohlc_downsample")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_min_by" in plan or "partial_max_by" in plan
+    assert plan.count("Exchange") == 1
