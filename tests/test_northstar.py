@@ -548,3 +548,27 @@ def test_pq_ivfpq_corpus_scale_query_side(spark):
     assert ivf_big.query_id.nunique() == 3 * n
     sub = ivf_big[ivf_big.query_id < 8].sort_values(key).reset_index(drop=True)
     assert sub.equals(ivf_small.sort_values(key).reset_index(drop=True))
+
+
+def test_similarity_zero_vectors_and_empty_corpus(spark):
+    """Degenerate inputs must degrade, not crash: a zero-norm vector
+    never appears as a neighbor (its NaN scores are filtered, not
+    propagated), and an empty corpus yields an empty result."""
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.0] * 8), (3, [0.5] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 1), k=2).toPandas()
+    assert 2 not in set(out.neighbor_id)
+    assert list(out.neighbor_id) == [3]
+
+    pairs = cosine_near_dup_pairs(emb, threshold=0.9).toPandas()
+    assert {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)} == {(1, 3)}
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_topk(empty, emb.limit(1), k=2).count() == 0
