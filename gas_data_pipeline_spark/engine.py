@@ -256,6 +256,22 @@ class GasDataEngine:
             self.spark, self.obs_path, series_id=series_id, start=start, end=end
         )
 
+    def validate_batch(
+        self, batch: DataFrame, rules: dict
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """F6/F7 as an engine API: (valid, quarantine, metrics) for a
+        batch under named boolean rules — the set-based form of the
+        reference's row-at-a-time transform validation
+        (transformer.py:78-95), with an audit trail instead of silent
+        drops (pipeline/expectations.py)."""
+        from gas_data_pipeline_spark.pipeline.expectations import (
+            expectation_metrics,
+            split_valid,
+        )
+
+        valid, quarantine = split_valid(batch, rules)
+        return valid, quarantine, expectation_metrics(batch, rules)
+
     # ------------------------------------------------------------------
     # Discovery (reference app/api/v2/discovery.py)
     # ------------------------------------------------------------------

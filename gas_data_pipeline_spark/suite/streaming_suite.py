@@ -359,3 +359,75 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_seconds"),
     )
     return run_stream_to_table(out, output_mode="append")
+
+
+@register(
+    "stream_lookback_upsert",
+    oracle="""
+        SELECT series_id, observation_time, value FROM (
+            SELECT CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+            WHERE date_trunc('hour', ts) >=
+                  TIMESTAMP '2024-01-31 00:00:00'
+                  - CASE WHEN user_id % 2 = 0 THEN INTERVAL 7 DAY
+                         ELSE INTERVAL 30 DAY END
+        ) WHERE rn = 1
+    """,
+)
+def stream_lookback_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 with per-series lookback (reference
+    meta_series.lookback_days, models.py:36 / run_ingestion.py:8):
+    the production scheduler loop where each series reconciles late
+    data only within its OWN refetch horizon — even series 7 days,
+    odd series 30, against a fixed `now` so streaming output equals
+    the batch oracle. Rows older than their series' window never
+    reach the silver upsert (the scheduler would never refetch
+    them)."""
+    from datetime import datetime
+
+    from gas_data_pipeline_spark.streaming.incremental import (
+        run_incremental_upsert,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="gas_stream_lookback_")
+    shutil.rmtree(scratch, ignore_errors=True)
+    silver = scratch + "/silver"
+    ckpt = scratch + "/ckpt"
+
+    batch_shape = events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("series_id"),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+    from gas_data_pipeline_spark.catalog import table
+
+    dim = (
+        table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("series_id"))
+        .distinct()
+        .withColumn(
+            "lookback_days",
+            F.when(F.col("series_id").cast("bigint") % 2 == 0, F.lit(7)).otherwise(
+                F.lit(30)
+            ),
+        )
+    )
+    run_incremental_upsert(
+        batch_shape,
+        dim,
+        silver,
+        ckpt,
+        now=datetime(2024, 1, 31),
+        order_cols=["ingestion_time", "event_id"],
+    )
+    return spark.read.parquet(silver).select(
+        "series_id", "observation_time", "value"
+    )

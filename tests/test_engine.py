@@ -373,3 +373,16 @@ def test_facade_exposes_new_operators(spark, tmp_path):
     p.write_text('{"a": 1}\nbroken\n')
     good, bad = eng.ingest_jsonl(str(p), "a bigint")
     assert good.count() == 1 and bad.count() == 1
+
+
+def test_engine_validate_batch(engine, spark):
+    batch = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0)], "id long, value double"
+    )
+    valid, quarantine, metrics = engine.validate_batch(
+        batch, {"value_positive": F.col("value") > 0}
+    )
+    assert [r.id for r in valid.collect()] == [1]
+    assert [r.id for r in quarantine.collect()] == [2]
+    m = metrics.toPandas()
+    assert int(m.n_violations.iloc[0]) == 1 and int(m.n_rows.iloc[0]) == 2
