@@ -76,13 +76,18 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_last_write_wins",
     "group_to_nested",
     "cube_revenue",
-    "percentiles_by_series",
+    # F7 validation gets direct driver evidence (was fixture-only in
+    # r2); percentiles_by_series moved to the parity tail — its family
+    # (beyond-reference aggregates) stays represented by cube_revenue.
+    "quality_expectations",
     "asof_join_latest_view",
     "topn_recency",
     "limit_offset_pagination",
     "window_functions",
     "union_by_name_harmonized",
-    "set_ops_repeat_buyers",
+    # ST3 per-series lookback (VERDICT r2 #6) driver-checked; set-ops
+    # family stays represented by union_by_name_harmonized.
+    "stream_lookback_upsert",
     "sql_topn_revenue_report",
     # S scalar/temporal/JSON (§2.7)
     "series_id_slug",
