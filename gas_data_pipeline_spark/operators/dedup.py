@@ -916,10 +916,25 @@ def char_shingle_ids_pandas(n: int = 4):
     def ids(text: pd.Series) -> pd.Series:
         import hashlib
 
+        import numpy as np
+
         mask = (1 << 63) - 1
+        # ASCII fast path: bytes == chars, so the gram ids come from a
+        # numpy sliding-window view + one shift-and-sum — identical
+        # values to the per-gram int.from_bytes loop (ascii byte 0 <
+        # 128 keeps the sign bit clear), ~10x fewer interpreter ops.
+        shifts = np.arange(7, 7 - size, -1, dtype=np.uint64) * np.uint64(8)
         out = []
         for t in text:
             s = (t or "").lower()
+            if len(s) >= size and s.isascii():
+                a = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                w = np.lib.stride_tricks.sliding_window_view(a, size).astype(
+                    np.uint64
+                )
+                v = (w << shifts).sum(axis=1, dtype=np.uint64)
+                out.append(np.unique(v).astype(np.int64).tolist())
+                continue
             k = max(len(s) - size + 1, 1)
             grams = {s[i: i + size] for i in range(k)}
             row = []
