@@ -103,7 +103,15 @@ def delete_reload(
         ).filter(~pred)
         out = survivors.unionByName(replacement, allowMissingColumns=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        # Redistribute on the partition key before partitionBy so file
+        # count tracks partitions, not tasks x partitions (see
+        # silver.upsert_observations).
+        (
+            out.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
         # Dynamic overwrite replaces only partitions present in `out`:
         # a fully-deleted partition (no survivors, no replacement rows)
         # must be dropped explicitly.

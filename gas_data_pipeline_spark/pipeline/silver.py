@@ -78,8 +78,16 @@ def upsert_observations(
         merged = batch
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Write-side redistribution: without it every shuffle task holds a
+    # mix of dates and partitionBy fans each task out into every date
+    # directory — tasks x dates small files at cluster scale (invisible
+    # locally, where AQE coalesces to one task). Hashing on the
+    # partition column first makes files-per-partition independent of
+    # task count; cap single-file size with
+    # spark.sql.files.maxRecordsPerFile when one gas-day is huge.
     (
         merged.drop("__prio")
+        .repartition(F.col(PARTITION_COL))
         .write.mode("overwrite")
         .partitionBy(PARTITION_COL)
         .parquet(path)
