@@ -220,6 +220,110 @@ def test_connected_components_driver_and_distributed_paths_agree(spark):
     assert (f.groupby("label")["id"].min().index == f.groupby("label")["id"].min().values).all()
 
 
+def test_jaccard_inverted_index_df_cap_bounds_stopword_postings(spark):
+    """VERDICT r3 #2: a boilerplate shingle shared by every doc makes
+    one posting list quadratic. With max_doc_frequency set, capped
+    shingles leave the index AND both size denominators, so (a) pair
+    counts collapse from O(N^2) boilerplate pairs to just the true dups,
+    and (b) pairs with no capped shingles keep bit-identical scores."""
+    from gas_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_inverted_index,
+    )
+
+    boiler = ["b1", "b2", "b3", "b4", "b5", "b6"]
+    rows = [(i, boiler + [f"u{i}"]) for i in range(20)]
+    # true near-dup pair with NO boilerplate: score must not change
+    rows += [
+        (100, ["r1", "r2", "r3", "r4", "r5", "u100"]),
+        (101, ["r1", "r2", "r3", "r4", "r5", "u101"]),
+    ]
+    # true near-dup pair WITH boilerplate: must survive the cap via its
+    # rare shingles alone
+    rows += [
+        (200, boiler + ["s1", "s2", "s3", "s4", "s5", "u200"]),
+        (201, boiler + ["s1", "s2", "s3", "s4", "s5", "u201"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+
+    def pairs(**kw):
+        out = jaccard_pairs_inverted_index(
+            docs, "doc_id", F.col("shingles"), 0.5, **kw
+        )
+        return {(r.id_a, r.id_b): round(r.jaccard, 9) for r in out.collect()}
+
+    uncapped = pairs()
+    # every boilerplate-doc pair scores 6/8: the quadratic regime
+    assert len(uncapped) >= 1 + 20 * 19 // 2
+    capped = pairs(max_doc_frequency=10)  # boiler df=22 > 10; rest <= 2
+    assert capped == {
+        (100, 101): round(5 / 7, 9),
+        (200, 201): round(5 / 7, 9),
+    }
+    # the boilerplate-free pair's verdict AND value are unchanged
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # fractional form: cap = ceil(0.25 * 24) = 6 < 22 drops boiler too
+    assert pairs(max_doc_frequency=0.25) == capped
+
+
+def test_incremental_dedup_df_cap_admits_boilerplate_only_overlap(spark):
+    """Cross-corpus form of the cap: a new doc overlapping existing
+    docs ONLY through corpus-wide boilerplate must be admitted when the
+    cap is on (rejected when off), while a genuine near-dup of one
+    existing doc is rejected under both."""
+    from gas_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    boiler = "b1 b2 b3 b4 b5 b6"
+    existing = spark.createDataFrame(
+        [(f"e{i}", f"{boiler} e{i}a e{i}b") for i in range(10)]
+        + [("e_rare", "r1 r2 r3 r4")],
+        "doc_id string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("x_boiler", f"{boiler} x1 x2"),  # boilerplate-only overlap
+            ("y_dup", "r1 r2 r3 q1"),  # jaccard 3/5 vs e_rare, no boiler
+            ("z_fresh", "z1 z2 z3 z4"),
+        ],
+        "doc_id string, text string",
+    )
+    kw = dict(id_col="doc_id", text_col="text", threshold=0.5, n=1)
+    uncapped = {
+        r.doc_id for r in incremental_dedup(new, existing, **kw).collect()
+    }
+    assert uncapped == {"z_fresh"}  # x_boiler rejected: 6/10 = 0.6
+    capped = {
+        r.doc_id
+        for r in incremental_dedup(
+            new, existing, max_doc_frequency=5, **kw
+        ).collect()
+    }
+    assert capped == {"x_boiler", "z_fresh"}  # y_dup still caught: 3/5
+
+
+def test_char_shingle_ids_n_gt_8_matches_per_gram_formula(spark):
+    """ADVICE r3: the ASCII vectorized path is only valid for n<=8 (one
+    uint64 per gram); n=9 must take the per-gram loop, whose md5 branch
+    gives exact ids for >8-byte grams — not shift-wrapped garbage."""
+    import hashlib
+
+    from gas_data_pipeline_spark.operators.dedup import char_shingle_ids_pandas
+
+    text = "abcdefghijkl"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = sorted(
+        df.select(char_shingle_ids_pandas(n=9)(F.col("text")).alias("ids"))
+        .collect()[0]
+        .ids
+    )
+    mask = (1 << 63) - 1
+    expect = sorted(
+        int.from_bytes(hashlib.md5(text[i : i + 9].encode()).digest()[:8], "big")
+        & mask
+        for i in range(len(text) - 8)
+    )
+    assert got == expect
+
+
 def test_token_counts_null_text_yields_null_not_negative(spark):
     """size(NULL array) is -1 under legacy sizeOfNull; token counters
     must map that back to NULL (SQL len() semantics) — a -1 would

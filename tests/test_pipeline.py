@@ -173,6 +173,73 @@ def test_delete_reload_partitioned_pure_delete(spark, scratch):
     assert not os.path.exists(os.path.join(scratch, "source=gie"))
 
 
+def test_delete_reload_aligned_reads_zero_fact_bytes(spark, scratch):
+    """VERDICT r3 #4: when the predicate references only the partition
+    column and the replacement covers every deleted partition, neither
+    discovery nor the write may read ANY existing fact file. Proven by
+    corrupting every affected partition's parquet files first — any
+    read would throw."""
+    from gas_data_pipeline_spark.pipeline.dims import delete_reload
+
+    base = spark.createDataFrame(
+        [("gie", 1.0), ("gie", 2.0), ("ng", 4.0)], "source string, value double"
+    )
+    base.write.partitionBy("source").parquet(scratch)
+    gie_dir = os.path.join(scratch, "source=gie")
+    for f in os.listdir(gie_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(gie_dir, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+
+    replacement = spark.createDataFrame([("gie", 9.0)], "source string, value double")
+    stats = delete_reload(
+        spark, replacement, scratch, F.col("source") == "gie", partition_col="source"
+    )
+    assert stats["mode"] == "partition-aligned"
+    rows = sorted((r.source, r.value) for r in spark.read.parquet(scratch).collect())
+    assert rows == [("gie", 9.0), ("ng", 4.0)]
+
+
+def test_delete_reload_data_predicate_falls_back_to_scan(spark, scratch):
+    """A predicate over a data column cannot be resolved against the
+    partition listing: delete_reload must fall back to the column-
+    pruned discovery scan and still produce the right table."""
+    from gas_data_pipeline_spark.pipeline.dims import delete_reload
+
+    base = spark.createDataFrame(
+        [("gie", 1.0), ("gie", 2.0), ("ng", 4.0)], "source string, value double"
+    )
+    base.write.partitionBy("source").parquet(scratch)
+    replacement = spark.createDataFrame([("gie", 9.0)], "source string, value double")
+    stats = delete_reload(
+        spark, replacement, scratch, F.col("value") < 2.0, partition_col="source"
+    )
+    assert stats["mode"] == "predicate-scan"
+    rows = sorted((r.source, r.value) for r in spark.read.parquet(scratch).collect())
+    assert rows == [("gie", 2.0), ("gie", 9.0), ("ng", 4.0)]
+
+
+def test_delete_reload_drops_escaped_partition_dir(spark, scratch):
+    """ADVICE r3: partition values Spark percent-escapes in directory
+    names (':' -> %3A) must still be dropped on pure delete — the raw
+    f-string path would miss them."""
+    from gas_data_pipeline_spark.pipeline.dims import delete_reload
+
+    base = spark.createDataFrame(
+        [("a:b", 1.0), ("ng", 4.0)], "source string, value double"
+    )
+    base.write.partitionBy("source").parquet(scratch)
+    assert os.path.exists(os.path.join(scratch, "source=a%3Ab"))
+    empty = spark.createDataFrame([], "source string, value double")
+    stats = delete_reload(
+        spark, empty, scratch, F.col("source") == "a:b", partition_col="source"
+    )
+    assert stats["dropped"] == ["source=a%3Ab"]
+    assert not os.path.exists(os.path.join(scratch, "source=a%3Ab"))
+    rows = [(r.source, r.value) for r in spark.read.parquet(scratch).collect()]
+    assert rows == [("ng", 4.0)]
+
+
 # ---------------------------------------------------------------------------
 # REST source layer: retry/throttle + flatteners on fixtures (no network).
 # ---------------------------------------------------------------------------
