@@ -148,6 +148,59 @@ def run_foreach_batch(
         q.awaitTermination()
 
 
+def start_processing_time_stream(
+    df: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    interval: str = "1 second",
+    state_partitions: int | None = 8,
+):
+    """ST1 production trigger: a continuously-running micro-batch loop
+    (``Trigger.ProcessingTime``), the Structured-Streaming analog of
+    the reference's hourly APScheduler job (app/scheduler/
+    scheduler.py:13-17). ``max_instances=1`` / ``coalesce=True`` map to
+    Spark's own guarantees: micro-batches within a query execute
+    strictly sequentially (a slow batch delays the next trigger — no
+    overlap), and the checkpoint's query id locks out a second
+    concurrent instance. Returns the live StreamingQuery; pair with
+    :func:`await_processed_batches` and ``query.stop()`` for a
+    graceful, bounded shutdown.
+    """
+    with _state_partitions(df.sparkSession, state_partitions):
+        return (
+            df.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime=interval)
+            .start()
+        )
+
+
+def await_processed_batches(
+    query,
+    have_processed,
+    timeout_sec: float = 60.0,
+    poll_sec: float = 0.2,
+) -> None:
+    """Wait (bounded) until ``have_processed()`` is truthy, surfacing
+    the query's own failure immediately instead of timing out on it.
+    ``lastProgress`` is touched each poll so a hung source shows the
+    last committed batch in the TimeoutError."""
+    import time
+
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline:
+        if query.exception() is not None:
+            raise query.exception()
+        if have_processed():
+            return
+        time.sleep(poll_sec)
+    last = query.lastProgress
+    raise TimeoutError(
+        f"stream made no progress within {timeout_sec}s; lastProgress="
+        f"{last and {k: last.get(k) for k in ('batchId', 'numInputRows')}}"
+    )
+
+
 DEFAULT_LOOKBACK_DAYS = 30  # reference app/db/models.py:36 column default
 
 
@@ -211,6 +264,71 @@ def run_incremental_upsert(
         lookback_bounded_upsert(
             bdf, series_dim, path, now=now, order_cols=order_cols
         )
+
+    run_foreach_batch(
+        stream_df, write_batch, checkpoint, state_partitions=state_partitions
+    )
+
+
+GIE_DELETE_LOOKBACK_DAYS = 10  # reference gie/constants.py:7
+
+
+def run_gie_delete_reload(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    now=None,
+    lookback_days: int = GIE_DELETE_LOOKBACK_DAYS,
+    date_col: str = "obs_date",
+    state_partitions: int | None = 8,
+    stats: list | None = None,
+) -> None:
+    """SNK4 composed with ST3 (VERDICT r3 #7): the reference's GIE
+    ingestion — delete the last ``DELETE_LOOKBACK_DAYS`` then insert
+    the fresh fetch (gie/service.py:12-77) — run as a foreachBatch
+    loop, so late revisions reconcile per micro-batch exactly like the
+    hourly scheduler job.
+
+    Each micro-batch is treated as a full-lookback-window snapshot
+    (the reference client fetches the whole window every poll): rows
+    older than ``now - lookback_days`` are dropped (the scheduler
+    would never refetch them — same horizon rule as
+    :func:`lookback_bounded_upsert`), and the window's date partitions
+    are delete-reloaded in one dynamic-overwrite pass. Days revised in
+    the new snapshot replace in place, days absent from it disappear
+    (the DELETE half — an upsert could never remove them), and days
+    outside the window are never read or written: the predicate
+    references only ``date_col``, so :func:`delete_reload` takes its
+    partition-aligned fast path (directory-listing discovery, zero
+    fact bytes read).
+
+    An all-late batch (nothing inside the window) is skipped rather
+    than interpreted as an empty snapshot — wiping the whole window on
+    a degenerate poll is never the operator's intent.
+
+    ``stats``, when given, collects delete_reload's per-batch stats
+    dicts (mode/affected/dropped) for observability and tests.
+    """
+    from datetime import datetime, timedelta
+
+    from gas_data_pipeline_spark.pipeline.dims import delete_reload
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        nv = now if now is not None else datetime.utcnow()
+        today = nv.date() if isinstance(nv, datetime) else nv
+        cutoff = today - timedelta(days=lookback_days)
+        bounded = bdf.filter(F.col(date_col) >= F.lit(cutoff))
+        if bounded.isEmpty():
+            return
+        s = delete_reload(
+            bdf.sparkSession,
+            bounded,
+            path,
+            F.col(date_col) >= F.lit(cutoff),
+            partition_col=date_col,
+        )
+        if stats is not None:
+            stats.append(s)
 
     run_foreach_batch(
         stream_df, write_batch, checkpoint, state_partitions=state_partitions
