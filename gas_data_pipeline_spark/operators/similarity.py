@@ -32,11 +32,15 @@ import this package.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd  # module-level: pandas_udf resolves string type hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_log = logging.getLogger(__name__)
 
 BLOCK_SCHEMA = "block int, ids array<bigint>, mat array<double>, dim int"
 
@@ -377,6 +381,190 @@ def _kmeans_centroids(
     return C
 
 
+# Above this many training vectors, Lloyd's loop moves off the driver:
+# the numpy path materializes train_sample * dim float64 on one node
+# (1e5 x 64 ≈ 50 MB — fine; 1e7 would not be), so bigger regimes train
+# with pyspark.ml KMeans and only the k centroid vectors come back.
+DRIVER_TRAIN_BOUND = 100_000
+
+
+def _train_matrix(
+    corpus: DataFrame, id_col: str, vec_col: str, train_sample: int
+) -> np.ndarray:
+    """Driver-regime training sample: the first ``train_sample`` rows
+    by id (TakeOrderedAndProject — bounded collect), as a float64
+    matrix. The standard FAISS-style train-on-a-sample regime."""
+    pdf = (
+        corpus.select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(train_sample)
+        .toPandas()
+    )
+    return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+
+
+def _distributed_training_rows(
+    corpus: DataFrame, id_col: str, vec_col: str, train_sample: int
+) -> DataFrame:
+    """Cluster-side training set of ~``train_sample`` rows: one ml
+    Vector column ``__feat``, L2-normalized (spherical regime), chosen
+    by a deterministic hash stride so the draw is seed-stable and no
+    vector ever reaches the driver."""
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    rows = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    stride = max(1, n // max(1, train_sample))
+    if stride > 1:
+        rows = rows.filter(
+            F.pmod(F.xxhash64(F.col("__id")), F.lit(stride)) == 0
+        )
+    vecs = rows.select(
+        array_to_vector(F.col("__vec").cast("array<double>")).alias("__mlvec")
+    )
+    return Normalizer(inputCol="__mlvec", outputCol="__feat", p=2.0).transform(
+        vecs
+    )
+
+
+def _kmeans_centroids_distributed(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    train_sample: int,
+    seed: int = 42,
+    n_iters: int = 10,
+) -> np.ndarray:
+    """Large-regime centroid training: ``pyspark.ml.clustering.KMeans``
+    (k-means|| init, seeded) over the hash-strided normalized training
+    set. Only the (k, dim) centroid matrix returns to the driver;
+    centroids re-normalize to the unit sphere so assignment stays the
+    same max-dot-product the numpy path uses."""
+    from pyspark.ml.clustering import KMeans
+
+    train = _distributed_training_rows(corpus, id_col, vec_col, train_sample)
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=n_iters, featuresCol="__feat"
+    ).fit(train)
+    C = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
+def _pq_codebooks_distributed(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    train_sample: int,
+    seed: int = 42,
+    n_iters: int = 15,
+) -> np.ndarray:
+    """Large-regime PQ codebooks: one distributed L2 KMeans per
+    subspace over slices of the (full-vector-)normalized training set —
+    the same objective as ``train_pq_codebooks``, with the Lloyd loop
+    on the cluster. The training set is cached once and re-sliced m
+    times; only m*(n_codes, dim/m) codebook floats reach the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = _distributed_training_rows(
+        corpus, id_col, vec_col, train_sample
+    ).select(vector_to_array(F.col("__feat")).alias("__arr"))
+    train = train.cache()
+    try:
+        d = train.select(F.size("__arr").alias("d")).first()["d"]
+        assert d % m == 0, f"dim {d} not divisible into {m} subvectors"
+        dsub = d // m
+        books = np.empty((m, n_codes, dsub))
+        for j in range(m):
+            sub = train.select(
+                array_to_vector(
+                    F.slice(F.col("__arr"), j * dsub + 1, dsub)
+                ).alias("__f")
+            )
+            model = KMeans(
+                k=n_codes, seed=seed + j, maxIter=n_iters, featuresCol="__f"
+            ).fit(sub)
+            C = np.stack(
+                [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+            )
+            books[j, : len(C)] = C
+            if len(C) < n_codes:  # degenerate tiny train set: pad
+                books[j, len(C) :] = C[0]
+        return books
+    finally:
+        train.unpersist()
+
+
+def ivf_centroids_for(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    train_sample: int,
+    seed: int = 42,
+    driver_train_bound: int = DRIVER_TRAIN_BOUND,
+) -> np.ndarray:
+    """Route IVF centroid training by regime (VERDICT r3 #6): numpy
+    Lloyd on a bounded driver sample below ``driver_train_bound``,
+    distributed ml KMeans above it. Path choice is logged."""
+    if train_sample <= driver_train_bound:
+        _log.info(
+            "IVF centroids: driver numpy path (train_sample=%d <= bound=%d)",
+            train_sample,
+            driver_train_bound,
+        )
+        return _kmeans_centroids(
+            _train_matrix(corpus, id_col, vec_col, train_sample),
+            n_clusters,
+            seed=seed,
+        )
+    _log.info(
+        "IVF centroids: distributed ml.KMeans path (train_sample=%d > bound=%d)",
+        train_sample,
+        driver_train_bound,
+    )
+    return _kmeans_centroids_distributed(
+        corpus, id_col, vec_col, n_clusters, train_sample, seed=seed
+    )
+
+
+def pq_codebooks_for(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    train_sample: int,
+    seed: int = 42,
+    driver_train_bound: int = DRIVER_TRAIN_BOUND,
+) -> np.ndarray:
+    """Route PQ codebook training by regime — see ivf_centroids_for."""
+    if train_sample <= driver_train_bound:
+        _log.info(
+            "PQ codebooks: driver numpy path (train_sample=%d <= bound=%d)",
+            train_sample,
+            driver_train_bound,
+        )
+        return train_pq_codebooks(
+            _train_matrix(corpus, id_col, vec_col, train_sample),
+            m=m,
+            n_codes=n_codes,
+            seed=seed,
+        )
+    _log.info(
+        "PQ codebooks: distributed ml.KMeans path (train_sample=%d > bound=%d)",
+        train_sample,
+        driver_train_bound,
+    )
+    return _pq_codebooks_distributed(
+        corpus, id_col, vec_col, m, n_codes, train_sample, seed=seed
+    )
+
+
 def ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
     """Arrow-vectorized IVF cluster assignment: vector in,
     array<int> of the ``n_probe`` nearest centroid ids out (one GEMM
@@ -409,6 +597,7 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     train_sample: int = 4096,
     seed: int = 42,
+    driver_train_bound: int = DRIVER_TRAIN_BOUND,
 ) -> DataFrame:
     """X2 IVF (inverted-file) ANN: corpus rows are bucketed by nearest
     k-means centroid; each query probes its ``n_probe`` nearest
@@ -416,13 +605,18 @@ def cosine_topk_ivf(
     product, scanning ~n_probe/n_clusters of the corpus. The
     complementary scale path to LSH (data-adapted partitions vs
     oblivious hyperplanes); recall vs the exact top-k asserted in
-    tests/test_northstar.py.
+    tests/test_northstar.py. Training routes by regime: driver numpy
+    below ``driver_train_bound``, distributed ml.KMeans above.
     """
-    sample_pdf = (
-        corpus.select(vec_col).orderBy(F.col(id_col)).limit(train_sample).toPandas()
+    centroids = ivf_centroids_for(
+        corpus,
+        id_col,
+        vec_col,
+        n_clusters,
+        train_sample,
+        seed=seed,
+        driver_train_bound=driver_train_bound,
     )
-    sample = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
-    centroids = _kmeans_centroids(sample, n_clusters, seed=seed)
 
     assign1 = ivf_assign_udf(centroids, n_probe=1)
     cb = corpus.select(
@@ -527,6 +721,7 @@ def cosine_topk_pq(
     seed: int = 42,
     n_blocks: int = 16,
     n_query_blocks: int = 1,
+    driver_train_bound: int = DRIVER_TRAIN_BOUND,
 ) -> DataFrame:
     """X2 product-quantization ANN with asymmetric distance (ADC):
     corpus vectors are stored only as ``m`` byte-sized code ids; each
@@ -555,11 +750,16 @@ def cosine_topk_pq(
     Scores are approximate (quantized); tests assert recall against
     the exact scan plus rank monotonicity, not score equality.
     """
-    sample_pdf = (
-        corpus.select(vec_col).orderBy(F.col(id_col)).limit(train_sample).toPandas()
+    books = pq_codebooks_for(
+        corpus,
+        id_col,
+        vec_col,
+        m,
+        n_codes,
+        train_sample,
+        seed=seed,
+        driver_train_bound=driver_train_bound,
     )
-    sample = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
-    books = train_pq_codebooks(sample, m=m, n_codes=n_codes, seed=seed)
 
     encode = pq_encode_udf(books)
     codes = corpus.select(
@@ -653,6 +853,7 @@ def cosine_topk_ivfpq(
     n_codes: int = 32,
     train_sample: int = 4096,
     seed: int = 42,
+    driver_train_bound: int = DRIVER_TRAIN_BOUND,
 ) -> DataFrame:
     """X2 composite IVF+PQ (the FAISS-style production index): IVF
     prunes WHICH inverted lists a query scans (~n_probe/n_clusters of
@@ -675,12 +876,30 @@ def cosine_topk_ivfpq(
     pair scores with m fancy-indexed lookups. No query-set size ever
     touches driver memory.
     """
-    sample_pdf = (
-        corpus.select(vec_col).orderBy(F.col(id_col)).limit(train_sample).toPandas()
-    )
-    sample = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
-    centroids = _kmeans_centroids(sample, n_clusters, seed=seed)
-    books = train_pq_codebooks(sample, m=m, n_codes=n_codes, seed=seed)
+    if train_sample <= driver_train_bound:
+        # Small regime: both training passes share ONE bounded driver
+        # sample (a single TakeOrderedAndProject job).
+        _log.info(
+            "IVF+PQ training: driver numpy path (train_sample=%d <= bound=%d)",
+            train_sample,
+            driver_train_bound,
+        )
+        sample = _train_matrix(corpus, id_col, vec_col, train_sample)
+        centroids = _kmeans_centroids(sample, n_clusters, seed=seed)
+        books = train_pq_codebooks(sample, m=m, n_codes=n_codes, seed=seed)
+    else:
+        _log.info(
+            "IVF+PQ training: distributed ml.KMeans path "
+            "(train_sample=%d > bound=%d)",
+            train_sample,
+            driver_train_bound,
+        )
+        centroids = _kmeans_centroids_distributed(
+            corpus, id_col, vec_col, n_clusters, train_sample, seed=seed
+        )
+        books = _pq_codebooks_distributed(
+            corpus, id_col, vec_col, m, n_codes, train_sample, seed=seed
+        )
 
     assign1 = ivf_assign_udf(centroids, n_probe=1)
     encode = pq_encode_udf(books)

@@ -508,6 +508,54 @@ def test_ivfpq_topk_recall_and_soundness(spark):
     )
 
 
+def test_distributed_kmeans_training_paths_recall(spark, emb_pdf, caplog):
+    """VERDICT r3 #6: training above driver_train_bound routes through
+    pyspark.ml KMeans instead of the driver Lloyd loop. Forcing that
+    regime (bound=1 < train_sample) must hold the driver-path recall
+    floors, keep IVF candidate scores exact (assignment changes, the
+    scoring kernel doesn't), and log the path choice."""
+    import logging
+
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_pq,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+
+    with caplog.at_level(
+        logging.INFO, logger="gas_data_pipeline_spark.operators.similarity"
+    ):
+        ivf = cosine_topk_ivf(
+            emb, queries, k=10, n_clusters=16, n_probe=4, driver_train_bound=1
+        ).toPandas()
+    assert "distributed ml.KMeans path" in caplog.text
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=float)
+        for r in emb_pdf.itertuples()
+    }
+    for row in ivf.itertuples():
+        a, b = vecs[row.query_id], vecs[row.neighbor_id]
+        expect = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert row.cos_sim == pytest.approx(expect, abs=1e-9)
+    ivf_recall = len(e & set(zip(ivf.query_id, ivf.neighbor_id))) / len(e)
+    assert ivf_recall >= 0.5, ivf_recall  # same floor as the driver path
+
+    pq = cosine_topk_pq(
+        emb, queries, k=10, m=16, n_codes=32, driver_train_bound=1
+    ).toPandas()
+    for qid, grp in pq.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    pq_recall = len(e & set(zip(pq.query_id, pq.neighbor_id))) / len(e)
+    assert pq_recall >= 0.4, pq_recall  # same floor as the driver path
+
+
 def test_pq_ivfpq_corpus_scale_query_side(spark):
     """VERDICT r2 #1: the PQ/IVFPQ query side must be distributed, not
     driver-materialized. Contract: a query frame several times the
