@@ -10,6 +10,16 @@ Execution is forced with the ``noop`` sink (full pipeline runs, nothing
 is collected to the driver) so timings measure the distributed plan,
 not result transfer. One warm-up query runs first so JVM/codegen
 startup isn't billed to the first measured query.
+
+Scale probe (VERDICT r3 #5): sf0.1 hides file-explosion and skew
+mistakes behind AQE, so after the timed passes the harness unions the
+inputs ``SCALE_PROBE_FACTOR``x (join/id keys re-salted per copy so
+joins stay 1:1 and self-joins don't go quadratic), reruns the heaviest
+queries once against the scaled dir, and reports a ``scale_probe``
+section: per-copy time ratio (scaled / (base * factor); > ~1 means
+superlinear growth) and whether any plan flipped to
+CartesianProduct/BroadcastNestedLoopJoin. Disable with
+``SPARK_GRAFT_SCALE_PROBE=0``; run it alone with ``--scale-probe``.
 """
 
 from __future__ import annotations
@@ -30,8 +40,137 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else float("nan")
 
 
+SCALE_PROBE_FACTOR = 8
+SCALE_PROBE_QUERIES = (
+    "silver_upsert_idempotent",
+    "melt_wide_to_long",
+    "pivot_long_to_wide",
+    "tfidf_top_terms",
+    "dedup_minhash_lsh",
+    "stream_stream_interval_join",
+    "sql_topn_revenue_report",
+)
+# Key columns re-salted per copy: consistent offsets keep every FK->PK
+# relationship intact within a copy and disjoint across copies, so
+# join output grows linearly with the data, never quadratically.
+_SALT_COLS = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey", "n_regionkey"),
+    "customer": ("c_custkey", "c_nationkey"),
+    "supplier": ("s_suppkey", "s_nationkey"),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
+    """Materialize ``factor`` re-salted copies of every table under a
+    cached tmp dir (rebuilt only when absent or factor changes)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    from gas_data_pipeline_spark.catalog import table as read_table
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"spark_graft_scale_probe_{base}_x{factor}",
+    )
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for t, keys in _SALT_COLS.items():
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = read_table(spark, sf_dir, t)
+        copies = []
+        for i in range(factor):
+            c = df
+            for kcol in keys:
+                if kcol not in df.columns:
+                    continue
+                # int32 keys get a smaller stride than int64 so the
+                # salted value stays in range; strides match across
+                # tables because key TYPES match across tables.
+                is_int32 = isinstance(df.schema[kcol].dataType, IntegerType)
+                off = i * (1_000_000 if is_int32 else 10**12)
+                c = c.withColumn(kcol, (F.col(kcol) + F.lit(off)).cast(
+                    df.schema[kcol].dataType
+                ))
+            copies.append(c)
+        # Single FILE named <t>.parquet, mirroring the testdata layout —
+        # consumers (pathGlobFilter streams, the catalog) expect a file,
+        # not a part-file directory.
+        stage = os.path.join(out_dir, f"__stage_{t}")
+        reduce(DataFrame.unionByName, copies).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and f.startswith("part-")
+        )
+        os.replace(
+            os.path.join(stage, part), os.path.join(out_dir, f"{t}.parquet")
+        )
+        import shutil
+
+        shutil.rmtree(stage)
+    with open(marker, "w") as fh:
+        fh.write(str(factor))
+    return out_dir
+
+
+def run_scale_probe(
+    spark, queries, sf_dir: str, base_timings: dict[str, float]
+) -> dict:
+    """Run the heavy-query subset once against the scaled dir; report
+    per-copy time ratios and degenerate-plan flips."""
+    factor = SCALE_PROBE_FACTOR
+    scaled_dir = _build_scaled_dir(spark, sf_dir, factor)
+    out: dict[str, dict] = {}
+    superlinear: list[str] = []
+    for name in SCALE_PROBE_QUERIES:
+        if name not in queries:
+            continue
+        start = time.perf_counter()
+        df = queries[name](spark, scaled_dir)
+        df.write.format("noop").mode("overwrite").save()
+        scaled_sec = round(time.perf_counter() - start, 4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flip = ("CartesianProduct" in plan) or (
+            "BroadcastNestedLoopJoin" in plan
+        )
+        base = base_timings.get(name)
+        ratio = (
+            round(scaled_sec / (base * factor), 4) if base else None
+        )
+        out[name] = {
+            "base_sec": base,
+            "scaled_sec": scaled_sec,
+            "per_copy_ratio": ratio,
+            "plan_flip": flip,
+        }
+        if flip or (ratio is not None and ratio > 1.5):
+            superlinear.append(name)
+    return {
+        "factor": factor,
+        "queries": out,
+        "superlinear": superlinear,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    probe_only = "--scale-probe" in sys.argv[1:]
 
     from gas_data_pipeline_spark.registry import all_queries
     from gas_data_pipeline_spark.session import get_spark
@@ -63,6 +202,33 @@ def main() -> None:
         .count()
     )
 
+    if probe_only:
+        # Standalone probe: one base pass over the probe subset for the
+        # denominator, then the scaled run.
+        base: dict[str, float] = {}
+        for name in SCALE_PROBE_QUERIES:
+            if name not in queries:
+                continue
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            base[name] = round(time.perf_counter() - start, 4)
+        probe = run_scale_probe(spark, queries, sf_dir, base)
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_probe",
+                    "value": probe["factor"],
+                    "unit": "x",
+                    "sf": _sf_of(sf_dir),
+                    "scale_probe": probe,
+                }
+            )
+        )
+        sys.stdout.flush()
+        return
+
     def run_pass() -> dict[str, float]:
         out: dict[str, float] = {}
         for name in sorted(queries):
@@ -92,18 +258,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = _sf_of(sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "passes": n_passes,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "passes": n_passes,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        payload["scale_probe"] = run_scale_probe(spark, queries, sf_dir, timings)
+    print(json.dumps(payload))
     # The per-query line above can exceed the driver's tail capture
     # (BENCH_r01.json recorded "parsed": null). Repeat the headline as a
     # compact LAST line so tail-truncation always leaves a parseable
