@@ -970,17 +970,45 @@ _SAMPLE_FRACTIONS = {
 }
 
 
-@register("stratified_sample_events")  # rows-only: engine-seeded Bernoulli draw
+_STRAT_CASE_SQL = "CASE event_type " + " ".join(
+    f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in _SAMPLE_FRACTIONS.items()
+) + " ELSE CAST(0.0 AS DOUBLE) END"
+
+
+@register(
+    "stratified_sample_events",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_id, event_type, user_id, value,
+                   CAST(concat('0x', substring(md5('strat-v1:' ||
+                        CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS u,
+                   {_STRAT_CASE_SQL} AS frac
+            FROM events
+        )
+        SELECT event_id, event_type, user_id, round(value, 6) AS value
+        FROM s WHERE u < frac
+    """,
+)
 def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-class) sampling — the corpus-rebalancing
     primitive of training-data pipelines: keep every rare 'error' row,
-    downsample the abundant interaction classes. ``sampleBy`` is a
-    seeded per-row Bernoulli filter — narrow, no shuffle, streams at
-    scan speed at any scale, and deterministic for a fixed seed and
-    input layout. The realized per-class rates are binomial around the
-    requested fractions; tests/test_layout.py bounds them."""
+    downsample the abundant interaction classes. The per-row Bernoulli
+    draw is md5(seed, event_id) (52 bits, exact in a double) rather
+    than ``sampleBy``: same binomial rates (tests/test_layout.py
+    bounds them), but the draw is CONTENT-keyed — a row's fate is
+    independent of partitioning/row order (sampleBy re-draws per
+    layout), stable under corpus growth, reproducible across engines
+    (exact DuckDB oracle), and still a narrow zero-shuffle filter at
+    scan speed."""
+    from gas_data_pipeline_spark.operators.curation import uniform_draw
+
     ev = table(spark, sf_dir, "events")
-    return ev.sampleBy("event_type", _SAMPLE_FRACTIONS, seed=42).select(
+    u = uniform_draw(F.col("event_id"), "strat-v1")
+    frac = F.lit(0.0)
+    for k, v in _SAMPLE_FRACTIONS.items():
+        frac = F.when(F.col("event_type") == k, F.lit(float(v))).otherwise(frac)
+    return ev.filter(u < frac).select(
         "event_id", "event_type", "user_id", F.round("value", 6).alias("value")
     )
 

@@ -452,16 +452,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hash_split_train_test")  # rows-only: xxhash64 has no DuckDB twin
+@register(
+    "hash_split_train_test",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5('split-salt-v1:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 100
+                       AS bucket
+            FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+)
 def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3-adjacent: reproducible train/val/test split by id hash
     (80/10/10) — THE split for 100 TB training pipelines: stateless,
     deterministic across runs and clusters, and stable under corpus
     growth (a document's bucket never changes when other rows are
-    added, unlike sampleBy/rand splits). Narrow op, zero shuffle.
-    Invariance properties pinned in tests/test_northstar.py."""
+    added, unlike sampleBy/rand splits). The bucket derives from
+    md5(salt, id) (engine-portable, so the DuckDB oracle reproduces
+    it bit-for-bit — was xxhash64, which has no DuckDB twin). Narrow
+    op, zero shuffle. Invariance properties pinned in
+    tests/test_northstar.py."""
     docs = table(spark, sf_dir, "documents")
-    bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit("split-salt-v1")), F.lit(100))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split-salt-v1:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

@@ -217,7 +217,20 @@ def test_hash_split_invariances(spark):
 
     docs = table(spark, SF_SMALL, "documents").filter(F2.col("doc_id") % 2 == 0)
     bucket = F2.pmod(
-        F2.xxhash64(F2.col("doc_id"), F2.lit("split-salt-v1")), F2.lit(100)
+        F2.conv(
+            F2.substring(
+                F2.md5(
+                    F2.concat(
+                        F2.lit("split-salt-v1:"), F2.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F2.lit(100),
     )
     split = (
         F2.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
