@@ -162,12 +162,20 @@ def _drop_capped_shingles(inv: DataFrame, cap: int) -> DataFrame:
     a true Jaccard over the reduced universe (symmetric numerator /
     denominator — the r3 verdict's requirement).
 
-    Scale shape: the stopword set (df > cap) and the per-doc dropped
-    counts are both tiny by construction — a shingle over the cap can
-    contribute at most n_docs/cap distinct shingles — so both joins
-    below broadcast; the only full shuffle added is the df-count
-    aggregate, which is linear in postings and keyed on the same
-    8-byte hash as the posting-list groupBy itself.
+    Scale shape: two exchanges, both on keys the pipeline already
+    shuffles on, and nothing per-doc ever converges on one node. The
+    df-count aggregate and the anti join share the shingle key (the
+    anti join's shuffle-side partitioning is then reused by the
+    downstream posting-list groupBy); the stopword side is left
+    UN-hinted — it is usually tiny (≤ postings/cap rows by pigeonhole)
+    and AQE broadcasts it at runtime when it is, but a forced
+    ``F.broadcast`` would gamble the driver on a Zipf tail we can't see
+    at plan time. Set sizes are then recomputed as a count over the
+    per-id window of the FILTERED index — exact because shingle arrays
+    are ``array_distinct``-ed at construction (modulo the already-
+    documented 64-bit hash-collision epsilon) — rather than joining a
+    per-doc dropped-count table back, which in a web corpus is ~every
+    doc (stopwords are everywhere) and must never be a broadcast.
     """
     stop = (
         inv.groupBy("shingle")
@@ -175,19 +183,12 @@ def _drop_capped_shingles(inv: DataFrame, cap: int) -> DataFrame:
         .filter(F.col("df") > cap)
         .select("shingle")
     )
-    dropped_per_doc = (
-        inv.join(F.broadcast(stop), "shingle")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("__n_dropped"))
-    )
     return (
-        inv.join(F.broadcast(stop), "shingle", "left_anti")
-        .join(F.broadcast(dropped_per_doc), "id", "left")
+        inv.join(stop, "shingle", "left_anti")
         .withColumn(
             "n_shingles",
-            F.col("n_shingles") - F.coalesce(F.col("__n_dropped"), F.lit(0)),
+            F.count(F.lit(1)).over(Window.partitionBy("id")),
         )
-        .drop("__n_dropped")
     )
 
 

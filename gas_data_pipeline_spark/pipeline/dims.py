@@ -54,14 +54,14 @@ def _swap_dirs(staging: str, path: str) -> None:
 # --- partition-directory naming -------------------------------------------
 #
 # Spark stores a null partition value as __HIVE_DEFAULT_PARTITION__ and
-# percent-escapes the characters below in partition directory names
-# (Hive's escapePathName, mirrored by Spark's ExternalCatalogUtils).
-# delete_reload must speak the same dialect when it lists/derives
-# directories, or a drop of `source=a:b` would silently miss
-# `source=a%3Ab` and leave deleted rows alive.
+# percent-escapes specials ("#%':/ etc. — Hive's escapePathName,
+# mirrored by Spark's ExternalCatalogUtils) in partition directory
+# names. delete_reload never re-implements the escape: it UNescapes the
+# actual listing and resolves every drop through that listing, so a
+# drop of `source=a:b` finds `source=a%3Ab` instead of silently missing
+# it and leaving deleted rows alive.
 
 _HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
-_ESCAPED_CHARS = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
 
 
 def _partition_value_str(val) -> str | None:
