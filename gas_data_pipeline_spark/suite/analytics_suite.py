@@ -234,6 +234,28 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from gas_data_pipeline_spark.operators.sketches import (  # noqa: E402
+    hll_distinct,
+    hll_oracle_sql,
+)
+
+
+@register(
+    "approx_distinct_portable_hll",
+    oracle=hll_oracle_sql("events", "event_type", "user_id", "approx_users"),
+)
+def approx_distinct_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic HyperLogLog per event_type from portable primitives
+    (md5 register/tail split, bin/ltrim bit-length, pow/ln fold) — the
+    estimate an external engine can REPRODUCE, so unlike
+    ``approx_distinct_users`` it carries an exact DuckDB oracle: both
+    engines run the same twelve lines of sketch math and agree to the
+    rounded decimal. Same scale shape as the native sketch: per-
+    (group, register) max is map-side combinable; ids never shuffle."""
+    ev = table(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_type", "user_id", out_col="approx_users")
+
+
 @register(
     "salted_skew_aggregate",
     oracle="""
@@ -939,17 +961,51 @@ def trend_slope_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ewma_by_series")  # rows-only: recursive op, not SQL-expressible
+@register(
+    "ewma_by_series",
+    # A recursive CTE IS this recurrence, one step per iteration, and
+    # pandas' adjust=False ewm applies the identical float expression
+    # ((1-a)*prev + a*x) / ((1-a)+a) per step — verified bit-identical
+    # pre-rounding at sf0.01, so the round(6) match has ~6 decimal
+    # digits of margin. "Not SQL-expressible" was true only of window
+    # FRAMES; iteration expresses it exactly.
+    oracle="""
+        WITH RECURSIVE ordered AS (
+            SELECT event_type, event_id, CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS rn
+            FROM events WHERE value IS NOT NULL
+        ), rec AS (
+            SELECT event_type, event_id, value, rn, value AS ewma
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.event_type, o.event_id, o.value, o.rn,
+                   ((1.0 - 0.2) * r.ewma + 0.2 * o.value)
+                       / ((1.0 - 0.2) + 0.2) AS ewma
+            FROM ordered o
+            JOIN rec r ON o.event_type = r.event_type AND o.rn = r.rn + 1
+        )
+        SELECT event_type, event_id, round(value, 6) AS value,
+               round(ewma, 6) AS ewma
+        FROM rec
+    """,
+)
 def ewma_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA smoothing per series (alpha=0.2) — the recursive operator
-    SQL window frames cannot express (each value depends on the whole
-    prefix), implemented as a grouped-map Pandas UDF with one shuffle
-    on the series key (operators/timeseries.ewma). Ground truth: the
-    recurrence re-computed independently in tests/test_layout.py."""
+    """EWMA smoothing per series (alpha=0.2) — a genuinely RECURSIVE
+    operator (each value depends on the whole prefix), implemented as
+    a grouped-map Pandas UDF with one shuffle on the series key
+    (operators/timeseries.ewma). Null observations are excluded up
+    front (they would change pandas' gap-weight accounting and the
+    recurrence itself). Oracle: the same recurrence as a DuckDB
+    recursive CTE — exact; the recurrence is also re-computed
+    independently in tests/test_layout.py."""
     from gas_data_pipeline_spark.operators.timeseries import ewma
 
-    ev = table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "ts", "value"
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
     )
     out = ewma(
         ev, key="event_type", ts_col="ts", value_col="value",

@@ -112,6 +112,31 @@ def test_approx_distinct_accuracy(spark):
         assert abs(approx[et] - exact[et]) <= max(2, 0.02 * exact[et])
 
 
+def test_portable_hll_accuracy(spark):
+    """The portable (cross-engine-deterministic) HLL at m=4096
+    (~1.6% rsd) must land within 5% of exact distinct — its exactness
+    vs DuckDB is the parity gate's job; this pins estimator QUALITY."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.registry import all_queries
+
+    import pyspark.sql.functions as F
+
+    approx = (
+        all_queries()["approx_distinct_portable_hll"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")["approx_users"]
+    )
+    exact = (
+        table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .toPandas()
+        .set_index("event_type")["exact"]
+    )
+    for et in exact.index:
+        assert abs(approx[et] - exact[et]) <= max(3, 0.05 * exact[et])
+
+
 def test_latest_per_key_is_single_agg_no_window(spark):
     # max_by argmax must plan as an aggregate with map-side partials
     # (partial_max_by before the exchange) — not a per-key Window,
