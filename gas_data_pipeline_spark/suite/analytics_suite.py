@@ -803,6 +803,58 @@ def approx_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentiles_sampled",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, value FROM events
+            WHERE value IS NOT NULL
+              AND CAST(concat('0x', substring(
+                      md5('qsample-v1:' || CAST(event_id AS VARCHAR)), 1, 13
+                  )) AS BIGINT) / CAST(4503599627370496 AS DOUBLE) < 0.2
+        )
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM s GROUP BY event_type
+    """,
+)
+def approx_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-digest's portable twin (same pairing as
+    ``approx_distinct_portable_hll`` vs the native HLL++): approximate
+    percentiles as EXACT quantiles over a deterministic md5-drawn 20%
+    sample (``curation.uniform_draw``), so any engine reproduces the
+    number bit-for-bit — an exact oracle for an approximate statistic.
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the standard linear-interpolation definition, verified equal to
+    the 4th decimal on the identical sample.
+
+    Scale shape: the draw is a narrow codegen'd expression (no
+    shuffle); exact percentiles then sort ~20% of each group. Per-key
+    sample volume must fit its task — at true 100 TB either shrink the
+    fraction (error ~1/sqrt(f*n) per group) or fall back to the
+    mergeable sketch in ``approx_percentiles_tdigest``."""
+    from gas_data_pipeline_spark.operators.curation import uniform_draw
+
+    ev = table(spark, sf_dir, "events")
+    samp = ev.filter(
+        F.col("value").isNotNull()
+        & (uniform_draw(F.col("event_id"), "qsample-v1") < 0.2)
+    )
+    q = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (
+        samp.groupBy("event_type")
+        .agg(q.alias("__q"))
+        .select(
+            "event_type",
+            F.round(F.col("__q")[0], 4).alias("p50"),
+            F.round(F.col("__q")[1], 4).alias("p90"),
+            F.round(F.col("__q")[2], 4).alias("p99"),
+        )
+    )
+
+
+@register(
     "order_basket_hof_profile",
     oracle="""
         SELECT l_orderkey,
