@@ -957,3 +957,64 @@ def cosine_topk_ivfpq(
             "query_id", "neighbor_id", "rank", F.round("approx_cos", 6).alias("approx_cos")
         )
     )
+
+
+def semantic_bucket_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_bits: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup with a DETERMINISTIC partitioner:
+    bucket = the sign pattern of the first ``sign_bits`` embedding
+    coordinates, near-dup pairs searched only within a bucket.
+
+    The random-hyperplane LSH variant (``cosine_topk_lsh``) has better
+    bucket geometry but engine-derived projections make it rows-only
+    checkable; sign-signature bucketing is the portable twin — the
+    bucket function is plain SQL on the stored floats, so the whole
+    query has an exact DuckDB oracle. Same scale shape as LSH: an
+    equi-join on bucket replaces the all-pairs cross product (expected
+    candidate count N²/2^bits for centered data), and the per-pair
+    cosine is a codegen'd zip_with/aggregate fold — no Python, no
+    shuffle beyond the one bucket join.
+
+    Misses pairs that straddle a sign boundary (any single-bucket
+    scheme does); production composes multiple rotated sign tables
+    exactly like multi-table LSH. Returns (bucket, id_a, id_b,
+    cos_sim) with id_a < id_b.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0)
+    for i in range(sign_bits):
+        bucket = bucket + F.when(v[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    base = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), bucket.cast("bigint").alias("bucket")
+    )
+    a = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731 — sequential fold, oracle-ordered
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "cos_sim",
+            dot(F.col("va"), F.col("vb"))
+            / (
+                F.sqrt(dot(F.col("va"), F.col("va")))
+                * F.sqrt(dot(F.col("vb"), F.col("vb")))
+            ),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+    return pairs.select("bucket", "id_a", "id_b", "cos_sim")

@@ -1284,3 +1284,94 @@ def daily_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "interval_overlap_sessions",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id,
+                   CAST(date_trunc('microsecond', ts) AS TIMESTAMP) AS ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_seq
+            FROM flagged
+        ),
+        sess AS (
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM numbered GROUP BY user_id, session_seq
+        ),
+        win AS (
+            SELECT event_id AS window_id,
+                   ts - INTERVAL 15 MINUTE AS window_start,
+                   ts + INTERVAL 15 MINUTE AS window_end
+            FROM ev WHERE event_id % 199 = 0
+        )
+        SELECT window_id, window_start, window_end,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM win JOIN sess
+          ON window_start <= session_end AND session_start <= window_end
+        GROUP BY window_id, window_start, window_end
+    """,
+)
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large interval-overlap join (incident impact analysis):
+    ±15-min anomaly windows against per-user 30-min-gap session
+    intervals, counting overlapping sessions and distinct users per
+    window. The overlap predicate has NO equality key — Spark's native
+    plan would be BroadcastNestedLoopJoin, quadratic when neither side
+    broadcasts — so operators/intervals.py rewrites it as a time-
+    bucketed EQUI-join (explode into 30-min buckets, join on bucket,
+    exact-overlap re-check, once-per-pair emission in the
+    max-start bucket; no distinct). Shuffle volume is rows x
+    buckets-per-interval, linear at 100 TB."""
+    from gas_data_pipeline_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sess = (
+        sessionize(
+            ev,
+            key="user_id",
+            ts_col="ts",
+            gap_seconds=1800,
+            order_tiebreak="event_id",
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    win = ev.filter(F.col("event_id") % 199 == 0).select(
+        F.col("event_id").alias("window_id"),
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("window_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("window_end"),
+    )
+    pairs = interval_overlap_join(
+        win,
+        sess,
+        left_span=("window_start", "window_end"),
+        right_span=("session_start", "session_end"),
+        bucket_seconds=1800,
+    )
+    return pairs.groupBy("window_id", "window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )

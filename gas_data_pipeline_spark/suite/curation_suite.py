@@ -550,3 +550,50 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return domain_cap(docs, domain_col="source", k=15, quality_col="n_chars")
+
+
+@register(
+    "curation_quality_percentile",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, n_words,
+                   round(percent_rank() OVER (
+                       PARTITION BY source ORDER BY n_words DESC, doc_id
+                   ), 6) AS pct_rank
+            FROM scored
+        )
+        SELECT doc_id, source, n_words, pct_rank
+        FROM ranked WHERE pct_rank <= 0.5
+    """,
+)
+def curation_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality filtering: keep each domain's top half by word
+    count rather than an absolute threshold — the fair-across-domains
+    cut (an absolute rule starves short-form domains; the percentile
+    adapts per source). Complements curation_quality_rules (absolute
+    gates) and curation_domain_cap (absolute count cap). One shuffle
+    on the domain key; percent_rank over a UNIQUE ordering
+    (score desc, doc_id) so ranks — and the oracle — are exactly
+    deterministic. At 100 TB domains are large and the per-domain sort
+    is the whole cost; skewed domains split under AQE because nothing
+    here needs single-partition order."""
+    from pyspark.sql.window import Window
+
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    docs = spread_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    n_words = F.size(F.filter(tokenize(F.col("text")), is_word)).cast("bigint")
+    scored = docs.select("doc_id", "source", n_words.alias("n_words"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_words").desc(), F.col("doc_id")
+    )
+    return scored.withColumn(
+        "pct_rank", F.round(F.percent_rank().over(w), 6)
+    ).filter(F.col("pct_rank") <= 0.5)

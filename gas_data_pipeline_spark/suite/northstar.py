@@ -1065,3 +1065,98 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_pretoken_count(F.col("text")).alias("n_bpe_pretokens"),
         stats["n_chars"].alias("n_chars"),
     )
+
+
+_SIGN_BITS = 4
+_SIGN_SIG_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SIGN_BITS)
+)
+
+
+@register(
+    "dedup_semantic_buckets",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   CAST({_SIGN_SIG_SQL} AS BIGINT) AS bucket
+            FROM embeddings
+        )
+        SELECT a.bucket AS bucket, a.vec_id AS id_a, c.vec_id AS id_b,
+               list_dot_product(a.v, c.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE list_dot_product(a.v, c.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(c.v, c.v))) >= 0.4
+    """,
+)
+def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 semantic dedup, exact-oracle twin of the LSH family:
+    sign-signature buckets (first 4 coordinates) prune the pair space
+    16x, per-pair cosine is a codegen'd zip_with/aggregate fold. The
+    deterministic-partitioner counterpart to ann_lsh_bucketed's
+    engine-derived random hyperplanes — same equi-join-instead-of-
+    cross-product scale shape, fully SQL-checkable."""
+    from gas_data_pipeline_spark.operators.similarity import (
+        semantic_bucket_near_dup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_bucket_near_dup(
+        emb, sign_bits=_SIGN_BITS, threshold=0.4
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+        WITH s AS (
+            SELECT lower(text) AS t FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+            SELECT substring(t, i, 2) AS pair
+            FROM s, LATERAL (
+                SELECT unnest(range(1, greatest(length(t), 1))) AS i
+            )
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM grams
+        WHERE regexp_full_match(pair, '[a-z]{2}')
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 tokenizer-training primitive: corpus-wide adjacent character
+    pair frequencies — the count step of the first BPE merge (the
+    inner loop of vocabulary induction is exactly this aggregate,
+    re-run per merge over the current symbol sequence). Narrow
+    transform/sequence/substring expansion (codegen, no Python), then
+    one map-side-combinable count shuffle; top-50 is a bounded
+    TakeOrderedAndProject, never a global sort. At 100 TB the explode
+    multiplies rows by average doc length — partial aggregation
+    collapses it to |alphabet|² partial rows per task before the
+    shuffle, so the wire cost is independent of corpus size."""
+    docs = spread_scan(
+        table(spark, sf_dir, "documents")
+        .select("text")
+        .filter(F.col("text").isNotNull())
+    )
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(text)) - 1, 1)),"
+                " i -> substring(lower(text), i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.filter(F.col("pair").rlike("^[a-z]{2}$"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(50)
+    )
