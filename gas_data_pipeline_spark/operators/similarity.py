@@ -989,17 +989,28 @@ def semantic_bucket_near_dup(
     bucket = F.lit(0)
     for i in range(sign_bits):
         bucket = bucket + F.when(v[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    base = df.select(
-        F.col(id_col).alias("id"), v.alias("v"), bucket.cast("bigint").alias("bucket")
+    dot = lambda x, y: F.aggregate(  # noqa: E731 — sequential fold, oracle-ordered
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
     )
-    a = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    # Per-ROW norm, folded once per vector — the per-pair expression is
+    # then a single dot fold, not three (sqrt of the same sequential
+    # fold the oracle computes, so values are identical).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        bucket.cast("bigint").alias("bucket"),
+    ).withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = base.select(
+        "bucket",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
     b = base.select(
         F.col("bucket").alias("bucket_b"),
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
-    )
-    dot = lambda x, y: F.aggregate(  # noqa: E731 — sequential fold, oracle-ordered
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        F.col("nv").alias("nb"),
     )
     pairs = (
         a.join(
@@ -1009,11 +1020,7 @@ def semantic_bucket_near_dup(
         )
         .withColumn(
             "cos_sim",
-            dot(F.col("va"), F.col("vb"))
-            / (
-                F.sqrt(dot(F.col("va"), F.col("va")))
-                * F.sqrt(dot(F.col("vb"), F.col("vb")))
-            ),
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )

@@ -1103,7 +1103,10 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_bucket_near_dup,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    # spread_scan: the pair fold is CPU-heavy and a small embeddings
+    # parquet arrives as one split — without the spread the whole
+    # candidate set scores on a single core.
+    emb = spread_scan(table(spark, sf_dir, "embeddings"))
     return semantic_bucket_near_dup(
         emb, sign_bits=_SIGN_BITS, threshold=0.4
     )

@@ -307,3 +307,22 @@ def test_daily_downsample_is_single_agg_with_partials(spark):
     assert "Join" not in plan
     assert "partial_min_by" in plan or "partial_max_by" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_bpe_pair_counts_bounded_topk_with_partials(spark):
+    """Pair counting must partial-aggregate before its one count
+    shuffle (wire cost |alphabet|^2 per task, not corpus-sized) and
+    plan the top-50 as a bounded top-k, never a global sort."""
+    plan = _plan(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    # one keyed exchange (pair counts) + spread_scan's round-robin
+    assert plan.count("Exchange") <= 2
+
+
+def test_quality_percentile_single_domain_shuffle(spark):
+    """percent_rank per domain: one keyed exchange (the domain key);
+    the filter on the rounded rank stays above the window, no join."""
+    plan = _plan(spark, "curation_quality_percentile")
+    assert "Join" not in plan
+    assert plan.lower().count("hashpartitioning") == 1
