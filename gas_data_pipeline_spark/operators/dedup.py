@@ -767,7 +767,15 @@ def jaccard_pairs_bitset_gemm(
         F.col("counts").alias("counts_b"),
         F.col("words").alias("words_b"),
     )
-    paired = a.join(b, F.col("block_a") <= F.col("block_b"))
+    # One task per block pair: the join output is P(P+1)/2 tiny-byte /
+    # heavy-CPU rows, and AQE's size-based coalescing would pack them
+    # onto 1-2 tasks (measured: 2 tasks for 36 pairs). The explicit
+    # round-robin costs a few MB of packed matrices and buys full
+    # fan-out of the popcount GEMM.
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    paired = a.join(b, F.col("block_a") <= F.col("block_b")).repartition(
+        n_pairs
+    )
     thr = float(threshold)
     w_width = width
 

