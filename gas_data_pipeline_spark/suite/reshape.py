@@ -318,7 +318,9 @@ def pivot_long_to_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     are DECLARED (not discovered), so Spark skips the extra
     distinct-scan job and plans a single hash aggregate with the pivot
     expressions as map-side combinable aggregates."""
-    li = spread_scan(table(spark, sf_dir, "lineitem"))
+    # melt_numeric spreads its narrow projection internally — no outer
+    # spread_scan (that would round-robin the full-width scan twice).
+    li = table(spark, sf_dir, "lineitem")
     long = melt_numeric(li, id_cols=["l_orderkey", "l_linenumber"])
     renames = {
         "l_quantity": "qty",

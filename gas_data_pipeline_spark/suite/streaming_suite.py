@@ -431,3 +431,105 @@ def stream_lookback_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(silver).select(
         "series_id", "observation_time", "value"
     )
+
+
+@register(
+    "stream_gie_delete_reload",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS obs_date,
+                   user_id AS series_id,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        mx AS (SELECT max(obs_date) AS now_day FROM daily)
+        SELECT CAST(d.obs_date AS TIMESTAMP) AS obs_date,
+               d.series_id, d.n_obs, d.sum_value
+        FROM daily d, mx
+        WHERE d.obs_date <> now_day - 10
+    """,
+)
+def stream_gie_delete_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK4∘ST3 (the reference's GIE job as a stream): two real
+    micro-batches of lookback-window snapshots delete-reload a
+    date-partitioned table, and the FINAL TABLE STATE is the checked
+    value. Snapshot A carries only half the events over the full
+    10-day window (a provisional early poll); snapshot B carries the
+    full data but omits the window's oldest day. Correct delete-reload
+    therefore leaves: untouched pre-window history, B's full values on
+    every later window day (A's provisional values REPLACED), and NO
+    row for the omitted day (A's rows DELETED — a mere upsert would
+    leave them and fail the oracle). Deterministic: 'now' is the max
+    event day, each snapshot is one file, and each AvailableNow run
+    consumes exactly the one new file recorded by the checkpoint."""
+    import os
+
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.streaming.incremental import (
+        run_gie_delete_reload,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="gas_stream_gie_")
+    target = os.path.join(scratch, "daily")
+    ckpt = os.path.join(scratch, "ckpt")
+    src = os.path.join(scratch, "incoming")
+    os.makedirs(src)
+
+    ev = table(spark, sf_dir, "events")
+
+    def daily_of(events: DataFrame) -> DataFrame:
+        return events.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("obs_date"),
+            F.col("user_id").alias("series_id"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    daily = daily_of(ev)
+    now_day = daily.agg(F.max("obs_date")).first()[0]  # 1-value stats action
+    cutoff = F.date_sub(F.lit(now_day), 10)
+
+    # Seed the out-of-window history the stream must never touch.
+    (
+        daily.filter(F.col("obs_date") < cutoff)
+        .repartition(F.col("obs_date"))
+        .write.partitionBy("obs_date")
+        .parquet(target)
+    )
+
+    def drop_snapshot(df: DataFrame, name: str) -> None:
+        stage = os.path.join(scratch, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(stage)
+
+    snap_schema = "obs_date date, series_id bigint, n_obs bigint, sum_value double"
+
+    def snapshot_stream() -> DataFrame:
+        return spark.readStream.schema(snap_schema).parquet(src)
+
+    # Batch 1: provisional poll — half the events, full window.
+    drop_snapshot(
+        daily_of(ev.filter(F.col("event_id") % 2 == 0)).filter(
+            F.col("obs_date") >= cutoff
+        ),
+        "b0",
+    )
+    run_gie_delete_reload(snapshot_stream(), target, ckpt, now=now_day)
+    # Batch 2: authoritative poll — full data, oldest window day gone.
+    drop_snapshot(daily.filter(F.col("obs_date") > cutoff), "b1")
+    run_gie_delete_reload(snapshot_stream(), target, ckpt, now=now_day)
+
+    return spark.read.parquet(target).select(
+        # DATE internally (clean partition dirs); TIMESTAMP on the
+        # wire so both engines render the column identically.
+        F.col("obs_date").cast("timestamp").alias("obs_date"),
+        "series_id",
+        "n_obs",
+        "sum_value",
+    )
