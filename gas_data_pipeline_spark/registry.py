@@ -82,7 +82,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "quality_expectations",
     "limit_offset_pagination",
     "union_by_name_harmonized",
-    "stream_lookback_upsert",
+    # ST3 slot: stream_lookback_upsert earned its driver row in r3;
+    # the slot now proves the SNK4∘ST3 composition (round-4 addition,
+    # never driver-checked; lookback upsert stays in the parity gate).
+    "stream_gie_delete_reload",
     "sql_topn_revenue_report",
     "series_id_slug",
     "date_chunk_fanout",
