@@ -243,6 +243,77 @@ def seeded_shuffle_rank(
     )
 
 
+def token_budget_select(
+    docs: DataFrame,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy token-budget corpus selection: walk documents in quality
+    order (``score`` desc, id asc) and keep each document whose
+    INCLUSIVE running token total still fits ``budget`` — the
+    "best docs first until we have N training tokens" cut every
+    mixture plan ends in.
+
+    The running total is a global prefix sum, which a naive window
+    computes on a single partition — the one shape that cannot scale.
+    Same regime as :func:`seeded_shuffle_rank`: carve the score range
+    into ``n_buckets`` contiguous slabs using a broadcast (min, max)
+    stats row, aggregate per-slab token sums (an <=n_buckets-row
+    object, windowed into prefix offsets on the driver-sized side),
+    and add an ordinary within-slab running sum. Every sort touches
+    1/n_buckets of the corpus; the only full-data shuffle is the slab
+    hash partition. Value skew makes slabs uneven but never wrong —
+    AQE splits an oversized slab's sort. Adds ``cum_tokens`` and
+    ``selected`` to the input columns."""
+    sc, idc = F.col(score_col), F.col(id_col)
+    bounds = docs.agg(
+        F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo")
+    # Descending score -> ascending slab id, ties share a slab (the
+    # slab is a pure function of the score value).
+    bucket = F.when(
+        span > 0,
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("_hi") - sc) / span * n_buckets).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    keyed = (
+        docs.crossJoin(F.broadcast(bounds))
+        .withColumn("_bkt", bucket)
+        .drop("_lo", "_hi")
+    )
+    per = keyed.groupBy("_bkt").agg(F.sum(tokens_col).alias("_t"))
+    offsets = per.select(
+        "_bkt",
+        (
+            F.sum("_t").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("_t")
+        ).alias("_off"),
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(sc.desc(), idc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = keyed.withColumn("_run", F.sum(tokens_col).over(w))
+    cum = (F.col("_off") + F.col("_run")).cast("bigint")
+    return (
+        run.join(F.broadcast(offsets), "_bkt")
+        .withColumn("cum_tokens", cum)
+        .withColumn("selected", F.col("cum_tokens") <= F.lit(int(budget)))
+        .drop("_bkt", "_run", "_off")
+    )
+
+
 def uniform_draw(id_col: Column, seed: str) -> Column:
     """Deterministic uniform [0,1) draw from md5(seed, id): the first
     13 hex chars are 52 bits, exact in a double. DuckDB reproduces it

@@ -136,6 +136,104 @@ def span_dedup_exact(
     )
 
 
+def remove_repeated_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_doc_freq: int = 3,
+) -> DataFrame:
+    """X1 cross-document repeated-n-gram removal (exact substring
+    dedup a la Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): any word ``n``-gram that occurs in at
+    least ``min_doc_freq`` DISTINCT documents is treated as corpus
+    boilerplate, and every word position it covers is removed from
+    every document; the surviving words are re-joined in order.
+
+    Complements :func:`span_dedup_exact`, which chunks on aligned
+    20-word boundaries and so misses repeats that straddle a chunk
+    edge or sit at different offsets — the sliding n-gram scan here
+    catches a repeated passage at ANY offset, at the cost of an
+    n-fold occurrence fan-out.
+
+    Returns one row per input document: ``n_words``, ``n_removed``,
+    ``clean_text`` (empty string when every word was covered).
+
+    Scale shape: the text column never rides a shuffle. Occurrences
+    shrink to ``(id, pos, xxhash64(gram))`` triples before the
+    doc-frequency aggregate (map-side-combinable count-distinct on the
+    gram hash); flagged grams are by definition few-distinct/high-
+    frequency, so the occurrence->flagged join broadcasts under AQE,
+    and the per-doc flagged-start sets come back to the full corpus as
+    a second small broadcast join. Position filtering and text
+    reassembly are per-row higher-order functions — no explode of the
+    surviving words, no re-aggregation of text."""
+    words_expr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def gram_hashes(ws: Column) -> Column:
+        # sequence(1, k) DESCENDS for k < 1 (same guard as
+        # word_shingles): docs shorter than n words emit no grams.
+        k = F.size(ws) - F.lit(n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ", *[F.element_at(ws, i + j) for j in range(n)]
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    occ = df.select(
+        F.col(id_col).alias("_rid"),
+        F.posexplode(bind(words_expr, gram_hashes)).alias("pos", "gh"),
+    )
+    flagged = (
+        occ.groupBy("gh")
+        .agg(F.count_distinct("_rid").alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("gh")
+    )
+    starts = (
+        occ.join(flagged, "gh")
+        .groupBy("_rid")
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    joined = df.join(starts, df[id_col] == starts["_rid"], "left").drop("_rid")
+    cov_expr = F.coalesce(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("_starts"), lambda s: F.sequence(s, s + F.lit(n - 1))
+                )
+            )
+        ),
+        F.array().cast("array<int>"),
+    )
+
+    def final_cols(ws: Column, cov: Column) -> Column:
+        return bind(
+            F.filter(ws, lambda w, i: ~F.array_contains(cov, i)),
+            lambda kept: F.struct(
+                F.size(ws).cast("bigint").alias("n_words"),
+                (F.size(ws) - F.size(kept)).cast("bigint").alias("n_removed"),
+                F.array_join(kept, " ").alias("clean_text"),
+            ),
+        )
+
+    packed = joined.select(
+        F.col(id_col),
+        bind(
+            words_expr, lambda ws: bind(cov_expr, lambda cov: final_cols(ws, cov))
+        ).alias("_r"),
+    )
+    return packed.select(
+        id_col, "_r.n_words", "_r.n_removed", "_r.clean_text"
+    )
+
+
 def _df_cap_count(inv: DataFrame, max_doc_frequency: int | float) -> int:
     """Resolve a df cap given either an absolute posting-length bound
     (int >= 1) or a corpus fraction (0 < f < 1, cap = ceil(f * n_docs),

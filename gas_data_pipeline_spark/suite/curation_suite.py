@@ -597,3 +597,64 @@ def curation_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "pct_rank", F.round(F.percent_rank().over(w), 6)
     ).filter(F.col("pct_rank") <= 0.5)
+
+
+_TOKEN_BUDGET = 25_000
+
+
+@register(
+    "curation_token_budget",
+    oracle=rf"""
+        WITH scored AS (
+            SELECT doc_id,
+                   round(len(list_distinct(ws)) / len(ws), 6) AS quality,
+                   CAST(len(regexp_extract_all(
+                       text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[\p{{L}}]+| ?[\p{{N}}]+| ?[^\s\p{{L}}\p{{N}}]+|\s+',
+                       0)) AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+                  FROM documents)
+        ),
+        sel AS (
+            SELECT doc_id, quality, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY quality DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens
+            FROM scored
+        )
+        SELECT doc_id, quality, n_tokens, cum_tokens,
+               cum_tokens <= {_TOKEN_BUDGET} AS selected
+        FROM sel
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection: score every document by
+    vocabulary diversity (distinct-word ratio — the cheap repetition
+    penalty), cost it in BPE pre-tokens, and greedily keep the best
+    documents until the inclusive running total exceeds the training
+    budget. The running total is a global prefix sum computed WITHOUT
+    a single-partition window: operators/curation.token_budget_select
+    slabs the score range via a broadcast (min, max) stats row,
+    prefix-sums the <=64-row per-slab totals, and windows only within
+    slabs (the seeded_shuffle_rank regime). Oracle: the naive global
+    window, which DuckDB can afford at oracle scale."""
+    from gas_data_pipeline_spark.functions.exprs import bind
+    from gas_data_pipeline_spark.operators.curation import token_budget_select
+    from gas_data_pipeline_spark.operators.text import bpe_pretoken_count
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    quality = bind(
+        words,
+        lambda ws: F.round(F.size(F.array_distinct(ws)) / F.size(ws), 6),
+    )
+    scored = docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        bpe_pretoken_count(F.col("text")).alias("n_tokens"),
+    )
+    return token_budget_select(
+        scored, "doc_id", "quality", "n_tokens", budget=_TOKEN_BUDGET
+    ).select("doc_id", "quality", "n_tokens", "cum_tokens", "selected")

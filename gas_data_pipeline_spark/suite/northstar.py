@@ -133,6 +133,90 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_exact(table(spark, sf_dir, "documents"), "doc_id", "text", 20)
 
 
+_BOILER = "subscribe to our newsletter terms of service apply today"
+_BOILER_SQL = f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN '{_BOILER} ' || text
+                    ELSE text END AS text
+        FROM documents
+"""
+
+
+@register(
+    "dedup_repeated_ngrams",
+    oracle=rf"""
+        WITH docs AS ({_BOILER_SQL}),
+        w AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+            FROM docs
+        ),
+        occ AS (
+            SELECT doc_id, CAST(x - 1 AS INTEGER) AS pos,
+                   array_to_string(ws[x : x + 4], ' ') AS gram
+            FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) t(x)
+        ),
+        flagged AS (
+            SELECT gram FROM occ GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 5
+        ),
+        cov AS (
+            SELECT DISTINCT o.doc_id, CAST(p AS INTEGER) AS cp
+            FROM occ o JOIN flagged f USING (gram),
+                 UNNEST(range(o.pos, o.pos + 5)) u(p)
+        ),
+        toks AS (
+            SELECT doc_id, CAST(x - 1 AS INTEGER) AS pos, ws[x] AS word
+            FROM w, UNNEST(range(1, len(ws) + 1)) t(x)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.word
+            FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cp
+            WHERE c.doc_id IS NULL
+        ),
+        agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(word, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(len(w.ws) AS BIGINT) AS n_words,
+               CAST(len(w.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+               sha256(coalesce(a.clean_text, '')) AS clean_sha
+        FROM w LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 cross-document repeated-n-gram removal (Lee et al. 2021
+    exact substring dedup): word 5-grams occurring in >=5 distinct
+    documents are boilerplate; every covered word position is stripped
+    and the text reassembled in order. A 9-word site-template header
+    is planted on every fifth document (the synthetic corpus has no
+    natural >=5-doc repeats), so the pass must remove exactly the
+    header — including across its internal gram overlaps — while
+    keeping the header/body junction grams, which occur once each.
+    Sliding-offset complement to dedup_span_exact's aligned chunks.
+    Spark side: operators/dedup.remove_repeated_ngrams — only
+    (id, pos, xxhash64) triples shuffle, text never moves, the
+    position filter and reassembly are per-row HOFs."""
+    from gas_data_pipeline_spark.operators.dedup import remove_repeated_ngrams
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_BOILER + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    out = remove_repeated_ngrams(planted, "doc_id", "text", n=5, min_doc_freq=5)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_removed",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    )
+
+
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 n-gram Jaccard similarity join via inverted index (no N²

@@ -196,3 +196,83 @@ def test_mixture_apply_expected_copies_near_weight(spark):
     q = _q("curation_mixture_apply")(spark, SF_SMALL).toPandas()
     per_doc = q.groupby("doc_id").copy_num.max()
     assert per_doc.ge(1).all() and per_doc.le(3).all()
+
+
+def test_token_budget_matches_naive_global_window(spark):
+    """Slab-bucketed prefix sum == the naive single-partition window,
+    including on adversarial score distributions (heavy ties, skew)."""
+    import random
+
+    from gas_data_pipeline_spark.operators.curation import token_budget_select
+
+    rng = random.Random(7)
+    rows = [
+        # Ties across slab boundaries, zero-token docs, skewed scores.
+        (i, rng.choice([0.1, 0.25, 0.25, 0.5, 0.9, 0.9]), rng.randint(0, 40))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "n_tokens"])
+    got = (
+        token_budget_select(df, "doc_id", "score", "n_tokens", budget=3000, n_buckets=8)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    naive = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, expect = 0, {}
+    for did, _, tok in naive:
+        cum += tok
+        expect[did] = (cum, cum <= 3000)
+    assert [tuple(r) for r in got[["cum_tokens", "selected"]].itertuples(index=False)] == [
+        expect[d] for d in got.doc_id
+    ]
+    # Boundary inclusivity: the doc that lands exactly ON budget keeps.
+    df2 = spark.createDataFrame(
+        [(1, 2.0, 10), (2, 1.0, 5), (3, 0.5, 1)], ["doc_id", "score", "n_tokens"]
+    )
+    got2 = (
+        token_budget_select(df2, "doc_id", "score", "n_tokens", budget=15)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(got2.selected) == [True, True, False]
+
+
+def test_token_budget_degenerate_uniform_scores(spark):
+    """All-equal scores collapse to one slab: still exact, still a
+    well-defined (score desc, id) order."""
+    from gas_data_pipeline_spark.operators.curation import token_budget_select
+
+    df = spark.createDataFrame(
+        [(i, 1.0, 10) for i in range(20)], ["doc_id", "score", "n_tokens"]
+    )
+    got = (
+        token_budget_select(df, "doc_id", "score", "n_tokens", budget=100)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(got.cum_tokens) == [10 * (i + 1) for i in range(20)]
+    assert got.selected.sum() == 10
+
+
+def test_token_budget_no_full_data_global_window(spark):
+    """The only unpartitioned window runs over the <=n_buckets-row
+    offsets aggregate — corpus-sized data is always windowed within a
+    slab partition."""
+    from tests.conftest import SF_SMALL
+
+    import re
+
+    df = _q("curation_token_budget")(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    firsts = [
+        m.group(1).split(",")[0]
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+    ]
+    # A partitioned windowspec leads with a bare column (`_bkt#12`);
+    # an unpartitioned one leads with an ORDER spec (`col ASC ...`).
+    part = [s for s in firsts if " ASC" not in s and " DESC" not in s]
+    unpart = [s for s in firsts if s not in part]
+    assert part and all(s.startswith("_bkt") for s in part)
+    # The only unpartitioned window is the <=n_buckets-row offsets
+    # prefix sum, which orders by the slab id.
+    assert len(unpart) == 1 and unpart[0].startswith("_bkt")

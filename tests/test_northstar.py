@@ -633,3 +633,67 @@ def test_similarity_zero_vectors_and_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert cosine_topk(empty, emb.limit(1), k=2).count() == 0
+
+
+def test_remove_repeated_ngrams_python_recompute(spark):
+    """Spark output == a sequential Python recompute of the same
+    semantics on a corpus with overlapping repeats, partial coverage,
+    an all-boilerplate doc, and sub-n docs."""
+    from collections import Counter
+
+    from gas_data_pipeline_spark.operators.dedup import remove_repeated_ngrams
+
+    rows = [
+        (1, "A B C D E F unique one tail"),
+        (2, "x A B C D E F y z"),
+        (3, "p q A B C D E F r"),
+        (4, "A B C D E F"),          # nothing but the repeat
+        (5, "too short"),             # < n words: no grams, untouched
+        (6, "totally different words here okay then"),
+    ]
+    n, k = 5, 3
+    toks = {i: t.lower().split() for i, t in rows}
+    grams = {
+        i: [tuple(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+        for i, ws in toks.items()
+    }
+    df_count = Counter()
+    for i, gs in grams.items():
+        for g in set(gs):
+            df_count[g] += 1
+    flagged = {g for g, c in df_count.items() if c >= k}
+    expect = {}
+    for i, ws in toks.items():
+        cov = set()
+        for j, g in enumerate(grams[i]):
+            if g in flagged:
+                cov.update(range(j, j + n))
+        kept = [w for j, w in enumerate(ws) if j not in cov]
+        expect[i] = (len(ws), len(ws) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (
+        remove_repeated_ngrams(df, "doc_id", "text", n=n, min_doc_freq=k)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert [
+        (r.n_words, r.n_removed, r.clean_text) for r in got.itertuples()
+    ] == [expect[i] for i in sorted(expect)]
+    # The shared 6-word run holds two overlapping flagged 5-grams;
+    # coverage must union them (6 words removed, not 5 or 10).
+    assert expect[1][1] == 6 and expect[4] == (6, 6, "")
+
+
+def test_remove_repeated_ngrams_text_never_shuffles(spark):
+    """The text column must not ride any Exchange: every shuffle input
+    carries only (id, pos, hash) triples or per-doc start sets."""
+    from gas_data_pipeline_spark.registry import all_queries
+
+    df = all_queries()["dedup_repeated_ngrams"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        args = seg.split(")")[0]
+        assert "text#" not in args
+    # Reassembly is HOF projection — no collect_list re-aggregation.
+    assert "collect_list" not in plan
