@@ -86,3 +86,45 @@ def expectation_metrics(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+def referential_integrity_audit(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table FK health: for each edge ``(name, child, fk_col,
+    parent, pk_col)`` report how many child rows reference a missing
+    parent. The single-table rules above can't see this — it is the
+    join-level analogue of the null/range expectations, and at corpus
+    scale it's how silent upstream deletes and partial loads surface.
+
+    Returns one row per edge: ``edge, n_child, n_null_fk, n_orphans,
+    orphan_rate`` (null FKs are counted separately, NOT as orphans —
+    an optional relationship is not a broken one).
+
+    Scale shape: per edge, the child's FK column (alone — nothing
+    wider rides the shuffle) left-joins the parent's distinct PK and
+    collapses into a one-row aggregate; the edges' one-row results
+    union. Parent key sets broadcast under AQE when they fit; the
+    audit never materializes row-level output."""
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        p = parent.select(F.col(pk).alias("_pk")).distinct()
+        j = child.select(F.col(fk).alias("_fk")).join(
+            p, F.col("_fk") == F.col("_pk"), "left"
+        )
+        agg = j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.col("_fk").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_null_fk"),
+            F.sum((F.col("_fk").isNotNull() & F.col("_pk").isNull()).cast("int"))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+        parts.append(agg.select(F.lit(name).alias("edge"), "*"))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.withColumn(
+        "orphan_rate", F.round(F.col("n_orphans") / F.col("n_child"), 6)
+    )

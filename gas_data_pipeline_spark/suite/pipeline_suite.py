@@ -266,3 +266,126 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_not_null": F.col("ts").isNotNull(),
     }
     return expectation_metrics(e, rules)
+
+
+@register(
+    "snapshot_diff_cdc",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 7 <> 0
+        ),
+        v2 AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM orders WHERE o_orderkey % 11 <> 0
+        ),
+        j AS (
+            SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   a.o_orderkey IS NULL AS ins, b.o_orderkey IS NULL AS del,
+                   CAST((a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                      AS INTEGER)
+                   + CAST((a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                      AS INTEGER)
+                   + CAST((a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+                      AS INTEGER) AS nc
+            FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey)
+        )
+        SELECT o_orderkey,
+               CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               CAST(CASE WHEN ins OR del THEN 0 ELSE nc END AS BIGINT)
+                 AS n_changed_cols
+        FROM j WHERE ins OR del OR nc > 0
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC derived from two full snapshots — the inverse of
+    the upsert/delete-reload write paths: yesterday's orders (v1)
+    vs today's (v2, with rows added, dropped, and repriced) diff to
+    the exact insert/delete/update feed with per-row changed-column
+    counts. pipeline/diff.snapshot_diff: one full-outer key join,
+    column-wise null-safe compare, churn-sized output. The %5 /
+    %7 / %11 carvings guarantee every change type appears and
+    overlap (a repriced row that is also new counts as insert)."""
+    from gas_data_pipeline_spark.pipeline.diff import snapshot_diff
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 7 != 0)
+    v2 = orders.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(v1, v2, ["o_orderkey"])
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+        WITH parents AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0),
+        e1 AS (
+            SELECT 'orders.custkey->customer' AS edge,
+                   CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_null_fk,
+                   CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND p.c_custkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+            FROM orders o LEFT JOIN parents p ON o.o_custkey = p.c_custkey
+        ),
+        e2 AS (
+            SELECT 'lineitem.orderkey->orders', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+        ),
+        e3 AS (
+            SELECT 'lineitem.partkey->part', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+              ON l.l_partkey = p.p_partkey
+        ),
+        u AS (
+            SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+        )
+        SELECT edge, n_child, n_null_fk, n_orphans,
+               round(n_orphans / n_child, 6) AS orphan_rate
+        FROM u
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 at the join level: FK orphan audit across the star schema.
+    The customer side is carved to every-10th-key-missing so the
+    orders edge MUST report ~10% orphans while the lineitem edges
+    report zero — a silent-upstream-delete detector with a known
+    planted answer. pipeline/expectations.referential_integrity_audit:
+    per edge only the FK column shuffles, each edge collapses to one
+    row before the union."""
+    from gas_data_pipeline_spark.pipeline.expectations import (
+        referential_integrity_audit as ri_audit,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    parents = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 != 0
+    )
+    part = table(spark, sf_dir, "part")
+    return ri_audit(
+        [
+            ("orders.custkey->customer", orders, "o_custkey", parents, "c_custkey"),
+            ("lineitem.orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem.partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+        ]
+    )

@@ -865,3 +865,45 @@ def test_expectations_split_and_null_semantics(spark):
     assert int(m.loc["value_positive", "n_violations"]) == 2
     assert int(m.loc["tag_known", "n_violations"]) == 1
     assert (m["n_rows"] == 4).all()
+
+
+def test_snapshot_diff_change_types_and_null_safety(spark):
+    """insert/delete/update classified; unchanged rows absent;
+    null->value is a change, null->null is not; a column only in the
+    new snapshot is ignored (schema drift never false-positives)."""
+    from gas_data_pipeline_spark.pipeline.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "c", 31.0), (4, "x", 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    ).withColumn("extra", F.lit("drift"))
+    got = {
+        r.k: (r.change_type, r.n_changed_cols)
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        1: ("delete", 0),
+        3: ("update", 1),
+        4: ("update", 1),  # null -> 'x' IS a change
+        5: ("insert", 0),
+    }  # 2 unchanged (null == null under eqNullSafe) and absent
+
+
+def test_referential_integrity_audit_nulls_not_orphans(spark):
+    from gas_data_pipeline_spark.pipeline.expectations import (
+        referential_integrity_audit,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,), (None,)], "fk long"
+    )
+    row = referential_integrity_audit(
+        [("e", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert (row.n_child, row.n_null_fk, row.n_orphans) == (5, 1, 1)
+    assert row.orphan_rate == 0.2
