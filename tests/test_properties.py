@@ -359,3 +359,49 @@ def test_span_dedup_matches_python_recompute(spark, docs):
     for r in got.itertuples():
         n_spans, n_kept, cleaned = expect[r.doc_id]
         assert (r.n_spans, r.n_kept, r.cleaned_text) == (n_spans, n_kept, cleaned)
+
+
+@given(
+    old=st.dictionaries(
+        st.integers(0, 15), st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        max_size=12,
+    ),
+    new=st.dictionaries(
+        st.integers(0, 15), st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_apply_reconstructs_new(spark, old, new):
+    """CDC soundness: applying the derived change feed to the old
+    snapshot reproduces the new snapshot exactly, for ANY pair of
+    overlapping keyed states (collisions force updates, disjoint keys
+    force inserts/deletes, identical values force absence)."""
+    from gas_data_pipeline_spark.pipeline.diff import snapshot_diff
+
+    schema = "k long, a long, b long"
+    old_df = spark.createDataFrame(
+        [(k, *v) for k, v in old.items()], schema
+    )
+    new_df = spark.createDataFrame(
+        [(k, *v) for k, v in new.items()], schema
+    )
+    diff = {
+        r.k: r.change_type for r in snapshot_diff(old_df, new_df, ["k"]).collect()
+    }
+    # Apply: delete removes, insert/update take the new row.
+    applied = {
+        k: v for k, v in old.items() if diff.get(k) not in ("delete", "update")
+    }
+    applied.update(
+        {k: new[k] for k, t in diff.items() if t in ("insert", "update")}
+    )
+    assert applied == new
+    # Minimality: every reported change is a real difference.
+    for k, t in diff.items():
+        if t == "insert":
+            assert k in new and k not in old
+        elif t == "delete":
+            assert k in old and k not in new
+        else:
+            assert old[k] != new[k]
