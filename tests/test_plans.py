@@ -329,3 +329,23 @@ def test_quality_percentile_single_domain_shuffle(spark):
     plan = _plan(spark, "curation_quality_percentile")
     assert "Join" not in plan
     assert plan.lower().count("hashpartitioning") == 1
+
+
+def test_snapshot_diff_one_keyed_join_no_nested_loop(spark):
+    """The CDC derivation is exactly one key-partitioned full-outer
+    join (full outer can't broadcast) — never a nested-loop or
+    cartesian plan, and the change filter adds no extra shuffle."""
+    plan = _plan(spark, "snapshot_diff_cdc")
+    assert plan.count("SortMergeJoin") == 1
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_referential_integrity_audit_broadcasts_parents(spark):
+    """Every FK edge probes a broadcast of the parent's distinct key
+    set; child tables are never shuffled by the FK."""
+    plan = _plan(spark, "referential_integrity_audit")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoop" not in plan
