@@ -106,6 +106,25 @@ def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
                 c = c.withColumn(kcol, (F.col(kcol) + F.lit(off)).cast(
                     df.schema[kcol].dataType
                 ))
+            # Content-keyed joins (minhash bands, shingle postings) see
+            # CONTENT, not keys: verbatim text copies would hand every
+            # doc factor-1 identical twins and the twin pairs alone
+            # grow ~factor^2 — a false superlinear signal the key salt
+            # can't prevent. Word-prefixing copy i makes its shingles
+            # disjoint from every other copy while preserving
+            # within-copy near-dup structure: factor independent
+            # corpora of the same shape, which is the probe's premise.
+            if t == "documents" and i > 0:
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(F.lit(f"c{i}"), w),
+                        ),
+                        " ",
+                    ),
+                )
             copies.append(c)
         # Single FILE named <t>.parquet, mirroring the testdata layout —
         # consumers (pathGlobFilter streams, the catalog) expect a file,

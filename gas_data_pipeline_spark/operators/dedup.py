@@ -157,7 +157,9 @@ def remove_repeated_ngrams(
     n-fold occurrence fan-out.
 
     Returns one row per input document: ``n_words``, ``n_removed``,
-    ``clean_text`` (empty string when every word was covered).
+    ``clean_text`` (empty string when every word was covered; null
+    text degrades to ``(0, 0, '')`` rather than poisoning downstream
+    token accounting with NULLs).
 
     Scale shape: the text column never rides a shuffle. Occurrences
     shrink to ``(id, pos, xxhash64(gram))`` triples before the
@@ -168,7 +170,10 @@ def remove_repeated_ngrams(
     a second small broadcast join. Position filtering and text
     reassembly are per-row higher-order functions — no explode of the
     surviving words, no re-aggregation of text."""
-    words_expr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words_expr = F.coalesce(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        F.array().cast("array<string>"),
+    )
 
     def gram_hashes(ws: Column) -> Column:
         # sequence(1, k) DESCENDS for k < 1 (same guard as
@@ -234,17 +239,20 @@ def remove_repeated_ngrams(
     )
 
 
-def _df_cap_count(inv: DataFrame, max_doc_frequency: int | float) -> int:
+def _df_cap_count(doc_ids: DataFrame, max_doc_frequency: int | float) -> int:
     """Resolve a df cap given either an absolute posting-length bound
-    (int >= 1) or a corpus fraction (0 < f < 1, cap = ceil(f * n_docs),
-    costing one distinct-count job)."""
+    (int >= 1) or a corpus fraction (0 < f < 1, cap = ceil(f * n_docs)).
+    ``doc_ids`` is the PRE-explode one-column id frame, so the sizing
+    job is a column-pruned distinct count that never evaluates the
+    shingle explode (zero-shingle docs count toward the corpus size —
+    the fraction is of the corpus, not of the posting stream)."""
     if isinstance(max_doc_frequency, float):
         if not 0 < max_doc_frequency < 1:
             raise ValueError(
                 "fractional max_doc_frequency must be in (0,1), got "
                 f"{max_doc_frequency}"
             )
-        n_docs = inv.select("id").distinct().count()
+        n_docs = doc_ids.distinct().count()
         return max(1, math.ceil(n_docs * max_doc_frequency))
     if max_doc_frequency < 1:
         raise ValueError(
@@ -274,6 +282,15 @@ def _drop_capped_shingles(inv: DataFrame, cap: int) -> DataFrame:
     documented 64-bit hash-collision epsilon) — rather than joining a
     per-doc dropped-count table back, which in a web corpus is ~every
     doc (stopwords are everywhere) and must never be a broadcast.
+
+    The posting stream IS evaluated twice in this one job (the df
+    aggregate side and the anti-join probe side — Spark shares no
+    common subplan). Deliberate: the cap must run BEFORE the posting
+    groupBy (a stopword posting materialized as one collect_list array
+    is exactly the failure being guarded), and the df-aggregate side
+    is column-pruned to the bare shingle key with map-side partials, so
+    the second evaluation ships (key, count) pairs, not the stream.
+    Callers whose shingle expression dominates can persist it upstream.
     """
     stop = (
         inv.groupBy("shingle")
@@ -331,7 +348,7 @@ def jaccard_pairs_inverted_index(
     )
     if max_doc_frequency is not None:
         inv = _drop_capped_shingles(
-            inv, _df_cap_count(inv, max_doc_frequency)
+            inv, _df_cap_count(base.select("id"), max_doc_frequency)
         )
     # Posting-list pair generation instead of a self-join (which would
     # re-evaluate the shingle explode on both sides — no common-subplan
@@ -1202,7 +1219,10 @@ def incremental_dedup(
             pb.select(F.col("id_ex").alias("id"), "g")
         )
         cap = _df_cap_count(
-            grams.withColumnRenamed("g", "shingle"), max_doc_frequency
+            survivors.select(F.col(id_col).alias("id")).unionByName(
+                existing.select(F.col(id_col).alias("id"))
+            ),
+            max_doc_frequency,
         )
         stop = (
             grams.groupBy("g")

@@ -441,18 +441,31 @@ def _kmeans_centroids_distributed(
     train_sample: int,
     seed: int = 42,
     n_iters: int = 10,
+    train: DataFrame | None = None,
 ) -> np.ndarray:
     """Large-regime centroid training: ``pyspark.ml.clustering.KMeans``
     (k-means|| init, seeded) over the hash-strided normalized training
     set. Only the (k, dim) centroid matrix returns to the driver;
     centroids re-normalize to the unit sphere so assignment stays the
-    same max-dot-product the numpy path uses."""
+    same max-dot-product the numpy path uses. ``train`` lets a caller
+    that also trains PQ codebooks (IVF+PQ) pass ONE shared — ideally
+    cached — training frame instead of re-deriving it."""
     from pyspark.ml.clustering import KMeans
 
-    train = _distributed_training_rows(corpus, id_col, vec_col, train_sample)
-    model = KMeans(
-        k=n_clusters, seed=seed, maxIter=n_iters, featuresCol="__feat"
-    ).fit(train)
+    own = train is None
+    if own:
+        # Cache: k-means|| init + n_iters Lloyd steps each re-read the
+        # training rows; uncached that is a corpus re-scan per pass.
+        train = _distributed_training_rows(
+            corpus, id_col, vec_col, train_sample
+        ).cache()
+    try:
+        model = KMeans(
+            k=n_clusters, seed=seed, maxIter=n_iters, featuresCol="__feat"
+        ).fit(train)
+    finally:
+        if own:
+            train.unpersist()
     C = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
     return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
@@ -466,18 +479,21 @@ def _pq_codebooks_distributed(
     train_sample: int,
     seed: int = 42,
     n_iters: int = 15,
+    train: DataFrame | None = None,
 ) -> np.ndarray:
     """Large-regime PQ codebooks: one distributed L2 KMeans per
     subspace over slices of the (full-vector-)normalized training set —
     the same objective as ``train_pq_codebooks``, with the Lloyd loop
     on the cluster. The training set is cached once and re-sliced m
-    times; only m*(n_codes, dim/m) codebook floats reach the driver."""
+    times; only m*(n_codes, dim/m) codebook floats reach the driver.
+    ``train``: optional shared training frame, as in
+    ``_kmeans_centroids_distributed``."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    train = _distributed_training_rows(
-        corpus, id_col, vec_col, train_sample
-    ).select(vector_to_array(F.col("__feat")).alias("__arr"))
+    if train is None:
+        train = _distributed_training_rows(corpus, id_col, vec_col, train_sample)
+    train = train.select(vector_to_array(F.col("__feat")).alias("__arr"))
     train = train.cache()
     try:
         d = train.select(F.size("__arr").alias("d")).first()["d"]
@@ -899,12 +915,24 @@ def cosine_topk_ivfpq(
             train_sample,
             driver_train_bound,
         )
-        centroids = _kmeans_centroids_distributed(
-            corpus, id_col, vec_col, n_clusters, train_sample, seed=seed
-        )
-        books = _pq_codebooks_distributed(
-            corpus, id_col, vec_col, m, n_codes, train_sample, seed=seed
-        )
+        # Both trainers consume ONE cached training frame: the corpus
+        # count + hash-stride filter + normalize run once, and the
+        # KMeans iterations (centroids + m subspace fits) all read the
+        # cached rows instead of re-scanning the corpus.
+        shared = _distributed_training_rows(
+            corpus, id_col, vec_col, train_sample
+        ).cache()
+        try:
+            centroids = _kmeans_centroids_distributed(
+                corpus, id_col, vec_col, n_clusters, train_sample,
+                seed=seed, train=shared,
+            )
+            books = _pq_codebooks_distributed(
+                corpus, id_col, vec_col, m, n_codes, train_sample,
+                seed=seed, train=shared,
+            )
+        finally:
+            shared.unpersist()
 
     assign1 = ivf_assign_udf(centroids, n_probe=1)
     encode = pq_encode_udf(books)

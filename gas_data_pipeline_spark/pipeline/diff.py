@@ -51,15 +51,22 @@ def snapshot_diff(
         compare_cols = [
             c for c in new.columns if c not in keys and c in old.columns
         ]
+    # Presence markers live outside the `_o_{col}` / `_n_{col}`
+    # namespace so a data column named "present" can't collide; a key
+    # column shadowing a marker is the one remaining (pathological)
+    # clash, rejected loudly.
+    o_mark, n_mark = "__diff_old_present", "__diff_new_present"
+    if o_mark in keys or n_mark in keys:
+        raise ValueError(f"key columns may not be named {o_mark}/{n_mark}")
     o = old.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
-        F.lit(True).alias("_o_present"),
+        F.lit(True).alias(o_mark),
     )
     n = new.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
-        F.lit(True).alias("_n_present"),
+        F.lit(True).alias(n_mark),
     )
     j = o.join(n, keys, "full_outer")
     diffs = [
@@ -68,8 +75,8 @@ def snapshot_diff(
     ]
     n_changed = reduce(lambda a, b: a + b, diffs) if diffs else F.lit(0)
     change_type = (
-        F.when(F.col("_o_present").isNull(), F.lit("insert"))
-        .when(F.col("_n_present").isNull(), F.lit("delete"))
+        F.when(F.col(o_mark).isNull(), F.lit("insert"))
+        .when(F.col(n_mark).isNull(), F.lit("delete"))
         .when(n_changed > 0, F.lit("update"))
     )
     return (

@@ -167,6 +167,20 @@ def delete_reload(
     return {"mode": "unpartitioned", "affected": set(), "dropped": []}
 
 
+def _partition_member_filter(partition_col: str, typed_vals) -> F.Column:
+    """Membership filter over partition values that treats None as the
+    null partition. A bare ``isin`` evaluates ``col IN (NULL, ...)`` to
+    NULL for null rows — silently excluding the
+    __HIVE_DEFAULT_PARTITION__ rows from survivor sets."""
+    non_null = [v for v in typed_vals if v is not None]
+    cond = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    )
+    if any(v is None for v in typed_vals):
+        cond = cond | F.col(partition_col).isNull()
+    return cond
+
+
 def _delete_reload_partitioned(
     spark: SparkSession,
     replacement: DataFrame,
@@ -221,7 +235,7 @@ def _delete_reload_partitioned(
             ]
             existing = spark.read.parquet(path)
             survivors = existing.filter(
-                F.col(partition_col).isin(keep_typed)
+                _partition_member_filter(partition_col, keep_typed)
             )
             out = survivors.unionByName(replacement, allowMissingColumns=True)
         else:
@@ -242,7 +256,7 @@ def _delete_reload_partitioned(
         } | repl_typed
         affected = {_partition_value_str(v) for v in affected_typed}
         survivors = existing.filter(
-            F.col(partition_col).isin(list(affected_typed))
+            _partition_member_filter(partition_col, affected_typed)
         ).filter(~pred)
         # Pre-write: partitions that will exist after the write =
         # survivor partitions ∪ replacement partitions. Computed from
@@ -273,7 +287,17 @@ def _delete_reload_partitioned(
     dropped = []
     for val in affected - remaining:
         dirname = part_dirs.get(val)
-        if dirname is not None:
-            shutil.rmtree(os.path.join(path, dirname))
-            dropped.append(dirname)
+        if dirname is None:
+            # Every droppable value came from the listing (aligned) or
+            # from scanned data whose directory must exist (scan path);
+            # a miss means the rendered value diverged from the on-disk
+            # name (e.g. partition-type re-inference turning '05' into
+            # 5) and the deleted rows would silently survive.
+            raise RuntimeError(
+                f"delete_reload: partition value {val!r} slated for drop "
+                f"has no directory under {path} — rendered name diverged "
+                "from the on-disk partition name"
+            )
+        shutil.rmtree(os.path.join(path, dirname))
+        dropped.append(dirname)
     return {"mode": mode, "affected": affected, "dropped": dropped}

@@ -106,6 +106,8 @@ def referential_integrity_audit(
     collapses into a one-row aggregate; the edges' one-row results
     union. Parent key sets broadcast under AQE when they fit; the
     audit never materializes row-level output."""
+    if not edges:
+        raise ValueError("referential_integrity_audit needs at least one edge")
     parts = []
     for name, child, fk, parent, pk in edges:
         p = parent.select(F.col(pk).alias("_pk")).distinct()

@@ -697,3 +697,17 @@ def test_remove_repeated_ngrams_text_never_shuffles(spark):
         assert "text#" not in args
     # Reassembly is HOF projection — no collect_list re-aggregation.
     assert "collect_list" not in plan
+
+
+def test_remove_repeated_ngrams_null_text_degrades(spark):
+    from gas_data_pipeline_spark.operators.dedup import remove_repeated_ngrams
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "some words here")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.clean_text)
+        for r in remove_repeated_ngrams(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (0, 0, "")
+    assert got[2] == (3, 0, "some words here")

@@ -240,6 +240,62 @@ def test_delete_reload_drops_escaped_partition_dir(spark, scratch):
     assert rows == [("ng", 4.0)]
 
 
+def test_delete_reload_null_partition_rows_survive(spark, scratch):
+    """Null-partition (__HIVE_DEFAULT_PARTITION__) rows must ride
+    along as survivors, on BOTH discovery paths — a bare isin() over
+    values containing None evaluates to NULL for null rows and would
+    silently drop them."""
+    from gas_data_pipeline_spark.pipeline.dims import delete_reload
+
+    # Aligned path: replacement touches the null partition (new row),
+    # predicate deletes a different partition. The null partition's
+    # existing row must survive next to the replacement row.
+    base = spark.createDataFrame(
+        [(None, 1.0), ("gie", 2.0), ("ng", 4.0)], "source string, value double"
+    )
+    base.write.partitionBy("source").parquet(scratch)
+    replacement = spark.createDataFrame(
+        [(None, 9.0)], "source string, value double"
+    )
+    stats = delete_reload(
+        spark, replacement, scratch, F.col("source") == "gie",
+        partition_col="source",
+    )
+    assert stats["mode"] == "partition-aligned"
+    rows = sorted(
+        ((r.source or ""), r.value)
+        for r in spark.read.parquet(scratch).collect()
+    )
+    assert rows == [("", 1.0), ("", 9.0), ("ng", 4.0)]
+
+    # Scan path: data-column predicate deletes one null-partition row;
+    # the other must survive and the directory must NOT be dropped.
+    scratch2 = scratch + "_scan"
+    base2 = spark.createDataFrame(
+        [(None, 1.0), (None, 5.0), ("gie", 2.0), ("ng", 4.0)],
+        "source string, value double",
+    )
+    base2.write.partitionBy("source").parquet(scratch2)
+    empty = spark.createDataFrame([], "source string, value double")
+    stats = delete_reload(
+        spark, empty, scratch2, F.col("value") < 2.0, partition_col="source"
+    )
+    assert stats["mode"] == "predicate-scan"
+    rows = sorted(
+        ((r.source or ""), r.value)
+        for r in spark.read.parquet(scratch2).collect()
+    )
+    assert rows == [("", 5.0), ("gie", 2.0), ("ng", 4.0)]
+    assert os.path.exists(
+        os.path.join(scratch2, "__HIVE_DEFAULT_PARTITION__")
+    ) or os.path.exists(
+        os.path.join(scratch2, "source=__HIVE_DEFAULT_PARTITION__")
+    )
+    import shutil as _sh
+
+    _sh.rmtree(scratch2, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # REST source layer: retry/throttle + flatteners on fixtures (no network).
 # ---------------------------------------------------------------------------
@@ -907,3 +963,25 @@ def test_referential_integrity_audit_nulls_not_orphans(spark):
     ).collect()[0]
     assert (row.n_child, row.n_null_fk, row.n_orphans) == (5, 1, 1)
     assert row.orphan_rate == 0.2
+
+
+def test_snapshot_diff_survives_column_named_present(spark):
+    """A data column literally named 'present' must not collide with
+    the join's presence markers."""
+    from gas_data_pipeline_spark.pipeline.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, True)], "k long, present boolean")
+    new = spark.createDataFrame([(1, False)], "k long, present boolean")
+    got = snapshot_diff(old, new, ["k"]).collect()
+    assert [(r.k, r.change_type, r.n_changed_cols) for r in got] == [
+        (1, "update", 1)
+    ]
+
+
+def test_referential_integrity_audit_rejects_empty_edges(spark):
+    from gas_data_pipeline_spark.pipeline.expectations import (
+        referential_integrity_audit,
+    )
+
+    with pytest.raises(ValueError, match="at least one edge"):
+        referential_integrity_audit([])
