@@ -1014,6 +1014,51 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
+@register(
+    "dedup_bloom_incremental",
+    oracle=f"""
+        WITH {_INCR_SPLIT_SQL}
+        SELECT doc_id FROM new_batch
+        WHERE sha256(text) NOT IN (SELECT DISTINCT sha256(text) FROM existing)
+    """,
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 incremental, Bloom-gated: the exact ingestion gate of
+    `dedup_incremental_batch` stage 1, but the seen-set is summarized
+    into a broadcast 2^20-bit Bloom bitmap probed map-side, so only
+    bloom-positive candidates (true dups + ~2e-5 false positives) pay
+    the anti-join — the rest of the new batch never shuffles. Bloom
+    has no false negatives and positives are exact-confirmed, so the
+    result is IDENTICAL to the plain sha-256 anti-join the oracle
+    runs; the bitmap changes the shuffle volume, not the answer.
+    Fixture reuses the incremental split (every 30th new doc an exact
+    copy of an existing doc). See operators/dedup.bloom_prefilter_dedup
+    for the build/probe/sizing scale notes."""
+    from gas_data_pipeline_spark.operators.dedup import bloom_prefilter_dedup
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    donor = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("donor_text")
+    )
+    new_batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .join(donor, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 30 == 0, F.col("donor_text"))
+            .when(
+                F.col("doc_id") % 30 == 10,
+                F.concat(F.col("donor_text"), F.lit(" extra marker words appended")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    survivors = bloom_prefilter_dedup(new_batch, existing)
+    return survivors.select("doc_id")
+
+
 _KEEP_BEST_ORACLE = f"""
         WITH RECURSIVE docs AS ({_PLANT_SQL}),
         sh AS (
