@@ -1375,3 +1375,75 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.count_distinct(F.col("user_id")).alias("n_users"),
     )
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-iteration PageRank in plain SQL: one CTE per round,
+    each computing rank'(v) = (1-d) + d * sum(rank(u)/odeg(u)) over
+    in-edges — the same fixed-round recurrence the Spark loop runs, so
+    the two sides agree to float precision and the final round(_, 6)
+    is exact on both. Generated (not hand-written) so the iteration
+    count stays in lockstep with the Spark side's ``iters``."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (
+            SELECT n.node,
+                   {1.0 - damping} + {damping} * coalesce((
+                       SELECT sum(r.rank / d.odeg)
+                       FROM edges e
+                       JOIN r{i - 1} r ON r.node = e.src
+                       JOIN deg d ON d.node = e.src
+                       WHERE e.dst = n.node), 0.0) AS rank
+            FROM nodes n
+        )"""
+        )
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+            FROM lineitem
+        ),
+        edges AS (
+            SELECT p AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s, p FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        deg AS (SELECT src AS node, count(*) AS odeg FROM edges GROUP BY src),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+        {chain}
+        SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_kind,
+               node // 2 AS node_key,
+               round(rank, 6) AS rank
+        FROM r{iters}
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics: 5-round PageRank over the bipartite
+    part<->supplier supply graph (distinct lineitem pairs, edges both
+    directions — every node then has out-degree >= 1, so no dangling
+    mass). Importance ranks like these feed curation sampling weights
+    (domain/entity priors). Spark side: per-round join+aggregate loop
+    with checkpointed lineage (operators/graph.pagerank); oracle:
+    the identical recurrence unrolled into 5 SQL rounds. Ranks are
+    N-scaled (start at 1.0) and rounded to 6 on both sides."""
+    from gas_data_pipeline_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    )
+    edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=5, damping=0.85)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_kind"),
+        (F.col("node") / 2).cast("bigint").alias("node_key"),
+        F.round(F.col("rank"), 6).alias("rank"),
+    )

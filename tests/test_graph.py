@@ -1,0 +1,55 @@
+"""Semantic tests for operators/graph.pagerank: mass conservation on
+dangling-free graphs, hand-checkable fixpoints, and hub dominance —
+the properties the unrolled-SQL oracle can't explain by itself."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gas_data_pipeline_spark.operators.graph import pagerank
+
+
+def _ranks(spark, pairs, iters=5, damping=0.85):
+    e = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    pdf = pagerank(e, iters=iters, damping=damping).toPandas()
+    return dict(zip(pdf.node, pdf["rank"]))
+
+
+def test_two_node_cycle_is_fixpoint(spark):
+    """A 2-cycle is already the stationary distribution: each node
+    keeps rank exactly 1.0 through every round ((1-d) + d*1/1)."""
+    r = _ranks(spark, [(1, 2), (2, 1)], iters=7)
+    assert r[1] == pytest.approx(1.0, abs=1e-12)
+    assert r[2] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_mass_conserved_without_dangling_nodes(spark):
+    """With every node having out-degree >= 1, total scaled rank is
+    invariant at |V| each round (sum of contributions equals sum of
+    ranks), so after any number of rounds sum(rank) == |V|."""
+    pairs = [(i, (i * 3 + 1) % 11) for i in range(11)] + [(i, (i + 1) % 11) for i in range(11)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    r = _ranks(spark, pairs, iters=6)
+    assert sum(r.values()) == pytest.approx(len(r), rel=1e-9)
+
+
+def test_star_hub_outranks_leaves(spark):
+    """Bidirectional star: the hub collects every leaf's full rank
+    and must dominate; leaves stay symmetric (equal ranks)."""
+    leaves = list(range(1, 9))
+    pairs = [(0, v) for v in leaves] + [(v, 0) for v in leaves]
+    r = _ranks(spark, pairs)
+    leaf_ranks = {round(r[v], 9) for v in leaves}
+    assert len(leaf_ranks) == 1
+    assert r[0] > max(r[v] for v in leaves) * 2
+
+
+def test_dangling_node_contributes_nothing(spark):
+    """A node with in-edges but no out-edges absorbs rank but leaks
+    its own (the documented simplification): source keeps only the
+    teleport floor (1-d) after round 1 onward."""
+    r = _ranks(spark, [(1, 2)], iters=5, damping=0.85)
+    assert r[1] == pytest.approx(0.15, abs=1e-12)
+    # node 2 receives the geometric tail of node 1's decaying rank
+    assert r[2] > r[1]
