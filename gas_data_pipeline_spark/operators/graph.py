@@ -29,6 +29,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 5,
     damping: float = 0.85,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list -> (node,
     rank), in the N-scaled formulation: ranks start at 1.0 and step to
@@ -51,27 +52,34 @@ def pagerank(
     round i's plan is one join deep. For web-scale graphs swap the
     hash partitioning for range-partitioned ids so hub nodes spread
     (or pre-split hubs the way the salting helpers do); the loop body
-    is unchanged.
+    is unchanged. ``checkpoint=False`` skips the per-round
+    ``localCheckpoint`` (keeping the loop's logical plan inspectable
+    for plan-shape tests); production always checkpoints — an
+    un-truncated ``iters``-deep lineage re-executes every prior round
+    per action.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
     sc = edges.sparkSession.sparkContext
     n_edges = e.count()
     loop_parts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
-    e = e.repartition(loop_parts, "src").localCheckpoint(eager=True)
-    deg = (
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg")).localCheckpoint(eager=True)
-    )
+    e = e.repartition(loop_parts, "src")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+        deg = deg.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .repartition(loop_parts, "node")
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iters):
         contrib = (
@@ -90,6 +98,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

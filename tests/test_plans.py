@@ -349,3 +349,34 @@ def test_referential_integrity_audit_broadcasts_parents(spark):
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_bloom_dedup_probe_shape(spark):
+    """The Bloom gate's plan must keep its two scale properties: the
+    probe is a single Arrow-batched map operator (no Python UDF left
+    inside a Filter, where extraction failures surface as interpreted
+    plans), and the confirm side stays a hashed equi-join on the sha
+    key — never a nested-loop over the batch."""
+    plan = _plan(spark, "dedup_bloom_incremental")
+    assert plan.count("MapInPandas") >= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python ban
+    assert "LeftAnti" in plan
+
+
+def test_pagerank_loop_joins_are_hashed(spark):
+    """One PageRank round must plan as equi-joins + a partial-agg sum
+    (checked on the loop body, not the checkpointed full query): no
+    nested loop, and the rank aggregation shows map-side partials."""
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(50)], "src bigint, dst bigint"
+    )
+    out = pagerank(e, iters=1, checkpoint=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
