@@ -109,3 +109,101 @@ def hll_oracle_sql(
                           ELSE e_raw END, 4) AS {out_col}
         FROM e
     """
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    threshold: float,
+    count_col: str = "cnt",
+) -> DataFrame:
+    """EXACT theta-heavy-hitters (keys with frequency >= threshold *
+    |df|) with sketch-bounded shuffle — the same "summary for cost,
+    exact for answer" contract as ``bloom_prefilter_dedup``.
+
+    The naive plan shuffles every distinct key's partial count. Here
+    candidate generation never shuffles: each partition folds its rows
+    into a Misra-Gries summary of k = ceil(1/threshold) counters
+    (pandas value_counts per Arrow batch, summaries merged batch-wise
+    with the standard subtract-the-(k+1)th-largest step — mergeable-
+    summaries regime, undercount < n_p/(k+1) < threshold * n_p). Any
+    globally theta-heavy key is theta-heavy in >= 1 partition (else
+    sum count_p < threshold * sum n_p — averaging argument), and a
+    partition-theta-heavy key always survives its partition's MG
+    summary, so the union of per-partition summaries is a SUPERSET of
+    the true answer: <= partitions * ceil(1/threshold) keys, constant
+    per partition regardless of key cardinality.
+
+    The confirm pass then counts ONLY candidate rows (broadcast
+    semi-join; map-side partials make the shuffle partitions x
+    candidates) and applies the exact HAVING bar, so false candidates
+    from partition skew drop out and the result is identical to the
+    full GROUP BY ... HAVING — which is what the DuckDB oracle runs.
+    Partition totals ride the same summary pass (no separate count
+    job); the summary is checkpointed so the two consumers don't
+    re-scan ``df``.
+
+    Returns (key_col, count_col) for the exact heavy keys.
+    """
+    import math
+
+    import pandas as pd
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    k = math.ceil(1.0 / threshold)
+    key_field = df.schema[key_col]
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    summary_schema = StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("key", key_field.dataType),
+            StructField("part_rows", LongType()),
+        ]
+    )
+
+    def summarize(batches):
+        acc = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            vc = pdf[key_col].value_counts(dropna=False)
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                off = acc.nlargest(k + 1).iloc[-1]
+                acc = acc[acc > off] - off
+        out = {"kind": ["total"], "key": [None], "part_rows": [n]}
+        if acc is not None:
+            for key in acc.index:
+                out["kind"].append("cand")
+                out["key"].append(key)
+                out["part_rows"].append(0)
+        yield pd.DataFrame(out)
+
+    summary = (
+        df.select(F.col(key_col).alias(key_col))
+        .mapInPandas(summarize, schema=summary_schema)
+        .localCheckpoint(eager=True)
+    )
+    total = summary.filter(F.col("kind") == "total").agg(
+        F.sum("part_rows")
+    ).collect()[0][0]
+    cand = (
+        summary.filter(F.col("kind") == "cand")
+        .select(F.col("key").alias(key_col))
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .filter(F.col(count_col) >= F.lit(threshold) * F.lit(total))
+    )

@@ -1447,3 +1447,43 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") / 2).cast("bigint").alias("node_key"),
         F.round(F.col("rank"), 6).alias("rank"),
     )
+
+
+@register(
+    "heavy_hitters_exact",
+    oracle="""
+        WITH keyed AS (
+            SELECT CASE WHEN event_id % 3 = 0
+                        THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+                        ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+            FROM events
+        ),
+        tot AS (SELECT count(*) AS n FROM keyed)
+        SELECT key, CAST(count(*) AS BIGINT) AS cnt
+        FROM keyed, tot
+        GROUP BY key, n
+        HAVING count(*) >= 0.05 * n
+    """,
+)
+def heavy_hitters_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-heavy-hitters over a planted power-law key column (two
+    hot keys at ~1/6 share each atop a per-row cold tail). Candidate
+    generation is per-partition Misra-Gries (zero shuffle, <= 20
+    counters per partition no matter how many distinct cold keys);
+    only the broadcast-confirmed candidates are counted exactly, so
+    the result equals the oracle's full GROUP BY ... HAVING while the
+    cold tail never rides a shuffle. See
+    operators/sketches.heavy_hitters_exact for the superset proof."""
+    from gas_data_pipeline_spark.operators.sketches import heavy_hitters_exact
+
+    ev = table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("hot_"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
+        .alias("key")
+    )
+    from gas_data_pipeline_spark.catalog import spread_scan
+
+    return heavy_hitters_exact(spread_scan(ev), "key", threshold=0.05)

@@ -173,3 +173,63 @@ def test_word_shingles_short_documents_yield_empty_sets(spark):
     assert rows[1] == [] and rows[2] == [] and rows[3] == []
     assert rows[4] == ["now three words"]
     assert len(rows[5]) == 6
+
+
+def test_heavy_hitters_exact_matches_full_groupby(spark):
+    """Result must equal the full GROUP BY ... HAVING under both
+    layouts: round-robin (hot key diluted evenly across partitions —
+    the averaging-argument case) and key-clustered (cold keys locally
+    heavy in their own partition — false candidates the exact confirm
+    must prune)."""
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.sketches import heavy_hitters_exact
+
+    base = spark.range(2000).select(
+        F.when(F.col("id") % 10 == 0, F.lit("hot"))
+        .when(F.col("id") % 10 == 1, F.concat(F.lit("warm_"), (F.col("id") % 40).cast("string")))
+        .otherwise(F.concat(F.lit("cold_"), F.col("id").cast("string")))
+        .alias("key")
+    )
+    n = base.count()
+    theta = 0.08
+    exact = {
+        (r.key, r.cnt)
+        for r in base.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= theta * n)
+        .collect()
+    }
+    assert exact  # the hot key is genuinely heavy
+    for layout in (base.repartition(8), base.repartition(8, "key")):
+        got = {
+            (r.key, r.cnt)
+            for r in heavy_hitters_exact(layout, "key", theta).collect()
+        }
+        assert got == exact
+
+
+def test_heavy_hitters_threshold_boundary_inclusive(spark):
+    """A key at EXACTLY threshold * N must be returned (>= bar, same
+    comparison the SQL HAVING makes)."""
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.sketches import heavy_hitters_exact
+
+    # 100 rows: 'edge' appears exactly 25 times -> threshold 0.25 keeps it.
+    df = spark.range(100).select(
+        F.when(F.col("id") < 25, F.lit("edge"))
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("key")
+    )
+    got = {r.key for r in heavy_hitters_exact(df.repartition(4), "key", 0.25).collect()}
+    assert got == {"edge"}
+
+
+def test_heavy_hitters_rejects_bad_threshold(spark):
+    import pytest
+    from gas_data_pipeline_spark.operators.sketches import heavy_hitters_exact
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("key"))
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(df, "key", 0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(df, "key", 1.5)
