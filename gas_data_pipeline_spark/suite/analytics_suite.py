@@ -1487,3 +1487,34 @@ def heavy_hitters_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gas_data_pipeline_spark.catalog import spread_scan
 
     return heavy_hitters_exact(spread_scan(ev), "key", threshold=0.05)
+
+
+@register(
+    "grouped_topk_bounded",
+    oracle="""
+        SELECT event_type, event_id, value, rk FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC NULLS LAST, event_id ASC
+                   ) AS rk
+            FROM events
+        ) WHERE rk <= 3
+    """,
+)
+def grouped_topk_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event type WITHOUT shuffling the
+    tail: each scan partition keeps only its local per-type top-3 (a
+    guaranteed superset of the global answer), so the window exchange
+    carries partitions x types x 3 candidate rows instead of every
+    event. The oracle runs the naive full-shuffle window — identical
+    result by construction. See operators/topk.grouped_topk."""
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.topk import grouped_topk
+
+    ev = spread_scan(
+        table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    )
+    return grouped_topk(
+        ev, ["event_type"], "value", k=3, descending=True, tiebreak="event_id"
+    )

@@ -233,3 +233,76 @@ def test_heavy_hitters_rejects_bad_threshold(spark):
         heavy_hitters_exact(df, "key", 0.0)
     with pytest.raises(ValueError):
         heavy_hitters_exact(df, "key", 1.5)
+
+
+def test_grouped_topk_matches_naive_window(spark):
+    """The bounded-shuffle grouped top-k must equal the naive full
+    window under round-robin and key-clustered layouts, including
+    null order values (sorted last on both stages) and groups smaller
+    than k."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from gas_data_pipeline_spark.operators.topk import grouped_topk
+
+    base = spark.range(500).select(
+        (F.col("id") % 7).alias("g"),
+        F.when(F.col("id") % 11 == 0, F.lit(None)).otherwise(
+            ((F.col("id") * 37) % 101).cast("double")
+        ).alias("v"),
+        F.col("id").alias("tid"),
+    ).unionByName(
+        # a group with fewer rows than k
+        spark.range(2).select(
+            F.lit(99).alias("g"),
+            F.lit(1.0).alias("v"),
+            (F.col("id") + 1000).alias("tid"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("v").desc_nulls_last(), F.col("tid").asc_nulls_last()
+    )
+    naive = {
+        tuple(r)
+        for r in base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    for layout in (base.repartition(8), base.repartition(8, "g")):
+        got = {
+            tuple(r)
+            for r in grouped_topk(
+                layout, ["g"], "v", k=5, descending=True, tiebreak="tid"
+            ).collect()
+        }
+        assert got == naive
+
+
+def test_grouped_topk_ascending_direction(spark):
+    """descending=False flips the order on both stages together."""
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.topk import grouped_topk
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").cast("double").alias("v"),
+        F.col("id").alias("tid"),
+    )
+    out = grouped_topk(
+        df.repartition(6), ["g"], "v", k=2, descending=False, tiebreak="tid"
+    )
+    got = {(r.g, r.v, r.rk) for r in out.collect()}
+    want = {(g, float(g), 1) for g in range(4)} | {
+        (g, float(g + 4), 2) for g in range(4)
+    }
+    assert got == want
+
+
+def test_grouped_topk_requires_tiebreak(spark):
+    import pytest
+    from gas_data_pipeline_spark.operators.topk import grouped_topk
+
+    df = spark.range(10).select((F.col("id") % 2).alias("g"), F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        grouped_topk(df, ["g"], "v", k=3)
+    with pytest.raises(ValueError):
+        grouped_topk(df, ["g"], "v", k=0, tiebreak="v")
