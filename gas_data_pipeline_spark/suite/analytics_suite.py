@@ -1518,3 +1518,52 @@ def grouped_topk_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(
         ev, ["event_type"], "value", k=3, descending=True, tiebreak="event_id"
     )
+
+
+@register(
+    "bloom_pruned_join_revenue",
+    oracle="""
+        SELECT l.l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(8,2))
+                        * (CAST(1 AS DECIMAL(3,2))
+                           - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag
+    """,
+)
+def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective large⋈large join with the probe side bloom-pruned
+    map-side: lineitem rows whose order is not URGENT never reach the
+    join exchange (the ~80% non-matching tail is dropped by a
+    broadcast 128 KiB bitmap of the filtered orders' keys). No false
+    negatives + join-side confirm keeps the result identical to the
+    oracle's plain join. At sandbox scale the confirm still broadcasts;
+    the operator targets the 100 TB regime where the filtered build
+    side exceeds the broadcast threshold and the naive plan shuffles
+    the whole probe side. See operators/bloomjoin.py."""
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.bloomjoin import bloom_pruned_join
+
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+        )
+    )
+    joined = bloom_pruned_join(li, urgent, on="l_orderkey", how="inner")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(8,2)")
+            * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -380,3 +380,36 @@ def test_pagerank_loop_joins_are_hashed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_bloom_prune_never_drops_matches(spark):
+    """bloom_prune returns a superset of the matchable probe rows, and
+    bloom_pruned_join equals the naive join for inner and left_semi."""
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.bloomjoin import (
+        bloom_prune,
+        bloom_pruned_join,
+    )
+
+    probe = spark.range(5000).select(F.col("id").alias("key"), (F.col("id") * 2).alias("v"))
+    build = spark.range(100).select((F.col("id") * 37).alias("key"))
+    pruned = bloom_prune(probe, build, "key")
+    pruned_keys = {r.key for r in pruned.select("key").collect()}
+    match_keys = {r.key for r in probe.join(build, "key", "left_semi").collect()}
+    assert match_keys <= pruned_keys  # no false negatives
+    assert len(pruned_keys) < 5000  # the bitmap actually pruned
+
+    for how in ("inner", "left_semi"):
+        got = {tuple(r) for r in bloom_pruned_join(probe, build, "key", how).collect()}
+        want = {tuple(r) for r in probe.join(build, "key", how).collect()}
+        assert got == want
+
+
+def test_bloom_pruned_join_rejects_outer(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.bloomjoin import bloom_pruned_join
+
+    df = spark.range(10).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError):
+        bloom_pruned_join(df, df, "key", how="left")
