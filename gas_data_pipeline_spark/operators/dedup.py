@@ -1352,66 +1352,111 @@ def bloom_prefilter_dedup(
 
     Returns the surviving rows of ``new`` (original columns).
     """
-    import numpy as np
+    state = BloomDedupState(m_bits=m_bits, k=k, seed=seed)
+    state.absorb(existing, text_col=text_col)
+    return state.filter_new(new, existing, text_col=text_col)
 
-    if m_bits % 8 != 0:
-        raise ValueError("m_bits must be a multiple of 8")
-    n_bytes = m_bits // 8
 
-    pos_rows = existing.select(
-        _bloom_positions(F.sha2(F.col(text_col), 256), m_bits, k, seed).alias(
-            "pos"
+class BloomDedupState:
+    """Driver-held incremental Bloom gate over a growing corpus: the
+    bitmap that ``bloom_prefilter_dedup`` rebuilds per call, maintained
+    ACROSS calls instead — absorb each admitted batch's bits once and
+    the next batch probes the accumulated summary, which is the 100 TB
+    operating mode (the bitmap lives alongside the persisted hash
+    index; a crawl snapshot never re-reads the whole corpus to
+    summarize it). The streaming `foreachBatch` dedup composes
+    ``filter_new`` + ``absorb`` per micro-batch.
+
+    Exactness contract is unchanged: bloom-negative rows are
+    definitely new; bloom-positive candidates are exact-confirmed
+    against the corpus, so false positives only cost join rows, never
+    answers.
+    """
+
+    def __init__(self, m_bits: int = 1 << 20, k: int = 7, seed: int = 0x5EED):
+        import numpy as np
+
+        if m_bits % 8 != 0:
+            raise ValueError("m_bits must be a multiple of 8")
+        self.m_bits, self.k, self.seed = m_bits, k, seed
+        self.n_bytes = m_bits // 8
+        self._bitmap = np.zeros(self.n_bytes, dtype=np.uint8)
+
+    def absorb(self, docs: DataFrame, text_col: str = "text") -> None:
+        """OR ``docs``' content-hash bit positions into the bitmap.
+        One narrow pass: positions JVM-side, per-partition numpy
+        bitmaps, driver OR (bounded: partitions x m/8 bytes; at very
+        large m, OR in two levels or drop to treeAggregate)."""
+        import numpy as np
+
+        n_bytes = self.n_bytes
+        pos_rows = docs.select(
+            _bloom_positions(
+                F.sha2(F.col(text_col), 256), self.m_bits, self.k, self.seed
+            ).alias("pos")
         )
-    )
 
-    def pack(batches):
-        bitmap = np.zeros(n_bytes, dtype=np.uint8)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["pos"]])
-            np.bitwise_or.at(bitmap, flat >> 3, np.uint8(1) << (flat & 7).astype(np.uint8))
-        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+        def pack(batches):
+            bitmap = np.zeros(n_bytes, dtype=np.uint8)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in pdf["pos"]]
+                )
+                np.bitwise_or.at(
+                    bitmap, flat >> 3, np.uint8(1) << (flat & 7).astype(np.uint8)
+                )
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
-    parts = pos_rows.mapInPandas(pack, schema="bitmap binary").collect()
-    bitmap = np.zeros(n_bytes, dtype=np.uint8)
-    for row in parts:
-        bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    bc = new.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+        for row in pos_rows.mapInPandas(pack, schema="bitmap binary").collect():
+            self._bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint8)
 
-    # Probe via mapInPandas, not a pandas_udf inside the filters: the
-    # map node is an optimizer barrier, so the position expression
-    # cannot be inlined below ``new``'s own joins (where it would
-    # reference attributes from more than one join child and defeat
-    # Python-UDF extraction), and the two consumer filters below stay
-    # simple attribute predicates above the probe.
-    from pyspark.sql.types import BooleanType, StructField, StructType
+    def filter_new(
+        self,
+        new: DataFrame,
+        existing: DataFrame,
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Rows of ``new`` whose content hash is in neither the bitmap's
+        absorbed history nor ``existing`` — see
+        ``bloom_prefilter_dedup`` for the exactness argument. The
+        probe runs via mapInPandas, not a pandas_udf inside the
+        filters: the map node is an optimizer barrier, so the position
+        expression cannot be inlined below ``new``'s own joins (where
+        it would reference attributes from more than one join child
+        and defeat Python-UDF extraction), and the two consumer
+        filters stay simple attribute predicates above the probe."""
+        import numpy as np
 
-    pos_new = new.withColumn("__h", F.sha2(F.col(text_col), 256)).withColumn(
-        "__pos", _bloom_positions(F.col("__h"), m_bits, k, seed)
-    )
-    probed_schema = StructType(
-        [f for f in pos_new.schema.fields if f.name != "__pos"]
-        + [StructField("__maybe", BooleanType())]
-    )
+        from pyspark.sql.types import BooleanType, StructField, StructType
 
-    def probe(batches):
-        bm = np.frombuffer(bc.value, dtype=np.uint8)
-        for pdf in batches:
-            if len(pdf) == 0:
+        bc = new.sparkSession.sparkContext.broadcast(self._bitmap.tobytes())
+        pos_new = new.withColumn("__h", F.sha2(F.col(text_col), 256)).withColumn(
+            "__pos", _bloom_positions(F.col("__h"), self.m_bits, self.k, self.seed)
+        )
+        probed_schema = StructType(
+            [f for f in pos_new.schema.fields if f.name != "__pos"]
+            + [StructField("__maybe", BooleanType())]
+        )
+
+        def probe(batches):
+            bm = np.frombuffer(bc.value, dtype=np.uint8)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf = pdf.drop(columns=["__pos"])
+                    pdf["__maybe"] = pd.Series([], dtype=bool)
+                    yield pdf
+                    continue
+                mat = np.stack([np.asarray(p, dtype=np.int64) for p in pdf["__pos"]])
+                hit = (bm[mat >> 3] & (np.uint8(1) << (mat & 7).astype(np.uint8))) != 0
                 pdf = pdf.drop(columns=["__pos"])
-                pdf["__maybe"] = pd.Series([], dtype=bool)
+                pdf["__maybe"] = hit.all(axis=1)
                 yield pdf
-                continue
-            mat = np.stack([np.asarray(p, dtype=np.int64) for p in pdf["__pos"]])
-            hit = (bm[mat >> 3] & (np.uint8(1) << (mat & 7).astype(np.uint8))) != 0
-            pdf = pdf.drop(columns=["__pos"])
-            pdf["__maybe"] = hit.all(axis=1)
-            yield pdf
 
-    keyed = pos_new.mapInPandas(probe, schema=probed_schema)
-    clean = keyed.filter(~F.col("__maybe"))
-    candidates = keyed.filter(F.col("__maybe"))
-    ex_h = existing.select(F.sha2(F.col(text_col), 256).alias("__h")).distinct()
-    confirmed = candidates.join(ex_h, "__h", "left_anti")
-    return clean.unionByName(confirmed).drop("__h", "__maybe")
+        keyed = pos_new.mapInPandas(probe, schema=probed_schema)
+        clean = keyed.filter(~F.col("__maybe"))
+        candidates = keyed.filter(F.col("__maybe"))
+        ex_h = existing.select(F.sha2(F.col(text_col), 256).alias("__h")).distinct()
+        confirmed = candidates.join(ex_h, "__h", "left_anti")
+        return clean.unionByName(confirmed).drop("__h", "__maybe")

@@ -533,3 +533,96 @@ def stream_gie_delete_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         "sum_value",
     )
+
+
+@register(
+    "stream_bloom_dedup",
+    oracle="""
+        WITH batched AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 7
+                        THEN (SELECT d2.text FROM documents d2
+                              WHERE d2.doc_id = d.doc_id - 1)
+                        ELSE text END AS text,
+                   doc_id % 3 AS batch_id
+            FROM documents d
+        )
+        SELECT b.doc_id FROM batched b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM batched e
+            WHERE sha256(e.text) = sha256(b.text) AND e.batch_id < b.batch_id
+        )
+    """,
+)
+def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1∘ST3: the Bloom ingestion gate run as a stream — three
+    micro-batches of documents foreachBatch through one driver-held
+    ``BloomDedupState`` (operators/dedup.py): each batch probes the
+    bitmap accumulated from every PRIOR admission, bloom-positives are
+    exact-confirmed against the persisted corpus, survivors append and
+    their bits are absorbed. This is the incremental operating mode
+    the batch query's docstring promises (bitmap maintained across
+    snapshots, never rebuilt from the corpus). Every 10th doc carries
+    its predecessor's text, so the same sha lands in two different
+    batches: admitted on its first batch, rejected on any later one —
+    exactly the oracle's "no earlier batch holds this sha" rule. The
+    final corpus is the checked value."""
+    import os
+
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.dedup import BloomDedupState
+
+    scratch = tempfile.mkdtemp(prefix="gas_stream_bloom_")
+    corpus = os.path.join(scratch, "corpus")
+    ckpt = os.path.join(scratch, "ckpt")
+    src = os.path.join(scratch, "incoming")
+    os.makedirs(src)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    donor = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("donor_text")
+    )
+    batched = (
+        docs.join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 7) & F.col("donor_text").isNotNull(),
+                F.col("donor_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            (F.col("doc_id") % 3).alias("batch_id"),
+        )
+    )
+
+    def drop_batch(df: DataFrame, name: str) -> None:
+        stage = os.path.join(scratch, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(stage)
+
+    state = BloomDedupState()
+    empty = docs.filter(F.lit(False)).select("doc_id", "text")
+
+    def admit(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        existing = sp.read.parquet(corpus) if os.path.exists(corpus) else empty
+        admitted = state.filter_new(
+            bdf.select("doc_id", "text"), existing
+        ).localCheckpoint(eager=True)
+        admitted.write.mode("append").parquet(corpus)
+        state.absorb(admitted)
+
+    stream_schema = "doc_id bigint, text string, batch_id bigint"
+    # One file per batch, dropped between AvailableNow drains so each
+    # run consumes exactly one new file — same determinism device as
+    # stream_gie_delete_reload.
+    for b in (0, 1, 2):
+        drop_batch(batched.filter(F.col("batch_id") == b), f"b{b}")
+        run_foreach_batch(
+            spark.readStream.schema(stream_schema).parquet(src), admit, ckpt
+        )
+
+    return spark.read.parquet(corpus).select("doc_id")
