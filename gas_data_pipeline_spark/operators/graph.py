@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def pagerank(
@@ -67,11 +68,19 @@ def pagerank(
     sc = edges.sparkSession.sparkContext
     n_edges = e.count()
     loop_parts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
-    e = e.repartition(loop_parts, "src")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    # Attach each edge's source out-degree ONCE before the loop (a
+    # window keyed on the join key adds no extra shuffle beyond the
+    # co-partitioning repartition) — the loop body is then a single
+    # join + aggregate per round, not a 3-way join. The contribution
+    # stays rank/odeg, the oracle's exact expression.
+    e = (
+        e.repartition(loop_parts, "src")
+        .withColumn(
+            "odeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
     if checkpoint:
         e = e.localCheckpoint(eager=True)
-        deg = deg.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -83,8 +92,7 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iters):
         contrib = (
-            e.join(deg, "src")
-            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            e.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
             .withColumnRenamed("dst", "node")
