@@ -413,3 +413,24 @@ def test_bloom_pruned_join_rejects_outer(spark):
     df = spark.range(10).select(F.col("id").alias("key"))
     with pytest.raises(ValueError):
         bloom_pruned_join(df, df, "key", how="left")
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    """The confirm pass must broadcast the tiny candidate set against
+    the keyed stream (semi join) — never shuffle the full key column —
+    and the exact count must show map-side partials."""
+    plan = _plan(spark, "heavy_hitters_exact")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_bloom_pruned_join_probe_before_join(spark):
+    """The bloom sieve is a MapInPandas below the join (prune before
+    the exchange), the confirm is a hashed equi-join, and the revenue
+    aggregate keeps map-side partials."""
+    plan = _plan(spark, "bloom_pruned_join_revenue")
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
