@@ -389,3 +389,95 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lineitem.partkey->part", lineitem, "l_partkey", part, "p_partkey"),
         ]
     )
+
+
+@register(
+    "incremental_rollup_maintenance",
+    oracle="""
+        WITH v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0 THEN '3-MEDIUM'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 11 <> 0
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM v2
+        GROUP BY o_orderpriority
+    """,
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: yesterday's priority rollup is
+    refreshed to today's WITHOUT rescanning the fact table — only the
+    churn between snapshots moves. v1 -> v2 plants every maintenance
+    case: inserts (keys absent from v1), deletes (keys gone from v2),
+    value updates (repriced rows), GROUP MIGRATION (rows whose
+    priority changes — the -1 lands in the old group, the +1 in the
+    new), and a synthetic 'X-GONE' group that empties entirely and
+    must vanish from the maintained rollup. The oracle is just the
+    full GROUP BY over v2 — the maintained result must be
+    indistinguishable from a recompute (sums kept in decimal so
+    addition order can't drift). pipeline/diff.snapshot_delta +
+    apply_delta_to_rollup."""
+    from gas_data_pipeline_spark.pipeline.diff import (
+        apply_delta_to_rollup,
+        snapshot_delta,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    gone = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("X-GONE").alias("o_orderpriority"),
+        F.col("o_totalprice"),
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 7 != 0).unionByName(gone)
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("3-MEDIUM")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+
+    def with_total(df: DataFrame) -> DataFrame:
+        return df.withColumn("total", F.col("o_totalprice").cast("decimal(18,2)"))
+
+    rollup_v1 = (
+        with_total(v1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("total").alias("total"),
+        )
+    )
+    deltas = snapshot_delta(
+        with_total(v1),
+        with_total(v2),
+        keys=["o_orderkey"],
+        cols=["o_orderpriority", "total"],
+    )
+    maintained = apply_delta_to_rollup(
+        rollup_v1,
+        deltas,
+        group_cols=["o_orderpriority"],
+        sum_cols=["total"],
+        count_col="n_orders",
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total").cast("double").alias("total"),
+    )

@@ -985,3 +985,87 @@ def test_referential_integrity_audit_rejects_empty_edges(spark):
 
     with pytest.raises(ValueError, match="at least one edge"):
         referential_integrity_audit([])
+
+
+def test_snapshot_delta_emits_signed_pairs(spark):
+    """Hand-checkable delta feed: insert -> bare +1, delete -> bare -1,
+    update -> (-1 old, +1 new) including a group-attribute change,
+    unchanged -> nothing."""
+    from gas_data_pipeline_spark.pipeline.diff import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "k bigint, g string, v double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged; 2 revalued; 3 migrates group b->c; 4 deleted; 5 inserted
+        [(1, "a", 10.0), (2, "a", 25.0), (3, "c", 30.0), (5, "b", 50.0)],
+        "k bigint, g string, v double",
+    )
+    got = {
+        (r.k, r.sign, r.g, r.v)
+        for r in snapshot_delta(old, new, ["k"], ["g", "v"]).collect()
+    }
+    assert got == {
+        (2, -1, "a", 20.0),
+        (2, 1, "a", 25.0),
+        (3, -1, "b", 30.0),
+        (3, 1, "c", 30.0),
+        (4, -1, "b", 40.0),
+        (5, 1, "b", 50.0),
+    }
+
+
+def test_apply_delta_to_rollup_matches_recompute(spark):
+    """Maintained rollup == full recompute over the new snapshot, with
+    null values (count moves, sum doesn't) and an emptied group that
+    must vanish."""
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.pipeline.diff import (
+        apply_delta_to_rollup,
+        snapshot_delta,
+    )
+
+    old = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.when(F.col("id") % 17 == 0, F.lit(None))
+        .otherwise((F.col("id") % 89).cast("double"))
+        .cast("decimal(10,2)")
+        .alias("v"),
+    )
+    new = (
+        old.filter((F.col("k") % 9 != 0) & (F.col("g") != "4"))  # deletes + emptied group
+        .withColumn(
+            "v",
+            F.when(F.col("k") % 4 == 0, F.col("v") + 7).otherwise(F.col("v")),
+        )
+        .withColumn(
+            "g", F.when(F.col("k") % 6 == 0, F.lit("migrated")).otherwise(F.col("g"))
+        )
+        .unionByName(
+            spark.range(5).select(
+                (F.col("id") + 1000).alias("k"),
+                F.lit("fresh").alias("g"),
+                F.lit(1.5).cast("decimal(10,2)").alias("v"),
+            )
+        )
+    )
+    rollup = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v")
+    )
+    deltas = snapshot_delta(old, new, ["k"], ["g", "v"])
+    maintained = {
+        (r.g, r.n_rows, r.v)
+        for r in apply_delta_to_rollup(
+            rollup, deltas, ["g"], ["v"], count_col="n_rows"
+        ).collect()
+    }
+    recomputed = {
+        (r.g, r.n_rows, r.v)
+        for r in new.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v"))
+        .collect()
+    }
+    assert maintained == recomputed
+    assert not any(g == "4" for g, _, _ in maintained)  # emptied group gone
