@@ -49,6 +49,15 @@ SCALE_PROBE_QUERIES = (
     "dedup_minhash_lsh",
     "stream_stream_interval_join",
     "sql_topn_revenue_report",
+    # round-4 heavy family (VERDICT r4 #3): iterative, bloom-bounded,
+    # summary-bounded, and bucketed-interval operators each get an 8x
+    # entry so a superlinear regression is flagged before a real
+    # scale-up. PageRank is expected ~linear per round at fixed iters.
+    "graph_pagerank",
+    "stream_bloom_dedup",
+    "bloom_pruned_join_revenue",
+    "heavy_hitters_exact",
+    "interval_overlap_sessions",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

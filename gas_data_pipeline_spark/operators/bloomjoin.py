@@ -17,45 +17,34 @@ deterministic, tunable (m/k), applicable to shapes the optimizer
 skips (e.g. probe sides built from mapInPandas stages), and portable
 to the streaming foreachBatch paths.
 
-Shares the double-hash position scheme with
-``dedup.bloom_prefilter_dedup``; see there for build/probe/sizing
-notes (bitmap cost: m/8 bytes broadcast, partitions x m/8 collected).
+Shares the double-hash position scheme AND the bitmap build with
+``dedup.bloom_prefilter_dedup``: one narrow pass packs per-partition
+numpy bitmaps, OR-reduced driver-side at the default sizing and via
+executor-side ``treeReduce`` once the bitmap crosses
+``dedup.BLOOM_TREE_OR_MIN_BYTES`` (broadcast cost stays m/8 bytes
+either way; the tree path removes the partitions x m/8 driver
+collect).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gas_data_pipeline_spark.operators.dedup import _bloom_positions
+from gas_data_pipeline_spark.operators.dedup import (
+    _bloom_positions,
+    _build_bloom_bitmap,
+)
 
 _SEED = 0xB100
 
 
 def _build_bitmap(keys: DataFrame, key: Column, m_bits: int, k: int) -> bytes:
     """One narrow pass over ``keys``: JVM-side positions, per-partition
-    numpy bitmaps, OR-reduced on the driver."""
-    import numpy as np
-
-    n_bytes = m_bits // 8
+    numpy bitmaps, OR-reduced (driver below the tree threshold,
+    ``treeReduce`` above — see :func:`dedup._build_bloom_bitmap`)."""
     pos_rows = keys.select(_bloom_positions(key, m_bits, k, _SEED).alias("pos"))
-
-    def pack(batches):
-        bitmap = np.zeros(n_bytes, dtype=np.uint8)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["pos"]])
-            np.bitwise_or.at(
-                bitmap, flat >> 3, np.uint8(1) << (flat & 7).astype(np.uint8)
-            )
-        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
-
-    out = np.zeros(n_bytes, dtype=np.uint8)
-    for row in pos_rows.mapInPandas(pack, schema="bitmap binary").collect():
-        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return out.tobytes()
+    return _build_bloom_bitmap(pos_rows, m_bits // 8).tobytes()
 
 
 def bloom_prune(
@@ -74,6 +63,8 @@ def bloom_prune(
 
     if m_bits % 8 != 0:
         raise ValueError("m_bits must be a multiple of 8")
+    if "__pos" in probe.columns:
+        raise ValueError("probe already has reserved column __pos")
     bitmap = _build_bitmap(build_keys, F.col(on), m_bits, k)
     bc = probe.sparkSession.sparkContext.broadcast(bitmap)
 

@@ -1308,6 +1308,57 @@ def _bloom_positions(key: Column, m_bits: int, k: int, seed: int) -> Column:
     )
 
 
+# Bitmaps at or above this size are OR-reduced executor-side via
+# treeReduce instead of collect-and-OR on the driver: at default
+# m=2^20 the collect is partitions x 128 KiB (cheap), but the 100 TB
+# sizing note (m ~ corpus cardinality x 10) puts m in the billions of
+# bits, where the driver would otherwise absorb partitions x GiB.
+BLOOM_TREE_OR_MIN_BYTES = 1 << 20
+
+
+def _build_bloom_bitmap(pos_rows: DataFrame, n_bytes: int):
+    """OR-reduce per-partition Bloom bitmaps into one numpy uint8 array.
+
+    ``pos_rows`` must have a single ``array<bigint>`` column ``pos``
+    of bit positions. Each partition packs its positions into a local
+    m/8-byte numpy bitmap (one narrow Arrow pass); small bitmaps are
+    then OR-ed on the driver, large ones (>= BLOOM_TREE_OR_MIN_BYTES)
+    via a depth-2 ``treeReduce`` so the driver sees O(sqrt(P)) merges
+    and exactly one m/8-byte result instead of P of them.
+    """
+    import numpy as np
+
+    def pack(batches):
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in pdf["pos"]]
+            )
+            np.bitwise_or.at(
+                bitmap, flat >> 3, np.uint8(1) << (flat & 7).astype(np.uint8)
+            )
+        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    packed = pos_rows.mapInPandas(pack, schema="bitmap binary")
+    if n_bytes < BLOOM_TREE_OR_MIN_BYTES:
+        out = np.zeros(n_bytes, dtype=np.uint8)
+        for row in packed.collect():
+            out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+        return out
+
+    def _or_bytes(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    rdd = packed.rdd.map(lambda r: r["bitmap"])
+    if rdd.isEmpty():
+        return np.zeros(n_bytes, dtype=np.uint8)
+    return np.frombuffer(rdd.treeReduce(_or_bytes, depth=2), dtype=np.uint8).copy()
+
+
 def bloom_prefilter_dedup(
     new: DataFrame,
     existing: DataFrame,
@@ -1385,38 +1436,22 @@ class BloomDedupState:
     def absorb(self, docs: DataFrame, text_col: str = "text") -> None:
         """OR ``docs``' content-hash bit positions into the bitmap.
         One narrow pass: positions JVM-side, per-partition numpy
-        bitmaps, driver OR (bounded: partitions x m/8 bytes; at very
-        large m, OR in two levels or drop to treeAggregate)."""
-        import numpy as np
-
-        n_bytes = self.n_bytes
+        bitmaps, OR-reduced driver-side at the default sizing and via
+        executor-side ``treeReduce`` once the bitmap crosses
+        ``BLOOM_TREE_OR_MIN_BYTES`` (see :func:`_build_bloom_bitmap`)."""
         pos_rows = docs.select(
             _bloom_positions(
                 F.sha2(F.col(text_col), 256), self.m_bits, self.k, self.seed
             ).alias("pos")
         )
-
-        def pack(batches):
-            bitmap = np.zeros(n_bytes, dtype=np.uint8)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                flat = np.concatenate(
-                    [np.asarray(p, dtype=np.int64) for p in pdf["pos"]]
-                )
-                np.bitwise_or.at(
-                    bitmap, flat >> 3, np.uint8(1) << (flat & 7).astype(np.uint8)
-                )
-            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
-
-        for row in pos_rows.mapInPandas(pack, schema="bitmap binary").collect():
-            self._bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+        self._bitmap |= _build_bloom_bitmap(pos_rows, self.n_bytes)
 
     def filter_new(
         self,
         new: DataFrame,
         existing: DataFrame,
         text_col: str = "text",
+        checkpoint: bool = True,
     ) -> DataFrame:
         """Rows of ``new`` whose content hash is in neither the bitmap's
         absorbed history nor ``existing`` — see
@@ -1426,11 +1461,24 @@ class BloomDedupState:
         expression cannot be inlined below ``new``'s own joins (where
         it would reference attributes from more than one join child
         and defeat Python-UDF extraction), and the two consumer
-        filters stay simple attribute predicates above the probe."""
+        filters stay simple attribute predicates above the probe. The
+        probe output is localCheckpoint-ed before the clean/candidates
+        split so the sha-256 + probe (and all of ``new``'s upstream
+        lineage) run once, and the two branches partition one
+        materialized snapshot — exact even if the lineage is
+        nondeterministic. ``checkpoint=False`` skips the truncation,
+        keeping the probe's logical plan inspectable for plan-shape
+        tests (same convention as ``graph.pagerank``); production
+        always checkpoints."""
         import numpy as np
 
         from pyspark.sql.types import BooleanType, StructField, StructType
 
+        reserved = {"__h", "__pos", "__maybe"} & set(new.columns)
+        if reserved:
+            raise ValueError(
+                f"input already has reserved column(s) {sorted(reserved)}"
+            )
         bc = new.sparkSession.sparkContext.broadcast(self._bitmap.tobytes())
         pos_new = new.withColumn("__h", F.sha2(F.col(text_col), 256)).withColumn(
             "__pos", _bloom_positions(F.col("__h"), self.m_bits, self.k, self.seed)
@@ -1455,6 +1503,8 @@ class BloomDedupState:
                 yield pdf
 
         keyed = pos_new.mapInPandas(probe, schema=probed_schema)
+        if checkpoint:
+            keyed = keyed.localCheckpoint(eager=True)
         clean = keyed.filter(~F.col("__maybe"))
         candidates = keyed.filter(F.col("__maybe"))
         ex_h = existing.select(F.sha2(F.col(text_col), 256).alias("__h")).distinct()

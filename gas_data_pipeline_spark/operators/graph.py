@@ -31,6 +31,8 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     checkpoint: bool = True,
+    hub_degree_threshold: int | None = None,
+    hub_salts: int = 16,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list -> (node,
     rank), in the N-scaled formulation: ranks start at 1.0 and step to
@@ -50,14 +52,25 @@ def pagerank(
     Edges and the out-degree table are checkpointed and co-partitioned
     on ``src`` once; each round shuffles only the (node, rank) pairs —
     |V|-sized, not |E|-sized. ``localCheckpoint`` truncates lineage so
-    round i's plan is one join deep. For web-scale graphs swap the
-    hash partitioning for range-partitioned ids so hub nodes spread
-    (or pre-split hubs the way the salting helpers do); the loop body
-    is unchanged. ``checkpoint=False`` skips the per-round
-    ``localCheckpoint`` (keeping the loop's logical plan inspectable
-    for plan-shape tests); production always checkpoints — an
-    un-truncated ``iters``-deep lineage re-executes every prior round
-    per action.
+    round i's plan is one join deep. ``checkpoint=False`` skips the
+    per-round ``localCheckpoint`` (keeping the loop's logical plan
+    inspectable for plan-shape tests); production always checkpoints —
+    an un-truncated ``iters``-deep lineage re-executes every prior
+    round per action.
+
+    Hub skew: with plain hash-partitioning on ``src``, a web-scale hub
+    (out-degree in the hundreds of millions) lands ALL its edges in
+    one task of the per-round join. Setting ``hub_degree_threshold``
+    pre-splits such hubs: edges whose source out-degree exceeds the
+    threshold get a deterministic salt (``xxhash64(dst) mod
+    hub_salts``) folded into the join key, and each round replicates
+    ONLY the hub nodes' rank rows across the ``hub_salts`` sub-keys
+    (non-hubs keep salt 0, one rank row). Contributions are
+    rank/out_deg per edge and summing is associative, so the salted
+    plan's answer is bit-identical to the unsalted one while the max
+    task input drops from out_deg(hub) to out_deg(hub)/hub_salts. The
+    hub set is computed once pre-loop and broadcast (it is tiny by
+    definition — keys above a count threshold).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -73,12 +86,24 @@ def pagerank(
     # co-partitioning repartition) — the loop body is then a single
     # join + aggregate per round, not a 3-way join. The contribution
     # stays rank/odeg, the oracle's exact expression.
-    e = (
-        e.repartition(loop_parts, "src")
-        .withColumn(
-            "odeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-        )
+    salted = hub_degree_threshold is not None
+    if salted and hub_salts < 2:
+        raise ValueError("hub_salts must be >= 2 when salting is enabled")
+    # repartition first so the odeg window reuses the co-partitioning
+    # exchange instead of adding its own.
+    e = e.repartition(loop_parts, "src").withColumn(
+        "odeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
     )
+    if salted:
+        e = e.withColumn(
+            "__salt",
+            F.when(
+                F.col("odeg") > hub_degree_threshold,
+                F.pmod(F.xxhash64("dst"), F.lit(hub_salts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        ).repartition(loop_parts, "src", "__salt")
     if checkpoint:
         e = e.localCheckpoint(eager=True)
     nodes = (
@@ -89,11 +114,44 @@ def pagerank(
     )
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
+    if salted:
+        hubs = (
+            e.filter(F.col("odeg") > hub_degree_threshold)
+            .select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("__is_hub", F.lit(True))
+        )
+        if checkpoint:
+            hubs = hubs.localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iters):
+        rank_src = ranks.select(F.col("node").alias("src"), "rank")
+        if salted:
+            # Replicate ONLY hub rank rows across the salt range so the
+            # salted edge partitions each find their (src, salt) match;
+            # non-hub ranks ship once with salt 0.
+            rank_src = (
+                rank_src.join(
+                    F.broadcast(hubs.withColumnRenamed("node", "src")),
+                    "src",
+                    "left",
+                )
+                .select(
+                    "src",
+                    "rank",
+                    F.explode(
+                        F.when(
+                            F.col("__is_hub"),
+                            F.sequence(F.lit(0), F.lit(hub_salts - 1)),
+                        ).otherwise(F.array(F.lit(0)))
+                    ).alias("__salt"),
+                )
+            )
+            joined = e.join(rank_src, ["src", "__salt"])
+        else:
+            joined = e.join(rank_src, "src")
         contrib = (
-            e.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
-            .groupBy("dst")
+            joined.groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
             .withColumnRenamed("dst", "node")
         )

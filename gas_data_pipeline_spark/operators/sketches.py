@@ -30,10 +30,15 @@ HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 HLL_SEED = "hll-v1:"
 
 
-def hll_distinct(
-    df: DataFrame, group_col: str, id_col: str, out_col: str = "approx_distinct"
+def hll_registers(
+    df: DataFrame, group_cols: list[str], id_col: str
 ) -> DataFrame:
-    """Per-``group_col`` HyperLogLog distinct-count of ``id_col``.
+    """The MERGEABLE half of the sketch: per (group, register) max rank
+    — the persistable summary table. <= m rows per group regardless of
+    id cardinality; two summaries over disjoint row sets merge by
+    ``max`` per register (associative/commutative/idempotent), which is
+    what makes :func:`hll_merge_registers` rollups exact-identical to
+    a direct computation at the coarser grain.
 
     The hash is md5 of a seeded decimal rendering of the id: hex chars
     1-3 pick one of 4096 registers, chars 4-16 are a 52-bit tail whose
@@ -42,30 +47,50 @@ def hll_distinct(
     ``bit_length`` exact integer/string logic (no float log2 edge
     cases; an all-zero tail lands on the rank-53 sentinel naturally,
     since ``ltrim('0', bin(0))`` is empty in both engines).
-
-    The estimate applies the standard small-range linear-counting
-    correction (E <= 2.5m with empty registers -> m*ln(m/V)); the
-    32-bit large-range correction is unnecessary at a 52-bit hash
-    width. Output is rounded to 4 decimals: the only cross-engine
-    nondeterminism left is summation order over <= 4096 doubles
-    (~1e-9 absolute), far inside the rounding.
     """
     h = F.md5(F.concat(F.lit(HLL_SEED), F.col(id_col).cast("string")))
     reg = F.conv(F.substring(h, 1, 3), 16, 10).cast("int").alias("__reg")
     w = F.conv(F.substring(h, 4, 13), 16, 10).cast("bigint").alias("__w")
     base = df.filter(F.col(id_col).isNotNull()).select(
-        F.col(group_col), reg, w
+        *[F.col(c) for c in group_cols], reg, w
     )
     rank = (F.lit(53) - F.length(F.expr("ltrim('0', bin(__w))"))).alias(
         "__rank"
     )
-    regs = (
-        base.select(group_col, "__reg", rank)
-        .groupBy(group_col, "__reg")
+    return (
+        base.select(*group_cols, "__reg", rank)
+        .groupBy(*group_cols, "__reg")
         .agg(F.max("__rank").alias("__mj"))
     )
+
+
+def hll_merge_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge register summaries to a coarser grouping (e.g. daily ->
+    monthly): max rank per (coarse group, register). Because max is
+    associative, the merged summary is BIT-IDENTICAL to the one a
+    direct pass over the raw rows at the coarse grain would build — a
+    rollup refresh therefore reads only the stored summaries (<= m
+    rows per fine group), never the fact table."""
+    return regs.groupBy(*group_cols, "__reg").agg(
+        F.max("__mj").alias("__mj")
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Fold a register summary into the HLL estimate per group.
+
+    Applies the standard small-range linear-counting correction
+    (E <= 2.5m with empty registers -> m*ln(m/V)); the 32-bit
+    large-range correction is unnecessary at a 52-bit hash width.
+    Output is rounded to 4 decimals: the only cross-engine
+    nondeterminism left is summation order over <= 4096 doubles
+    (~1e-9 absolute), far inside the rounding."""
     m = float(HLL_M)
-    agg = regs.groupBy(group_col).agg(
+    agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__n_regs"),
         F.sum(F.pow(F.lit(2.0), -F.col("__mj"))).alias("__sum_inv"),
     )
@@ -74,7 +99,18 @@ def hll_distinct(
     e = F.when(
         (e_raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
     ).otherwise(e_raw)
-    return agg.select(group_col, F.round(e, 4).alias(out_col))
+    return agg.select(*group_cols, F.round(e, 4).alias(out_col))
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, id_col: str, out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Per-``group_col`` HyperLogLog distinct-count of ``id_col`` —
+    :func:`hll_registers` composed with :func:`hll_estimate`; see
+    those for the hash layout and correction notes."""
+    return hll_estimate(
+        hll_registers(df, [group_col], id_col), [group_col], out_col
+    )
 
 
 def hll_oracle_sql(
@@ -143,15 +179,33 @@ def heavy_hitters_exact(
     job); the summary is checkpointed so the two consumers don't
     re-scan ``df``.
 
+    Two exactness details the naive formulation gets for free and this
+    one must handle explicitly:
+
+    - **Null keys**: the MG summary counts nulls (``value_counts(
+      dropna=False)``) and the confirm semi-join uses null-safe
+      equality (``<=>``), so a genuinely heavy null-key group survives
+      to the final GROUP BY (where null is an ordinary group) exactly
+      as it does in the oracle's SQL.
+    - **The HAVING bar**: ``threshold`` is interpreted as the DECIMAL
+      its string rendering denotes (what a SQL literal like ``0.05``
+      means to the oracle), not as the nearest binary double — the bar
+      is computed exactly on the driver as ``ceil(threshold * total)``
+      over ``Fraction``s and compared as a bigint, so a key sitting
+      exactly on the boundary agrees with the oracle's exact decimal
+      arithmetic.
+
     Returns (key_col, count_col) for the exact heavy keys.
     """
     import math
+    from fractions import Fraction
 
     import pandas as pd
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
-    k = math.ceil(1.0 / threshold)
+    theta = Fraction(str(threshold))
+    k = math.ceil(1 / theta)
     key_field = df.schema[key_col]
     from pyspark.sql.types import (
         LongType,
@@ -198,12 +252,21 @@ def heavy_hitters_exact(
     ).collect()[0][0]
     cand = (
         summary.filter(F.col("kind") == "cand")
-        .select(F.col("key").alias(key_col))
+        .select(F.col("key").alias("__cand_key"))
         .distinct()
     )
+    # cnt is an integer, so cnt >= theta*total  <=>  cnt >= ceil(theta*total);
+    # the ceil is exact rational arithmetic, immune to double rounding.
+    bar = int(math.ceil(theta * (total or 0)))
+    # Null-safe equality so a null-key candidate is confirmed rather
+    # than silently dropped by null-never-equals-null join semantics.
     return (
-        df.join(F.broadcast(cand), key_col, "left_semi")
+        df.join(
+            F.broadcast(cand),
+            F.col(key_col).eqNullSafe(F.col("__cand_key")),
+            "left_semi",
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias(count_col))
-        .filter(F.col(count_col) >= F.lit(threshold) * F.lit(total))
+        .filter(F.col(count_col) >= F.lit(bar))
     )

@@ -123,9 +123,14 @@ def gap_fill_daily(
     """Daily downsample with gap filling: sum per (series, day) over a
     dense day grid spanning the observed range — missing days emit 0.
 
-    The grid is sequence(min_day, max_day) exploded from a 1-row
-    bounds aggregate cross-joined with the distinct series set — both
-    sides tiny, both broadcast; the only real shuffle is the daily
+    The grid is built by cross-joining the distinct SERIES side with
+    the broadcast 1-ROW bounds aggregate and exploding
+    sequence(min_day, max_day) per series row. Broadcast direction
+    matters at scale: the day grid is bounded by the observed date
+    span (thousands of rows at most) and the bounds row is bounded by
+    1, while the series set is unbounded (100M series would never
+    broadcast) — so the unbounded side streams and only the 1-row
+    bounds ride the broadcast. The only real shuffle is the daily
     pre-aggregation (map-side partials first). This is the
     intraday→daily downsampling the reference's frequency column
     implies (reference app/ingestion/series_autoregister.py:50,89),
@@ -138,11 +143,10 @@ def gap_fill_daily(
         F.min(F.to_date(F.col(ts_col))).alias("d0"),
         F.max(F.to_date(F.col(ts_col))).alias("d1"),
     )
-    grid_days = bounds.select(
-        F.explode(F.sequence("d0", "d1")).alias("day")
-    )
     series = df.select(F.col(series_col).alias("series")).distinct()
-    grid = grid_days.crossJoin(F.broadcast(series))
+    grid = series.crossJoin(F.broadcast(bounds)).select(
+        "series", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
     return (
         grid.join(daily, ["series", "day"], "left")
         .select(

@@ -46,15 +46,38 @@ def grouped_topk(
     pruned stream — one exchange of candidates only, same
     ``row_number`` semantics as the naive plan.
 
-    Caveat: float NaN in ``order_col`` is unsupported — pandas sorts
-    NaN as *missing* (always last) while Spark orders NaN *greatest*,
-    so the two stages would disagree on the total order. Filter or
-    null-out NaNs first (``functions/series.py`` cleaning does).
+    Float NaN in ``order_col`` is unsupported — pandas sorts NaN as
+    *missing* (always last) while Spark orders NaN *greatest*, so the
+    two stages would disagree on the total order. Rather than silently
+    returning wrong rows, a float/double order column carries a
+    map-side ``assert_true`` guard that fails the job on the first NaN
+    encountered; null-out or filter NaNs first
+    (``functions/series.py`` cleaning does).
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
     if tiebreak is None:
         raise ValueError("tiebreak column is required for a deterministic order")
     if k < 1:
         raise ValueError("k must be >= 1")
+    if "__topk_nan_guard" in df.columns:
+        raise ValueError("input already has reserved column __topk_nan_guard")
+    # The guard column rides through the map-side cut (mapInPandas
+    # requires its child's full schema, so pruning can't elide the
+    # assert) and is dropped after the final window.
+    nan_guarded = isinstance(df.schema[order_col].dataType, (FloatType, DoubleType))
+    if nan_guarded:
+        df = df.withColumn(
+            "__topk_nan_guard",
+            F.assert_true(
+                F.col(order_col).isNull() | ~F.isnan(F.col(order_col)),
+                F.lit(
+                    f"grouped_topk: NaN in order column '{order_col}' is "
+                    "unsupported (pandas and Spark disagree on NaN order); "
+                    "filter or null-out NaNs first"
+                ),
+            ),
+        )
 
     sort_cols = [order_col, tiebreak]
     ascending = [not descending, True]
@@ -95,6 +118,7 @@ def grouped_topk(
         F.col(tiebreak).asc_nulls_last(),
     )
     w = Window.partitionBy(*group_cols).orderBy(*order)
-    return candidates.withColumn(rank_col, F.row_number().over(w)).filter(
+    out = candidates.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+    return out.drop("__topk_nan_guard") if nan_guarded else out

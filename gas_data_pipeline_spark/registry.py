@@ -63,16 +63,20 @@ def _load_all() -> None:
 # still covered by the builder-side parity gate (tests/test_parity.py,
 # all queries).
 #
-# Round-4 rotation (VERDICT r3 #1): 24 family anchors stay, and 26
-# slots rotate to queries that never earned a driver-side CORRECTNESS
-# row in rounds 1-3 (the curation nine, the span/keep-best/incremental
-# dedup ops, the stream-stream join, SCD2, OHLC, funnel, band-range
-# join, skew/layout, and the window-function tail). Every rotated-OUT
-# query keeps its exact DuckDB oracle in tests/test_parity.py, so
-# nothing loses correctness coverage — it converts builder-side trust
-# into driver-side proof for the tail.
+# Round-5 rotation (VERDICT r4 #1/#5): the 24 family anchors stay,
+# and 26 slots rotate to queries that have never earned a driver-side
+# CORRECTNESS row — prioritizing the round-4 operator families no
+# prior window could have seen (PageRank, Bloom join/dedup, heavy
+# hitters, bounded top-k, interval join, CDC/rollup maintenance, RI
+# audit), the analytics/time-series tail, two rows-only ANN variants
+# (recall floors pinned in tests/test_northstar.py), and the new
+# hourly-pipeline end-to-end composition. Every rotated-OUT query
+# keeps its exact DuckDB oracle in tests/test_parity.py, so nothing
+# loses correctness coverage — the rotation converts builder-side
+# trust into driver-side proof; the ~20 still-unwindowed queries
+# finish in the round-6 rotation.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- anchors (driver-green in r1-r3, one per SURVEY §2 family) --
+    # -- anchors (driver-green in r1-r4, one per SURVEY §2 family) --
     "flagship_data_query",
     "json_field_predicate",
     "star_join_3way",
@@ -82,9 +86,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "quality_expectations",
     "limit_offset_pagination",
     "union_by_name_harmonized",
-    # ST3 slot: stream_lookback_upsert earned its driver row in r3;
-    # the slot now proves the SNK4∘ST3 composition (round-4 addition,
-    # never driver-checked; lookback upsert stays in the parity gate).
     "stream_gie_delete_reload",
     "sql_topn_revenue_report",
     "series_id_slug",
@@ -101,38 +102,36 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ann_cosine_topk",
     "multimodal_features",
     # -- first-time driver-checked this round --
-    # relational / aggregate / window tail
-    "grouping_sets_priority_status",
-    "band_range_join",
-    "rolling_time_average",
-    "latest_event_per_user",
-    "cohort_monthly_retention",
-    "funnel_conversion",
-    "daily_ohlc_downsample",
-    "scd2_user_state_history",
-    # sinks / ingest / layout
-    "jsonl_ingest_quarantine",
-    "compaction_roundtrip",
-    "salted_skew_aggregate",
-    # streaming
-    "stream_stream_interval_join",
-    # X1 dedup tail
-    "dedup_span_exact",
-    "dedup_keep_best",
-    "dedup_incremental_batch",
-    # X3 text tail
-    "text_token_count",
-    "text_unigram_logprob",
-    # curation nine (§2.11)
-    "curation_contamination",
-    "curation_pack_sequences",
-    "curation_quality_rules",
-    "curation_shuffle_rank",
-    "curation_weighted_sample",
-    "curation_mixture_weights",
-    "curation_mixture_apply",
-    "curation_domain_cap",
-    "curation_end_to_end",
+    # round-4 operator families (VERDICT r4 #1 priority list)
+    "graph_pagerank",
+    "bloom_pruned_join_revenue",
+    "heavy_hitters_exact",
+    "grouped_topk_bounded",
+    "interval_overlap_sessions",
+    "snapshot_diff_cdc",
+    "incremental_rollup_maintenance",
+    "referential_integrity_audit",
+    "stream_bloom_dedup",
+    "dedup_bloom_incremental",
+    "dedup_repeated_ngrams",
+    "curation_token_budget",
+    "hash_split_train_test",
+    "stratified_sample_events",
+    "approx_distinct_portable_hll",
+    "approx_percentiles_sampled",
+    # analytics / time-series tail
+    "sessionize_events",
+    "ewma_by_series",
+    "gap_fill_daily_rollup",
+    "trend_slope_by_series",
+    "anomaly_mad_outliers",
+    "text_fingerprint",
+    "interpolate_daily_gaps",
+    # rows-only ANN variants (VERDICT r4 #5; recall floors in pytest)
+    "ann_ivfpq",
+    "ann_lsh_bucketed",
+    # new this round: the composed scheduler lifecycle (VERDICT r4 #7)
+    "hourly_pipeline_e2e",
 )
 
 

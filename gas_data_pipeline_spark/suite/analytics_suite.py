@@ -236,7 +236,10 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from gas_data_pipeline_spark.operators.sketches import (  # noqa: E402
     hll_distinct,
+    hll_estimate,
+    hll_merge_registers,
     hll_oracle_sql,
+    hll_registers,
 )
 
 
@@ -254,6 +257,37 @@ def approx_distinct_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group, register) max is map-side combinable; ids never shuffle."""
     ev = table(spark, sf_dir, "events")
     return hll_distinct(ev, "event_type", "user_id", out_col="approx_users")
+
+
+@register(
+    "approx_distinct_rollup_merge",
+    oracle=hll_oracle_sql(
+        "(SELECT strftime(ts, '%Y-%m') AS month, user_id FROM events) t",
+        "month",
+        "user_id",
+        "approx_users",
+    ),
+)
+def approx_distinct_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-summary rollup: DAILY HLL register tables merged to a
+    MONTHLY distinct-user estimate by max-per-register — the lakehouse
+    sketch-rollup pattern where the coarse aggregate reads only the
+    stored summaries (<= 4096 rows per day), never rescans the fact
+    table. Because register max is associative, the merged monthly
+    sketch is bit-identical to one computed directly from the raw rows
+    — which is exactly what the DuckDB oracle does (direct monthly
+    portable-HLL over events), making the refresh-from-summaries
+    equivalence itself the checked property. At 100 TB this turns a
+    month-end distinct-count from a fact-table scan into a ~120k-row
+    summary merge."""
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = hll_registers(ev, ["month", "day"], "user_id")
+    monthly = hll_merge_registers(daily, ["month"])
+    return hll_estimate(monthly, ["month"], out_col="approx_users")
 
 
 @register(

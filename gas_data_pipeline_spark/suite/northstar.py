@@ -431,7 +431,11 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pq(emb, queries, k=10, m=16, n_codes=32)
 
 
-@register("ann_ivfpq")  # rows-only: doubly-approximate; recall bound in pytest
+# rows-only: doubly-approximate — no SQL oracle can reproduce quantized
+# scores. Correctness bound: recall >= 0.3 vs the exact top-10 (measured
+# 0.487 at these settings) plus soundness/determinism invariants, pinned
+# in tests/test_northstar.py::test_ivfpq_topk_recall_and_soundness.
+@register("ann_ivfpq")
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 composite IVF+PQ index (the FAISS production shape): IVF
     prunes which inverted lists a query scans, PQ makes scanning a
@@ -446,7 +450,12 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivfpq(emb, queries, k=10)
 
 
-@register("ann_lsh_bucketed")  # rows-only: bucket recall tested vs exact in pytest
+# rows-only: oblivious-hash approximate. Correctness bound: recall
+# >= 0.2 vs the exact top-10 (measured ~0.36-0.40 here — a random
+# 64-dim corpus is LSH's worst case), candidate scores EXACT cosine,
+# ranks contiguous; pinned in
+# tests/test_northstar.py::test_lsh_topk_scores_exact_and_recall.
+@register("ann_lsh_bucketed")
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 scale path: multi-table random-hyperplane LSH (seeded, fixed)
     — candidates restricted to shared (table, sign-signature) keys; an

@@ -626,3 +626,180 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return spark.read.parquet(corpus).select("doc_id")
+
+
+@register(
+    "hourly_pipeline_e2e",
+    oracle=r"""
+        WITH full_hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS obs_hour,
+                   CAST(count(*) AS DOUBLE) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        half_hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS obs_hour,
+                   CAST(count(*) AS DOUBLE) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+        ),
+        obs AS (
+            SELECT 'NG_HOURLYFEED_' || CAST(user_id AS VARCHAR) || '_N_EVENTS'
+                       AS series_id,
+                   obs_hour AS observation_time, n_events AS value
+            FROM full_hourly
+            UNION ALL
+            SELECT 'NG_HOURLYFEED_' || CAST(user_id AS VARCHAR) || '_SUM_VALUE',
+                   obs_hour, sum_value
+            FROM full_hourly WHERE sum_value IS NOT NULL
+        ),
+        cells AS (
+            SELECT 'user_id' AS field_name, CAST(user_id AS VARCHAR) AS v FROM half_hourly
+            UNION ALL SELECT 'obs_hour', CAST(obs_hour AS VARCHAR) FROM half_hourly
+            UNION ALL SELECT 'n_events', CAST(n_events AS VARCHAR) FROM half_hourly
+            UNION ALL SELECT 'sum_value', CAST(sum_value AS VARCHAR) FROM half_hourly
+        ),
+        typed AS (
+            SELECT field_name,
+                   CASE WHEN v IS NULL THEN NULL
+                        WHEN v IN ('true','false') THEN 'boolean'
+                        WHEN regexp_matches(v, '^-?\d+$') THEN 'integer'
+                        WHEN regexp_matches(v, '^-?\d+(\.\d+)?([eE][+-]?\d+)?$') THEN 'float'
+                        WHEN regexp_matches(v, '^[\[{]') THEN 'json'
+                        ELSE 'string' END AS vt
+            FROM cells
+        ),
+        fields AS (
+            SELECT field_name || '=' ||
+                   COALESCE(NULLIF(string_agg(DISTINCT vt, ',' ORDER BY vt), ''), 'null')
+                       AS fid
+            FROM typed GROUP BY field_name
+        )
+        SELECT 'obs' AS kind, series_id, observation_time, value FROM obs
+        UNION ALL
+        SELECT 'field', fid, CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE) FROM fields
+        UNION ALL
+        SELECT 'bronze', 'hourlyfeed', CAST(NULL AS TIMESTAMP),
+               CAST((SELECT count(*) FROM half_hourly)
+                    + (SELECT count(*) FROM full_hourly) AS DOUBLE)
+    """,
+)
+def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole production lifecycle under the streaming
+    scheduler, end to end: fetch -> bronze -> discover/register fields
+    -> melt -> series auto-register -> silver upsert (reference
+    app/scheduler/scheduler.py + app/ingestion/run_all.py:70-118), run
+    as TWO real Trigger.ProcessingTime scheduler cycles — not
+    AvailableNow — through ``GasDataEngine.ingest_batch``.
+
+    Cycle 1 is a provisional early poll (only the even-id half of the
+    events, aggregated to the wide per-(user, hour) shape an API fetch
+    returns); cycle 2 is the authoritative re-poll of the same window
+    (full data — every cycle-1 key revised late). Correct lifecycle
+    behavior therefore requires: bronze keeps BOTH polls verbatim
+    (zero loss), the field catalog registers on cycle 1 and is a
+    no-op on cycle 2 (insert-if-absent), every melted series is in
+    meta_series (the obs section inner-joins it — unregistered series
+    would vanish and fail the row count), and the silver upsert's
+    last-write-wins leaves exactly the cycle-2 values. The checked
+    value is all three layers: final silver observations (joined to
+    the series dim), the field catalog's (name, inferred-type lattice)
+    entries, and the bronze row count.
+
+    Deterministic despite the wall-clock trigger: each poll is one
+    file moved atomically into the watched dir, and the driver awaits
+    each cycle's completion before dropping the next file, so the two
+    ingests run strictly sequentially (max_instances=1 semantics) with
+    cycle 2's batch-priority beating cycle 1 regardless of timestamps.
+    """
+    import os
+
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.engine import GasDataEngine
+    from gas_data_pipeline_spark.streaming.incremental import (
+        await_processed_batches,
+        start_processing_time_stream,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="gas_hourly_e2e_")
+    root = os.path.join(scratch, "lake")
+    ckpt = os.path.join(scratch, "ckpt")
+    src = os.path.join(scratch, "incoming")
+    os.makedirs(src)
+    engine = GasDataEngine(spark, root)
+
+    ev = table(spark, sf_dir, "events")
+
+    def wide_poll(events: DataFrame) -> DataFrame:
+        """The wide per-(entity, hour) page shape a REST poll returns."""
+        return events.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("obs_hour")
+        ).agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    def drop_poll(df: DataFrame, name: str) -> None:
+        stage = os.path.join(scratch, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(stage)
+
+    done: list[int] = []
+
+    def cycle(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        engine.ingest_batch(
+            bdf.select("user_id", "obs_hour", "n_events", "sum_value"),
+            dataset_id="hourlyfeed",
+            source="rest-poll",
+            id_cols=["user_id"],
+            time_col="obs_hour",
+        )
+        done.append(batch_id)
+
+    poll_schema = (
+        "user_id bigint, obs_hour timestamp, n_events double, sum_value double"
+    )
+    stream = spark.readStream.schema(poll_schema).parquet(src)
+    q = start_processing_time_stream(
+        stream, cycle, ckpt, interval="500 milliseconds"
+    )
+    try:
+        # Scheduler cycle 1: provisional poll (half the data).
+        drop_poll(wide_poll(ev.filter(F.col("event_id") % 2 == 0)), "p0")
+        await_processed_batches(q, lambda: len(done) >= 1, timeout_sec=180)
+        # Scheduler cycle 2: authoritative re-poll, late revisions of
+        # every cycle-1 key.
+        drop_poll(wide_poll(ev), "p1")
+        await_processed_batches(q, lambda: len(done) >= 2, timeout_sec=180)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    silver = spark.read.parquet(engine.obs_path)
+    dim = spark.read.parquet(engine.series_path).select("series_id")
+    obs_rows = silver.join(dim, "series_id").select(
+        F.lit("obs").alias("kind"),
+        "series_id",
+        "observation_time",
+        "value",
+    )
+    field_rows = spark.read.parquet(engine.fields_path).select(
+        F.lit("field").alias("kind"),
+        F.concat("field_name", F.lit("="), "inferred_type").alias("series_id"),
+        F.lit(None).cast("timestamp").alias("observation_time"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    n_bronze = spark.read.parquet(engine.bronze_path).count()
+    bronze_row = spark.range(1).select(
+        F.lit("bronze").alias("kind"),
+        F.lit("hourlyfeed").alias("series_id"),
+        F.lit(None).cast("timestamp").alias("observation_time"),
+        F.lit(float(n_bronze)).alias("value"),
+    )
+    return obs_rows.unionByName(field_rows).unionByName(bronze_row)

@@ -53,3 +53,69 @@ def test_dangling_node_contributes_nothing(spark):
     assert r[1] == pytest.approx(0.15, abs=1e-12)
     # node 2 receives the geometric tail of node 1's decaying rank
     assert r[2] > r[1]
+
+
+def test_hub_salting_preserves_ranks_exactly(spark):
+    """Salted and unsalted PageRank must agree to float noise: the
+    per-edge contribution rank/odeg is unchanged by salting and the
+    dst-side sum is associative, so splitting a hub's edges across
+    salt buckets only reorders the summation."""
+    # hub 0 -> 200 leaves, plus a back-edge ring among the leaves so
+    # the graph has structure beyond the star.
+    pairs = [(0, v) for v in range(1, 201)] + [
+        (v, v % 200 + 1) for v in range(1, 201)
+    ] + [(5, 0), (17, 0)]
+    e = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    plain = {
+        r.node: r["rank"] for r in pagerank(e, iters=4).collect()
+    }
+    salted = {
+        r.node: r["rank"]
+        for r in pagerank(
+            e, iters=4, hub_degree_threshold=50, hub_salts=8
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for node, rank in plain.items():
+        assert salted[node] == pytest.approx(rank, rel=1e-12)
+
+
+def test_hub_salting_bounds_max_task_input(spark):
+    """The property salting buys: after the (src, salt) co-partition,
+    no single partition holds the whole hub's edge list. With an
+    801-edge hub and 8 salts over 8 partitions, the max partition is
+    bounded well below the hub degree (vs. the unsalted layout where
+    one partition necessarily holds all 801)."""
+    from pyspark.sql import functions as F
+
+    pairs = [(0, v) for v in range(1, 802)]
+    e = spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+    def max_partition_rows(df):
+        sizes = (
+            df.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        return sizes
+
+    unsalted = e.repartition(8, "src")
+    assert max_partition_rows(unsalted) == 801  # all hub edges in one task
+    salt = F.pmod(F.xxhash64("dst"), F.lit(8)).cast("int")
+    salted = e.withColumn("__salt", salt).repartition(8, "src", "__salt")
+    # The join key is now (src, salt): no single key group carries more
+    # than ~1/8 of the hub (the per-task bound once partitions >= keys);
+    # with only 8 partitions several salt keys can share a partition, so
+    # the partition bound is looser but still far below the full hub.
+    max_group = (
+        salted.groupBy("src", "__salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_group <= 2 * (801 // 8 + 1)
+    assert max_partition_rows(salted) <= 801 // 2
+
+
+def test_hub_salting_rejects_bad_salt_count(spark):
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError):
+        pagerank(e, hub_degree_threshold=10, hub_salts=1)

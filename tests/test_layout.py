@@ -306,3 +306,119 @@ def test_grouped_topk_requires_tiebreak(spark):
         grouped_topk(df, ["g"], "v", k=3)
     with pytest.raises(ValueError):
         grouped_topk(df, ["g"], "v", k=0, tiebreak="v")
+
+
+def test_heavy_hitters_null_key_group_survives(spark):
+    """A genuinely heavy null-key group must be returned: the MG
+    summary counts nulls and the confirm join is null-safe, matching
+    GROUP BY ... HAVING where null is an ordinary group."""
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.sketches import heavy_hitters_exact
+
+    df = spark.range(100).select(
+        F.when(F.col("id") < 40, F.lit(None).cast("string"))
+        .when(F.col("id") < 70, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), F.col("id").cast("string")))
+        .alias("key")
+    )
+    got = {
+        (r.key, r.cnt)
+        for r in heavy_hitters_exact(df.repartition(4), "key", 0.25).collect()
+    }
+    assert got == {(None, 40), ("hot", 30)}
+
+
+def test_heavy_hitters_decimal_threshold_boundary(spark):
+    """threshold=0.05 is not exactly representable in binary; the bar
+    must follow the DECIMAL the literal denotes (what the SQL oracle
+    computes), so a key at exactly 5% of N is kept."""
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.sketches import heavy_hitters_exact
+
+    # 1000 rows: 'edge' appears exactly 50 times = 0.05 * 1000.
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 50, F.lit("edge"))
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("key")
+    )
+    got = {r.key for r in heavy_hitters_exact(df.repartition(4), "key", 0.05).collect()}
+    assert got == {"edge"}
+
+
+def test_grouped_topk_raises_on_nan_order_values(spark):
+    """NaN in the order column must fail loudly (pandas and Spark
+    disagree on NaN placement), not silently return wrong rows."""
+    import pytest
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.topk import grouped_topk
+
+    df = spark.range(20).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") == 7, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+        F.col("id").alias("tid"),
+    )
+    out = grouped_topk(df.repartition(4), ["g"], "v", k=3, tiebreak="tid")
+    with pytest.raises(Exception) as exc_info:
+        out.collect()
+    assert "NaN" in str(exc_info.value)
+    # nulls (not NaN) stay supported
+    clean = df.withColumn(
+        "v", F.when(F.isnan("v"), F.lit(None)).otherwise(F.col("v"))
+    )
+    rows = grouped_topk(clean.repartition(4), ["g"], "v", k=3, tiebreak="tid").collect()
+    assert len(rows) == 6
+    assert "__topk_nan_guard" not in rows[0].asDict()
+
+
+def test_grouped_topk_rejects_reserved_guard_column(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.topk import grouped_topk
+
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").cast("double").alias("v"),
+        F.col("id").alias("tid"),
+        F.lit(None).cast("string").alias("__topk_nan_guard"),
+    )
+    with pytest.raises(ValueError):
+        grouped_topk(df, ["g"], "v", k=3, tiebreak="tid")
+
+
+def test_hll_register_rollup_identical_to_direct(spark):
+    """Merging daily register summaries by max-per-register must give
+    a monthly estimate BIT-IDENTICAL to computing the sketch directly
+    on the raw rows (max is associative) — the property that lets a
+    rollup refresh read summaries instead of the fact table."""
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.sketches import (
+        HLL_M,
+        hll_distinct,
+        hll_estimate,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("m"), (F.col("id") % 3).cast("string")).alias("month"),
+        (F.col("id") % 28).alias("day"),
+        (F.col("id") % 1777).alias("uid"),
+    )
+    daily = hll_registers(df, ["month", "day"], "uid")
+    # Summary is bounded: <= m rows per (month, day).
+    top = (
+        daily.groupBy("month", "day").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert top <= HLL_M
+    merged = hll_estimate(
+        hll_merge_registers(daily, ["month"]), ["month"], "est"
+    )
+    direct = hll_distinct(df, "month", "uid", out_col="est")
+    got = {(r.month, r.est) for r in merged.collect()}
+    want = {(r.month, r.est) for r in direct.collect()}
+    assert got == want
+    # Sanity: the estimate is in the right ballpark of the true 1777.
+    for _, est in got:
+        assert 1500 < est < 2100

@@ -356,13 +356,29 @@ def test_bloom_dedup_probe_shape(spark):
     probe is a single Arrow-batched map operator (no Python UDF left
     inside a Filter, where extraction failures surface as interpreted
     plans), and the confirm side stays a hashed equi-join on the sha
-    key — never a nested-loop over the batch."""
+    key — never a nested-loop over the batch. The default path
+    localCheckpoints the probe (one-pass exactness), which truncates
+    its lineage out of the final plan, so the probe shape is asserted
+    with checkpoint=False — same convention as the pagerank loop-body
+    plan test."""
     plan = _plan(spark, "dedup_bloom_incremental")
-    assert plan.count("MapInPandas") >= 1
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python ban
     assert "LeftAnti" in plan
+
+    from pyspark.sql import functions as F
+
+    from gas_data_pipeline_spark.operators.dedup import BloomDedupState
+
+    docs = spark.range(50).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("text")
+    )
+    state = BloomDedupState(m_bits=1 << 12)
+    out = state.filter_new(docs, docs.filter(F.lit(False)), checkpoint=False)
+    probe_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert probe_plan.count("MapInPandas") >= 1
+    assert "BatchEvalPython" not in probe_plan
 
 
 def test_pagerank_loop_joins_are_hashed(spark):
@@ -434,3 +450,24 @@ def test_bloom_pruned_join_probe_before_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_gap_fill_broadcasts_only_bounded_side(spark):
+    """The dense-grid cross join must broadcast the 1-ROW bounds
+    aggregate and stream the (unbounded-cardinality) series side: in
+    the initial plan the only BroadcastExchange is the bounds min/max
+    aggregate — never the distinct series set."""
+    plan = _plan(spark, "gap_fill_daily_rollup")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    # The cross join's STREAMED (left) side is the distinct-series
+    # aggregate, and its BUILD side — the first BroadcastExchange
+    # printed after the join node — is the 1-row min/max bounds
+    # aggregate. (Catalyst may additionally broadcast the daily agg
+    # for the outer join at test scale; that is stats-driven and
+    # bounded, not part of this contract.)
+    after_bnlj = plan.split("BroadcastNestedLoopJoin", 1)[1]
+    streamed = after_bnlj.split("BroadcastExchange", 1)[0]
+    assert "HashAggregate(keys=[series" in streamed
+    build = after_bnlj.split("BroadcastExchange", 1)[1]
+    head = "\n".join(build.splitlines()[:4]).lower()
+    assert "min(" in head and "max(" in head
