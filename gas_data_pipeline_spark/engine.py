@@ -64,7 +64,8 @@ class GasDataEngine:
         id_cols: list[str],
         time_col: str,
         quality_col: str | None = None,
-    ) -> dict[str, int]:
+        collect_stats: bool = True,
+    ) -> dict[str, int] | None:
         """Full ingest: bronze landing, schema discovery, series
         auto-registration, melt, silver upsert — the reference's
         fetch→raw→discover→register→transform→load chain
@@ -72,7 +73,11 @@ class GasDataEngine:
 
         ``id_cols`` are the entity keys (reference: siteId etc.);
         every OTHER numeric column melts into a series (R1 rule,
-        series_autoregister.py:26-31). Returns row counts per stage.
+        series_autoregister.py:26-31). Returns row counts per stage —
+        or None with ``collect_stats=False``, which skips the three
+        count-only jobs (batch/observations/new-series); the scheduler
+        loop uses that mode since the counts are observability, not
+        pipeline inputs.
         """
         # SNK1 — zero-loss raw landing.
         bronze_append(batch, dataset_id, source, self.bronze_path)
@@ -111,8 +116,10 @@ class GasDataEngine:
         )
 
         # SNK2 — idempotent last-write-wins upsert.
-        n_obs = observations.count()
+        n_obs = observations.count() if collect_stats else 0
         upsert_observations(self.spark, observations, self.obs_path)
+        if not collect_stats:
+            return None
         return {
             "bronze_rows": batch.count(),
             "observations": n_obs,

@@ -759,6 +759,7 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             source="rest-poll",
             id_cols=["user_id"],
             time_col="obs_hour",
+            collect_stats=False,
         )
         done.append(batch_id)
 
