@@ -405,3 +405,135 @@ def test_snapshot_diff_apply_reconstructs_new(spark, old, new):
             assert k in old and k not in new
         else:
             assert old[k] != new[k]
+
+
+@given(
+    keys=st.lists(
+        st.one_of(st.none(), st.integers(0, 6).map(lambda i: f"k{i}")),
+        min_size=1,
+        max_size=120,
+    ),
+    theta=st.sampled_from([0.05, 0.2, 0.25, 1 / 3, 0.5, 1.0]),
+    parts=st.integers(1, 5),
+)
+@settings(**{**SETTINGS, "max_examples": 10})
+def test_heavy_hitters_matches_counter_mirror(spark, keys, theta, parts):
+    """heavy_hitters_exact == Counter + exact decimal HAVING bar, for
+    any key multiset (nulls included), threshold, and partitioning —
+    the MG summary is a cost bound, never a semantics change."""
+    import collections
+    import math
+    from fractions import Fraction
+
+    from gas_data_pipeline_spark.operators.sketches import heavy_hitters_exact
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string").repartition(
+        parts
+    )
+    got = {(r.key, r.cnt) for r in heavy_hitters_exact(df, "key", theta).collect()}
+    bar = math.ceil(Fraction(str(theta)) * len(keys))
+    want = {
+        (k, n)
+        for k, n in collections.Counter(keys).items()
+        if n >= bar
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(-50, 50).map(float)),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    k=st.integers(1, 4),
+    parts=st.integers(1, 4),
+)
+@settings(**{**SETTINGS, "max_examples": 10})
+def test_grouped_topk_matches_python_mirror(spark, vals, k, parts):
+    """grouped_topk == per-group Python sort/truncate under the same
+    total order (desc nulls-last, tiebreak asc) for any layout."""
+    from gas_data_pipeline_spark.operators.topk import grouped_topk
+
+    rows = [(g, v, i) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "g int, v double, tid long"
+    ).repartition(parts)
+    got = {
+        (r.g, r.v, r.tid, r.rk)
+        for r in grouped_topk(df, ["g"], "v", k=k, tiebreak="tid").collect()
+    }
+    by_g: dict[int, list] = {}
+    for g, v, i in rows:
+        by_g.setdefault(g, []).append((v, i))
+    want = set()
+    for g, items in by_g.items():
+        items.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]))
+        for rk, (v, i) in enumerate(items[:k], start=1):
+            want.add((g, v, i, rk))
+    assert got == want
+
+
+@given(
+    new_ids=st.lists(st.integers(0, 30), min_size=1, max_size=40, unique=True),
+    old_ids=st.lists(st.integers(0, 30), min_size=0, max_size=40, unique=True),
+    m_bits=st.sampled_from([64, 256, 1 << 12]),
+)
+@settings(**{**SETTINGS, "max_examples": 10})
+def test_bloom_gate_matches_anti_join_even_at_high_fp(spark, new_ids, old_ids, m_bits):
+    """The Bloom gate's answer equals the plain sha anti-join at ANY
+    false-positive rate — a 64-bit bitmap saturates almost instantly,
+    so every row becomes a candidate and the exact confirm must carry
+    the whole contract."""
+    from gas_data_pipeline_spark.operators.dedup import BloomDedupState
+
+    new = spark.createDataFrame(
+        [(i, f"text-{i}") for i in new_ids], "doc_id long, text string"
+    )
+    existing = spark.createDataFrame(
+        [(i, f"text-{i}") for i in old_ids], "doc_id long, text string"
+    ) if old_ids else new.filter(F.lit(False))
+    state = BloomDedupState(m_bits=m_bits)
+    state.absorb(existing)
+    got = sorted(r.doc_id for r in state.filter_new(new, existing).collect())
+    want = sorted(set(new_ids) - set(old_ids))
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=40,
+    ),
+    salts=st.integers(2, 5),
+)
+@settings(**{**SETTINGS, "max_examples": 6})
+def test_pagerank_salting_invariant_on_random_graphs(spark, edges, salts):
+    """Salted == unsalted PageRank on arbitrary graphs even with
+    threshold 0 (EVERY node treated as a hub, maximal replication):
+    contribution sums are associative, so splitting cannot change any
+    rank beyond float addition order."""
+    from gas_data_pipeline_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    plain = {
+        r.node: r["rank"]
+        for r in pagerank(e, iters=2, checkpoint=False).collect()
+    }
+    salted = {
+        r.node: r["rank"]
+        for r in pagerank(
+            e,
+            iters=2,
+            checkpoint=False,
+            hub_degree_threshold=0,
+            hub_salts=salts,
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for node, rank in plain.items():
+        assert salted[node] == pytest.approx(rank, rel=1e-9)
