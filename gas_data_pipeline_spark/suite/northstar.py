@@ -25,6 +25,7 @@ from gas_data_pipeline_spark.operators.dedup import (
     span_dedup_exact,
     jaccard_pairs_bitset_gemm,
     jaccard_pairs_inverted_index,
+    jaccard_pairs_prefix_filter,
     minhash_near_dup_pairs,
     simhash64,
     word_shingles,
@@ -224,6 +225,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle recomputes exact Jaccard from the same shingles."""
     docs = _docs_with_planted(spark, sf_dir)
     return jaccard_pairs_inverted_index(
+        docs, "doc_id", word_shingles(F.col("text"), n=3), threshold=0.5
+    )
+
+
+@register("dedup_prefix_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 word 3-gram Jaccard via the PPJoin prefix filter — the third
+    exact kernel, now driver-proven like its siblings: each doc indexes
+    only its floor((1-t)|x|)+1 globally-RAREST shingles (any pair
+    missing both prefixes provably falls under the threshold), so
+    ubiquitous shingles never build a posting list and candidate
+    generation stays subquadratic on Zipf-heavy open vocabularies.
+    Lossless by the prefix-filtering theorem; identical answer and
+    oracle as the inverted-index and MinHash formulations
+    (kernel equivalence also pinned in tests/test_layout.py)."""
+    docs = _docs_with_planted(spark, sf_dir)
+    return jaccard_pairs_prefix_filter(
         docs, "doc_id", word_shingles(F.col("text"), n=3), threshold=0.5
     )
 
