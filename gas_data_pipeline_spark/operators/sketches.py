@@ -270,3 +270,95 @@ def heavy_hitters_exact(
         .agg(F.count(F.lit(1)).alias(count_col))
         .filter(F.col(count_col) >= F.lit(bar))
     )
+
+
+KMV_K = 256  # k-minimum-values summary size: rse ~ 1/sqrt(k-2) ~ 6.3%
+KMV_SEED = "kmv-v1:"
+
+
+def kmv_summary(
+    df: DataFrame, group_col: str, id_col: str, k: int = KMV_K
+) -> DataFrame:
+    """K-minimum-values (theta) sketch per group: the k lexically
+    smallest md5 hashes of the DISTINCT ids — (group, hashes
+    array<string>), <= k rows' worth of state per group.
+
+    Where HLL only estimates cardinalities, KMV summaries support SET
+    OPERATIONS: the k smallest of a union is computable from the two
+    summaries alone, so pairwise overlap (Jaccard, intersection size)
+    between 100 TB segments reduces to merging two k-element arrays.
+    md5 hex is fixed-width, so lexical order == numeric order on the
+    128-bit value, and both engines sort it identically — which makes
+    every downstream estimate exactly reproducible in the oracle.
+
+    Scale shape: one distinct on (group, id), then a window top-k per
+    group (k constant) and a tiny collect_list — summaries are
+    |groups| x k strings, broadcastable for any pairwise composition.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(KMV_SEED), F.col("__id").cast("string")))
+    du = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(group_col).alias("seg"), F.col(id_col).alias("__id"))
+        .distinct()
+        .select("seg", h.alias("__h"))
+    )
+    w = Window.partitionBy("seg").orderBy("__h")
+    return (
+        du.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("seg")
+        .agg(F.sort_array(F.collect_list("__h")).alias("hashes"))
+    )
+
+
+def _kmv_norm(h: Column) -> Column:
+    """Hash -> uniform [0,1): first 13 hex chars are 52 bits, exact in
+    a double — the same portable rendering as curation.uniform_draw."""
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(
+        float(1 << 52)
+    )
+
+
+def kmv_overlap_pairs(summaries: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise segment overlap from KMV summaries alone (theta-sketch
+    set operations): for each segment pair, the k smallest of the
+    merged hash arrays is a KMV summary OF THE UNION; the fraction of
+    it landing in both inputs estimates Jaccard, and (k-1)/t_k (t_k =
+    k-th smallest, normalized) estimates the union size, giving the
+    intersection estimate jaccard * union. When the merged array has
+    fewer than k hashes the union was seen in full and every figure is
+    EXACT, not an estimate (the small-segment regime).
+
+    Everything is integer/array math plus one IEEE division, so the
+    DuckDB oracle reproduces each output bit-for-bit before rounding.
+    Pairs are |segments|^2 rows of k-element arrays — driver-tiny for
+    any realistic segment count, never touching the fact table again.
+    """
+    a = summaries.select(
+        F.col("seg").alias("seg_a"), F.col("hashes").alias("ha")
+    )
+    b = summaries.select(
+        F.col("seg").alias("seg_b"), F.col("hashes").alias("hb")
+    )
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b"))
+    merged = F.array_sort(F.array_union(F.col("ha"), F.col("hb")))
+    kmin = F.least(F.lit(k), F.size(merged))
+    u = F.slice(merged, 1, kmin)
+    common = F.array_intersect(F.col("ha"), F.col("hb"))
+    jac = F.size(F.array_intersect(u, common)) / kmin.cast("double")
+    t_k = _kmv_norm(F.element_at(u, kmin))
+    union_est = F.when(
+        F.size(merged) < k, F.size(merged).cast("double")
+    ).otherwise(F.lit(float(k - 1)) / t_k)
+    # Jaccard is a multiple of 1/kmin; at k=256 eight decimals render
+    # it exactly (m * 390625 / 1e8), so the round introduces no
+    # cross-engine tie at all.
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.round(jac, 8).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac * union_est, 4).alias("intersection_est"),
+    )

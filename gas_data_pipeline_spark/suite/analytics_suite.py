@@ -291,6 +291,77 @@ def approx_distinct_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_segment_overlap",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT event_type AS seg,
+                   CAST(user_id AS VARCHAR) || ':'
+                     || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS uid
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        h AS (SELECT seg, md5('kmv-v1:' || uid) AS h FROM du),
+        r AS (SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rn FROM h),
+        s AS (SELECT seg, list_sort(list(h)) AS hs FROM r WHERE rn <= 256 GROUP BY seg),
+        p AS (SELECT a.seg AS seg_a, b.seg AS seg_b, a.hs AS ha, b.hs AS hb
+              FROM s a JOIN s b ON a.seg < b.seg),
+        c AS (SELECT seg_a, seg_b, ha, hb,
+                     list_sort(list_distinct(list_cat(ha, hb))) AS merged
+              FROM p),
+        e AS (SELECT seg_a, seg_b, merged,
+                     least(256, len(merged)) AS kmin,
+                     merged[1:least(256, len(merged))] AS u,
+                     list_intersect(ha, hb) AS common
+              FROM c),
+        f AS (SELECT seg_a, seg_b, merged, kmin,
+                     len(list_intersect(u, common)) / CAST(kmin AS DOUBLE) AS jac,
+                     CAST(concat('0x', substring(u[kmin], 1, 13)) AS BIGINT)
+                       / CAST(4503599627370496 AS DOUBLE) AS t_k
+              FROM e),
+        g AS (SELECT seg_a, seg_b, jac,
+                     CASE WHEN len(merged) < 256 THEN CAST(len(merged) AS DOUBLE)
+                          ELSE 255.0 / t_k END AS union_est
+              FROM f)
+        SELECT seg_a, seg_b,
+               round(jac, 8) AS jaccard_est,
+               round(union_est, 4) AS union_est,
+               round(jac * union_est, 4) AS intersection_est
+        FROM g
+    """,
+)
+def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS between user segments — the
+    estimate family HLL cannot provide: pairwise audience overlap
+    (Jaccard + intersection size) between event-type segments from
+    k-minimum-values summaries alone. The entity is the ACTIVE
+    USER-DAY (user x calendar day — thousands of ids with genuinely
+    partial overlap across types, so the sketch regime engages even at
+    the sf0.01 correctness gate). Each segment keeps only its 256
+    lexically-smallest md5(id) hashes; a pair's union sketch is the k
+    smallest of the two merged arrays, so overlap for EVERY pair of
+    100 TB segments costs a |segments|^2 join of 256-element arrays —
+    the fact table is scanned once, ever. All arithmetic is portable
+    (md5 order, integer ratios, one IEEE division), so DuckDB
+    reproduces every estimate bit-for-bit: an exact oracle for an
+    approximate statistic, same doctrine as
+    approx_distinct_portable_hll. See operators/sketches.py
+    kmv_summary / kmv_overlap_pairs."""
+    from gas_data_pipeline_spark.operators.sketches import (
+        kmv_overlap_pairs,
+        kmv_summary,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+        ).alias("uid"),
+    )
+    return kmv_overlap_pairs(kmv_summary(ev, "event_type", "uid"))
+
+
+@register(
     "salted_skew_aggregate",
     oracle="""
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -422,3 +422,56 @@ def test_hll_register_rollup_identical_to_direct(spark):
     # Sanity: the estimate is in the right ballpark of the true 1777.
     for _, est in got:
         assert 1500 < est < 2100
+
+
+def test_kmv_overlap_exact_in_small_regime(spark):
+    """With fewer than k distinct ids per segment the merged array IS
+    the full union, so jaccard/union/intersection are exact set
+    arithmetic, not estimates."""
+    import pytest
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.sketches import (
+        kmv_overlap_pairs,
+        kmv_summary,
+    )
+
+    # a: 0..99, b: 50..149 -> |A∩B| = 50, |A∪B| = 150.
+    df = spark.range(100).select(
+        F.lit("a").alias("g"), F.col("id").alias("uid")
+    ).unionByName(
+        spark.range(50, 150).select(F.lit("b").alias("g"), F.col("id").alias("uid"))
+    )
+    out = kmv_overlap_pairs(kmv_summary(df, "g", "uid")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.seg_a, r.seg_b) == ("a", "b")
+    assert r.jaccard_est == pytest.approx(50 / 150, abs=1e-8)
+    assert r.union_est == 150.0
+    assert r.intersection_est == pytest.approx(50.0, abs=1e-6)
+
+
+def test_kmv_overlap_estimates_in_sketch_regime(spark):
+    """Above k distinct ids the sketch estimates must land within the
+    theta-sketch error envelope (rse ~ 1/sqrt(k-2) ~ 6.3%; assert 4x
+    that) of the true overlap figures."""
+    import pytest
+    from pyspark.sql import functions as F
+    from gas_data_pipeline_spark.operators.sketches import (
+        kmv_overlap_pairs,
+        kmv_summary,
+    )
+
+    n, overlap = 5000, 2000
+    df = spark.range(n).select(
+        F.lit("a").alias("g"), F.col("id").alias("uid")
+    ).unionByName(
+        spark.range(n - overlap, 2 * n - overlap).select(
+            F.lit("b").alias("g"), F.col("id").alias("uid")
+        )
+    )
+    r = kmv_overlap_pairs(kmv_summary(df, "g", "uid")).collect()[0]
+    true_union = 2 * n - overlap
+    true_jacc = overlap / true_union
+    assert r.union_est == pytest.approx(true_union, rel=0.25)
+    assert r.jaccard_est == pytest.approx(true_jacc, rel=0.4)
+    assert r.intersection_est == pytest.approx(overlap, rel=0.5)
