@@ -1353,10 +1353,14 @@ def _build_bloom_bitmap(pos_rows: DataFrame, n_bytes: int):
             np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
         ).tobytes()
 
-    rdd = packed.rdd.map(lambda r: r["bitmap"])
-    if rdd.isEmpty():
-        return np.zeros(n_bytes, dtype=np.uint8)
-    return np.frombuffer(rdd.treeReduce(_or_bytes, depth=2), dtype=np.uint8).copy()
+    # treeAggregate, not isEmpty+treeReduce: the zero value handles the
+    # empty-RDD case without a separate probe job (isEmpty would re-run
+    # partition 0's whole scan+pack just to learn it's non-empty).
+    zero = np.zeros(n_bytes, dtype=np.uint8).tobytes()
+    merged = packed.rdd.map(lambda r: r["bitmap"]).treeAggregate(
+        zero, _or_bytes, _or_bytes, depth=2
+    )
+    return np.frombuffer(merged, dtype=np.uint8).copy()
 
 
 def bloom_prefilter_dedup(
@@ -1391,10 +1395,12 @@ def bloom_prefilter_dedup(
     Build phase is one narrow pass over EXISTING: bit positions are
     computed JVM-side (xxhash64 double hashing), each partition packs
     its positions into a local m/8-byte bitmap in numpy, and the
-    driver ORs the per-partition rows (bounded: partitions x m/8
-    bytes; at very large m, OR in two levels or drop to treeAggregate
-    — noted, not needed at 128 KiB). The probe is an Arrow-batched
-    pandas UDF doing a vectorized bitmap gather — no per-row Python.
+    per-partition bitmaps OR-reduce on the driver at the default
+    sizing (bounded: partitions x m/8 bytes at 128 KiB) or via an
+    executor-side ``treeAggregate`` once the bitmap crosses
+    ``BLOOM_TREE_OR_MIN_BYTES`` (see :func:`_build_bloom_bitmap`).
+    The probe is an Arrow-batched pandas UDF doing a vectorized
+    bitmap gather — no per-row Python.
 
     At 100 TB the bitmap is maintained incrementally alongside the
     hash index (new batch's bits OR-ed in after admission) instead of

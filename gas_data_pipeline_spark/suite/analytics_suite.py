@@ -294,10 +294,12 @@ def approx_distinct_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kmv_segment_overlap",
     oracle="""
         WITH du AS (
+            -- both components non-null, matching the Spark side where a
+            -- null user_id OR ts nulls the concat and kmv_summary drops it
             SELECT DISTINCT event_type AS seg,
                    CAST(user_id AS VARCHAR) || ':'
                      || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS uid
-            FROM events WHERE user_id IS NOT NULL
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         ),
         h AS (SELECT seg, md5('kmv-v1:' || uid) AS h FROM du),
         r AS (SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rn FROM h),
