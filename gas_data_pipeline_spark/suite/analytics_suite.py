@@ -1674,3 +1674,208 @@ def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "drift_psi_features",
+    oracle="""
+        WITH feats AS (
+            SELECT event_id % 2 AS side_id,
+                   CASE WHEN event_id % 2 = 1 AND event_type = 'click'
+                        THEN value * 1.5 + 2 ELSE value END AS value,
+                   CAST(hour(ts) AS DOUBLE) AS hour_of_day
+            FROM events
+        ),
+        long AS (
+            SELECT side_id, 'value' AS feature, value AS v
+            FROM feats WHERE value IS NOT NULL
+            UNION ALL
+            SELECT side_id, 'hour_of_day', hour_of_day
+            FROM feats WHERE hour_of_day IS NOT NULL
+        ),
+        bounds AS (
+            SELECT feature, min(v) AS lo, max(v) AS hi
+            FROM long WHERE side_id = 0 GROUP BY feature
+        ),
+        binned AS (
+            SELECT l.side_id, l.feature,
+                   CASE WHEN b.hi = b.lo THEN 0
+                        ELSE least(9, greatest(0, CAST(floor(
+                            (l.v - b.lo) / ((b.hi - b.lo) / 10.0)) AS INT)))
+                   END AS bin
+            FROM long l JOIN bounds b USING (feature)
+        ),
+        hist AS (
+            SELECT feature, bin,
+                   sum(CASE WHEN side_id = 0 THEN 1 ELSE 0 END) AS cnt_base,
+                   sum(CASE WHEN side_id = 1 THEN 1 ELSE 0 END) AS cnt_cur
+            FROM binned GROUP BY feature, bin
+        ),
+        tot AS (
+            SELECT feature, sum(cnt_base) AS n_base, sum(cnt_cur) AS n_cur
+            FROM hist GROUP BY feature
+        )
+        SELECT h.feature,
+               CAST(max(t.n_base) AS BIGINT) AS n_base,
+               CAST(max(t.n_cur) AS BIGINT) AS n_cur,
+               round(sum(
+                   (greatest(h.cnt_cur / t.n_cur, 1e-6)
+                    - greatest(h.cnt_base / t.n_base, 1e-6))
+                   * ln(greatest(h.cnt_cur / t.n_cur, 1e-6)
+                        / greatest(h.cnt_base / t.n_base, 1e-6))
+               ), 6) AS psi
+        FROM hist h JOIN tot t USING (feature)
+        GROUP BY h.feature
+    """,
+)
+def drift_psi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two snapshot halves of the
+    event stream, per feature — the retrain-gate monitor a production
+    training pipeline runs on every ingest cycle. The even-id half is
+    the baseline; the odd-id half is "current" with a drift planted on
+    click values (x1.5 + 2), so `value` must show a materially
+    positive PSI while `hour_of_day` stays near zero. Equi-width bins
+    are anchored on the BASELINE's min/max (standard scorecard
+    formulation); the oracle replays the identical double arithmetic.
+    Scale shape: raw rows never shuffle — map-side (feature, bin)
+    partial counts are the only exchange (operators/drift.psi_drift).
+    """
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.drift import psi_drift
+
+    ev = spread_scan(table(spark, sf_dir, "events"))
+    feats = ev.select(
+        "event_id",
+        F.when(
+            (F.col("event_id") % 2 == 1) & (F.col("event_type") == "click"),
+            F.col("value") * 1.5 + 2,
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.hour("ts").cast("double").alias("hour_of_day"),
+    )
+    base = feats.filter(F.col("event_id") % 2 == 0)
+    cur = feats.filter(F.col("event_id") % 2 == 1)
+    return psi_drift(base, cur, ["value", "hour_of_day"], bins=10)
+
+
+@register(
+    "split_leakage_audit",
+    oracle="""
+        WITH assigned AS (
+            SELECT user_id,
+                   CASE WHEN event_id % 997 = 0 THEN
+                       CASE WHEN CAST(concat('0x', substring(md5(
+                                'leak-row:' || CAST(event_id AS VARCHAR)), 1, 13))
+                                AS BIGINT) % 100 < 80 THEN 'train'
+                            WHEN CAST(concat('0x', substring(md5(
+                                'leak-row:' || CAST(event_id AS VARCHAR)), 1, 13))
+                                AS BIGINT) % 100 < 90 THEN 'val'
+                            ELSE 'test' END
+                   ELSE
+                       CASE WHEN CAST(concat('0x', substring(md5(
+                                'leak-user:' || CAST(user_id AS VARCHAR)), 1, 13))
+                                AS BIGINT) % 100 < 80 THEN 'train'
+                            WHEN CAST(concat('0x', substring(md5(
+                                'leak-user:' || CAST(user_id AS VARCHAR)), 1, 13))
+                                AS BIGINT) % 100 < 90 THEN 'val'
+                            ELSE 'test' END
+                   END AS split
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+               string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+        FROM assigned
+        GROUP BY user_id
+        HAVING count(DISTINCT split) > 1
+    """,
+)
+def split_leakage_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: users whose events straddle split
+    assignments. The split is the md5 80/10/10 hash split applied at
+    USER level (correct), with a planted bug — every 997th event gets
+    a ROW-level draw instead (the classic contamination defect this
+    audit exists to catch); the audit must surface exactly the users
+    whose row-draw landed outside their user split. Scale shape: the
+    row-sized work collapses map-side to distinct (user, split) pairs;
+    the per-user exchange is groups x splits
+    (operators/drift.split_leakage_audit)."""
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.drift import split_leakage_audit
+
+    def md5_split(salt: str, col: str):
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col(col).cast("string"))), 1, 13
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(100),
+        )
+        return (
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        )
+
+    ev = spread_scan(table(spark, sf_dir, "events").select("event_id", "user_id"))
+    assigned = ev.select(
+        "user_id",
+        F.when(
+            F.col("event_id") % 997 == 0, md5_split("leak-row:", "event_id")
+        )
+        .otherwise(md5_split("leak-user:", "user_id"))
+        .alias("split"),
+    )
+    return split_leakage_audit(assigned, "user_id", "split")
+
+
+@register(
+    "join_skew_profile",
+    oracle="""
+        WITH lc AS (
+            SELECT user_id, count(*) AS cnt_left FROM events GROUP BY user_id
+        ),
+        rc AS (
+            SELECT user_id, count(*) AS cnt_right FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        prof AS (
+            SELECT CAST(lc.user_id AS VARCHAR) AS key,
+                   CAST(cnt_left AS BIGINT) AS cnt_left,
+                   CAST(cnt_right AS BIGINT) AS cnt_right,
+                   CAST(cnt_left * cnt_right AS BIGINT) AS contribution
+            FROM lc JOIN rc ON lc.user_id = rc.user_id
+        ),
+        top AS (
+            SELECT key, cnt_left, cnt_right, contribution
+            FROM prof ORDER BY contribution DESC, key ASC LIMIT 20
+        )
+        SELECT 'key' AS kind, key, cnt_left, cnt_right,
+               CAST(NULL AS BIGINT) AS n_keys, contribution
+        FROM top
+        UNION ALL
+        SELECT 'total', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT),
+               (SELECT CAST(count(*) AS BIGINT) FROM prof),
+               (SELECT CAST(sum(contribution) AS BIGINT) FROM prof)
+    """,
+)
+def join_skew_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnostic for the events-by-purchases self
+    join on user_id: exact per-key multiplicities on both sides, the
+    20 heaviest keys by output contribution, and the exact total join
+    cardinality — WITHOUT materializing the join. This is the probe
+    you run at 100 TB before choosing broadcast vs salting
+    (layout.salt_skewed_keys consumes the heavy-key list). Scale
+    shape: both sides reduce map-side to per-key counts, the count
+    tables join keys-sized, top-N is TakeOrderedAndProject
+    (operators/drift.join_skew_profile)."""
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.drift import join_skew_profile
+
+    ev = spread_scan(table(spark, sf_dir, "events"))
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return join_skew_profile(ev, purchases, "user_id", top_n=20)

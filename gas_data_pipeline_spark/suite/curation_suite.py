@@ -658,3 +658,50 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(
         scored, "doc_id", "quality", "n_tokens", budget=_TOKEN_BUDGET
     ).select("doc_id", "quality", "n_tokens", "cum_tokens", "selected")
+
+
+@register(
+    "sample_k_per_group",
+    oracle="""
+        SELECT source, doc_id, rk FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('persrc-salt:' || CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 12
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample per source domain — the
+    distributed twin of per-group reservoir sampling (inspection
+    samples, eval slices, per-domain spot checks). The draw is the
+    md5-of-(salt, id) order, so membership is reproducible across
+    runs/engines and stable under reruns of the same corpus; the
+    k-smallest-draws-per-group formulation makes it EXACT (a true
+    uniform k-subset per group for a random-oracle hash) where
+    rand()-based reservoirs are neither portable nor rerunnable.
+    Executed via operators/topk.grouped_topk, so only partitions x
+    groups x k candidate rows shuffle — the corpus tail never leaves
+    its scan partition; the oracle runs the naive full-shuffle
+    window."""
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.topk import grouped_topk
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "source"))
+    hashed = docs.withColumn(
+        "__draw",
+        F.md5(F.concat(F.lit("persrc-salt:"), F.col("doc_id").cast("string"))),
+    )
+    out = grouped_topk(
+        hashed,
+        ["source"],
+        "__draw",
+        k=12,
+        descending=False,
+        tiebreak="doc_id",
+        rank_col="rk",
+    )
+    return out.select("source", "doc_id", "rk")

@@ -1,0 +1,165 @@
+"""Drift / split-integrity / join-skew diagnostics: value properties
+on hand-built frames plus plan-shape hygiene (map-side partials, no
+row-sized shuffles beyond the operators' contracts)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gas_data_pipeline_spark.operators.drift import (
+    join_skew_profile,
+    psi_drift,
+    split_leakage_audit,
+)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- psi
+
+
+def test_psi_zero_on_identical_snapshots(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 97).cast("double").alias("x"),
+        (F.col("id") % 13).cast("double").alias("y"),
+    )
+    out = {r["feature"]: r for r in psi_drift(df, df, ["x", "y"]).collect()}
+    assert set(out) == {"x", "y"}
+    for r in out.values():
+        assert r["psi"] == pytest.approx(0.0, abs=1e-9)
+        assert r["n_base"] == r["n_cur"] == 1000
+
+
+def test_psi_detects_shift_and_ranks_features(spark):
+    base = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    cur = spark.range(2000).select(
+        ((F.col("id") % 100) * 0.3 + 60).cast("double").alias("x"),  # shifted
+        (F.col("id") % 7).cast("double").alias("y"),  # unchanged
+    )
+    out = {r["feature"]: r["psi"] for r in psi_drift(base, cur, ["x", "y"]).collect()}
+    assert out["x"] > 0.5  # strong drift
+    assert out["y"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_psi_clamps_out_of_range_current_rows(spark):
+    """Current values outside the baseline span must land in the edge
+    bins — never drop — so n_cur always equals the input row count."""
+    base = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    cur = spark.range(100).select(
+        (F.col("id").cast("double") * 10 - 400).alias("x")  # spills both ends
+    )
+    row = psi_drift(base, cur, ["x"]).collect()[0]
+    assert row["n_cur"] == 100
+    assert row["psi"] > 0
+
+
+def test_psi_constant_feature_is_degenerate_not_crash(spark):
+    base = spark.range(50).select(F.lit(3.0).alias("x"))
+    cur = spark.range(70).select(F.lit(3.0).alias("x"))
+    row = psi_drift(base, cur, ["x"]).collect()[0]
+    assert row["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert (row["n_base"], row["n_cur"]) == (50, 70)
+
+
+def test_psi_rejects_bad_args(spark):
+    df = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError):
+        psi_drift(df, df, [])
+    with pytest.raises(ValueError):
+        psi_drift(df, df, ["x"], bins=1)
+
+
+def test_psi_plan_partial_counts_and_broadcast_bounds(spark):
+    """The only exchanges carry (feature, bin)-sized partials; the
+    features-sized bounds table rides a broadcast join, never a
+    shuffled one."""
+    df = spark.range(10000).select(
+        (F.col("id") % 31).cast("double").alias("x"),
+        (F.col("id") % 5).cast("double").alias("y"),
+    )
+    plan = _physical(psi_drift(df, df, ["x", "y"]))
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ----------------------------------------------------------- leakage
+
+
+def test_leakage_clean_split_is_empty(spark):
+    df = spark.range(500).select(
+        (F.col("id") % 50).alias("g"),
+        F.when(F.col("id") % 50 < 40, "train").otherwise("test").alias("split"),
+    )
+    assert split_leakage_audit(df, "g", "split").count() == 0
+
+
+def test_leakage_finds_exact_straddlers(spark):
+    rows = [
+        (1, "train"), (1, "train"),
+        (2, "train"), (2, "test"),           # leak
+        (3, "val"),
+        (4, "test"), (4, "val"), (4, "train"),  # leak
+    ]
+    df = spark.createDataFrame(rows, "g int, split string")
+    out = {r["g"]: r for r in split_leakage_audit(df, "g", "split").collect()}
+    assert set(out) == {2, 4}
+    assert out[2]["splits"] == "test,train" and out[2]["n_rows"] == 2
+    assert out[4]["splits"] == "test,train,val" and out[4]["n_splits"] == 3
+
+
+def test_leakage_plan_has_mapside_partials(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 10).alias("g"),
+        F.when(F.col("id") % 2 == 0, "train").otherwise("test").alias("split"),
+    )
+    plan = _physical(split_leakage_audit(df, "g", "split"))
+    # The row-sized fold happens before its exchange.
+    assert "partial_count" in plan
+
+
+# -------------------------------------------------------------- skew
+
+
+def test_skew_profile_total_matches_real_join(spark):
+    left = spark.range(1000).select((F.col("id") % 37).alias("k"))
+    right = spark.range(300).select((F.col("id") % 50).alias("k"))
+    out = join_skew_profile(left, right, "k", top_n=5)
+    total = out.filter(F.col("kind") == "total").collect()[0]
+    assert total["contribution"] == left.join(right, "k").count()
+    assert total["n_keys"] == 37  # keys 0..36 all present on both sides
+    keys = out.filter(F.col("kind") == "key").collect()
+    assert len(keys) == 5
+    contribs = [r["contribution"] for r in keys]
+    assert contribs == sorted(contribs, reverse=True)
+
+
+def test_skew_profile_surfaces_planted_hot_key(spark):
+    left = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    right = spark.range(100).select((F.col("id") % 20).alias("k"))
+    top = (
+        join_skew_profile(left, right, "k", top_n=1)
+        .filter(F.col("kind") == "key")
+        .collect()[0]
+    )
+    assert top["key"] == "7"
+    assert top["cnt_left"] == 1000  # the whole planted block maps to 7
+    assert top["contribution"] == top["cnt_left"] * top["cnt_right"]
+
+
+def test_skew_profile_plan_reduces_before_join(spark):
+    left = spark.range(10000).select((F.col("id") % 100).alias("k"))
+    right = spark.range(10000).select((F.col("id") % 80).alias("k"))
+    plan = _physical(join_skew_profile(left, right, "k"))
+    # Both sides must fold to per-key counts map-side before any
+    # exchange — the diagnostic must never shuffle raw rows.
+    assert plan.count("partial_count") >= 2
+    assert "TakeOrderedAndProject" in plan
