@@ -47,6 +47,78 @@ def _long_form(df: DataFrame, feature_cols: list[str]) -> DataFrame:
     ).filter(F.col("v").isNotNull())
 
 
+def baseline_bounds(base: DataFrame, feature_cols: list[str]) -> DataFrame:
+    """Per-feature [min, max] of the baseline snapshot — the bin
+    anchor every later histogram (batch or stream) shares. A
+    features-sized frame; persist it once, broadcast it everywhere."""
+    return _long_form(base, feature_cols).groupBy("feature").agg(
+        F.min("v").alias("__lo"), F.max("v").alias("__hi")
+    )
+
+
+def histogram_on_bounds(
+    df: DataFrame, feature_cols: list[str], bounds: DataFrame, bins: int
+) -> DataFrame:
+    """(feature, bin, cnt) equi-width histogram under shared
+    ``bounds`` — out-of-span values clamp into the edge bins, so
+    every non-null row lands exactly once. Map-side partial counts
+    are the only exchange; the additive output is the mergeable
+    summary incremental monitoring maintains (add each batch's
+    histogram, never rescan the accumulated stream)."""
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    binned = _long_form(df, feature_cols).join(
+        F.broadcast(bounds), "feature"
+    ).withColumn(
+        "bin",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("v") - F.col("__lo")) / width).cast("int"),
+                ),
+            )
+        ),
+    )
+    return binned.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def psi_from_histograms(
+    base_hist: DataFrame, cur_hist: DataFrame, min_share: float = 1e-6
+) -> DataFrame:
+    """PSI per feature from two (feature, bin, cnt) histograms built
+    on the SAME bounds. Histogram-sized arithmetic — at 100 TB this
+    is the free part; the scans that built the histograms were the
+    cost. Returns ``feature, n_base, n_cur, psi`` (psi rounded 6dp)."""
+    hist = (
+        base_hist.select("feature", "bin", F.col("cnt").alias("cnt_base"))
+        .join(
+            cur_hist.select("feature", "bin", F.col("cnt").alias("cnt_cur")),
+            ["feature", "bin"],
+            "full_outer",
+        )
+        .fillna(0, subset=["cnt_base", "cnt_cur"])
+    )
+    totals = hist.groupBy("feature").agg(
+        F.sum("cnt_base").alias("n_base"), F.sum("cnt_cur").alias("n_cur")
+    )
+    eps = F.lit(float(min_share))
+    p_base = F.greatest(F.col("cnt_base") / F.col("n_base"), eps)
+    p_cur = F.greatest(F.col("cnt_cur") / F.col("n_cur"), eps)
+    term = (p_cur - p_base) * F.log(p_cur / p_base)
+    return (
+        hist.join(F.broadcast(totals), "feature")
+        .groupBy("feature")
+        .agg(
+            F.max("n_base").alias("n_base"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+    )
+
+
 def psi_drift(
     base: DataFrame,
     cur: DataFrame,
@@ -76,49 +148,10 @@ def psi_drift(
     if not feature_cols:
         raise ValueError("feature_cols must be non-empty")
 
-    base_long = _long_form(base, feature_cols)
-    cur_long = _long_form(cur, feature_cols)
-
-    bounds = base_long.groupBy("feature").agg(
-        F.min("v").alias("__lo"), F.max("v").alias("__hi")
-    )
-
-    tagged = base_long.withColumn("side", F.lit("base")).unionByName(
-        cur_long.withColumn("side", F.lit("cur"))
-    )
-    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
-    binned = tagged.join(F.broadcast(bounds), "feature").withColumn(
-        "bin",
-        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(bins - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((F.col("v") - F.col("__lo")) / width).cast("int"),
-                ),
-            )
-        ),
-    )
-    hist = binned.groupBy("feature", "bin").agg(
-        F.sum(F.when(F.col("side") == "base", 1).otherwise(0)).alias("cnt_base"),
-        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("cnt_cur"),
-    )
-    totals = hist.groupBy("feature").agg(
-        F.sum("cnt_base").alias("n_base"), F.sum("cnt_cur").alias("n_cur")
-    )
-    eps = F.lit(float(min_share))
-    p_base = F.greatest(F.col("cnt_base") / F.col("n_base"), eps)
-    p_cur = F.greatest(F.col("cnt_cur") / F.col("n_cur"), eps)
-    term = (p_cur - p_base) * F.log(p_cur / p_base)
-    return (
-        hist.join(F.broadcast(totals), "feature")
-        .groupBy("feature")
-        .agg(
-            F.max("n_base").alias("n_base"),
-            F.max("n_cur").alias("n_cur"),
-            F.round(F.sum(term), 6).alias("psi"),
-        )
-    )
+    bounds = baseline_bounds(base, feature_cols)
+    base_hist = histogram_on_bounds(base, feature_cols, bounds, bins)
+    cur_hist = histogram_on_bounds(cur, feature_cols, bounds, bins)
+    return psi_from_histograms(base_hist, cur_hist, min_share)
 
 
 def split_leakage_audit(

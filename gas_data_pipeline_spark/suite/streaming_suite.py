@@ -804,3 +804,198 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(n_bronze)).alias("value"),
     )
     return obs_rows.unionByName(field_rows).unionByName(bronze_row)
+
+
+def _psi_cum_block(batch_seq: int, cum_filter: str) -> str:
+    """One cumulative-PSI SELECT for the stream_drift_monitor oracle:
+    baseline = even-id events, current = odd-id events (click drift
+    planted) restricted to ``cum_filter`` — the state the monitor's
+    incrementally-maintained histogram holds after that micro-batch."""
+    return f"""
+        SELECT {batch_seq} AS batch_seq, h.feature,
+               CAST(max(t.n_base) AS BIGINT) AS n_base,
+               CAST(max(t.n_cur) AS BIGINT) AS n_cur,
+               round(sum(
+                   (greatest(h.cnt_cur / t.n_cur, 1e-6)
+                    - greatest(h.cnt_base / t.n_base, 1e-6))
+                   * ln(greatest(h.cnt_cur / t.n_cur, 1e-6)
+                        / greatest(h.cnt_base / t.n_base, 1e-6))
+               ), 6) AS psi
+        FROM (
+            WITH feats AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 2 = 1 AND event_type = 'click'
+                            THEN value * 1.5 + 2 ELSE value END AS value,
+                       CAST(hour(ts) AS DOUBLE) AS hour_of_day
+                FROM events
+            ),
+            long AS (
+                SELECT event_id, 'value' AS feature, value AS v
+                FROM feats WHERE value IS NOT NULL
+                UNION ALL
+                SELECT event_id, 'hour_of_day', hour_of_day
+                FROM feats WHERE hour_of_day IS NOT NULL
+            ),
+            bounds AS (
+                SELECT feature, min(v) AS lo, max(v) AS hi
+                FROM long WHERE event_id % 2 = 0 GROUP BY feature
+            ),
+            binned AS (
+                SELECT l.event_id, l.feature,
+                       CASE WHEN b.hi = b.lo THEN 0
+                            ELSE least(9, greatest(0, CAST(floor(
+                                (l.v - b.lo) / ((b.hi - b.lo) / 10.0)) AS INT)))
+                       END AS bin
+                FROM long l JOIN bounds b USING (feature)
+            ),
+            bh AS (
+                SELECT feature, bin, count(*) AS cnt_base
+                FROM binned WHERE event_id % 2 = 0 GROUP BY feature, bin
+            ),
+            ch AS (
+                SELECT feature, bin, count(*) AS cnt_cur
+                FROM binned WHERE {cum_filter} GROUP BY feature, bin
+            )
+            SELECT coalesce(bh.feature, ch.feature) AS feature,
+                   coalesce(cnt_base, 0) AS cnt_base,
+                   coalesce(cnt_cur, 0) AS cnt_cur
+            FROM bh FULL OUTER JOIN ch
+                 ON bh.feature = ch.feature AND bh.bin = ch.bin
+        ) h
+        JOIN (
+            SELECT feature, sum(cnt_base) AS n_base, sum(cnt_cur) AS n_cur
+            FROM (
+                WITH feats AS (
+                    SELECT event_id,
+                           CASE WHEN event_id % 2 = 1 AND event_type = 'click'
+                                THEN value * 1.5 + 2 ELSE value END AS value,
+                           CAST(hour(ts) AS DOUBLE) AS hour_of_day
+                    FROM events
+                ),
+                long AS (
+                    SELECT event_id, 'value' AS feature, value AS v
+                    FROM feats WHERE value IS NOT NULL
+                    UNION ALL
+                    SELECT event_id, 'hour_of_day', hour_of_day
+                    FROM feats WHERE hour_of_day IS NOT NULL
+                )
+                SELECT feature,
+                       sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS cnt_base,
+                       sum(CASE WHEN {cum_filter} THEN 1 ELSE 0 END) AS cnt_cur
+                FROM long GROUP BY feature
+            ) GROUP BY feature
+        ) t ON h.feature = t.feature
+        GROUP BY h.feature
+    """
+
+
+@register(
+    "stream_drift_monitor",
+    oracle=" UNION ALL ".join(
+        [
+            _psi_cum_block(0, "event_id % 4 = 1"),
+            _psi_cum_block(1, "event_id % 2 = 1"),
+        ]
+    ),
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitoring over the live stream: the PSI
+    retrain gate (`operators/drift.py`) recomputed after EVERY
+    micro-batch against a static baseline, with the current-side
+    histogram maintained INCREMENTALLY — each batch folds map-side to
+    its own (feature, bin) partial counts which are ADDED to the
+    persisted histogram state; the accumulated stream is never
+    rescanned and raw rows never reach any exchange. The baseline
+    (even-id events) is summarized ONCE to bounds + histogram; odd-id
+    events arrive in two deterministic micro-batches with the click
+    drift planted, so after every batch the logged PSI must be
+    materially positive for `value` (~1000x `hour_of_day`'s, which
+    stays at noise level) — the gate fires on the drifted feature
+    from the first cycle. The oracle
+    recomputes both cumulative PSI states from scratch — incremental
+    maintenance must equal full recompute, the same invariant as
+    `incremental_rollup_maintenance`.
+
+    100 TB shape: per-cycle cost = one scan of the NEW batch + a
+    histogram-sized (features x bins) merge and PSI evaluation; state
+    is a few hundred rows regardless of stream length. This is the
+    reference's hourly-scheduler loop (app/scheduler/scheduler.py)
+    carrying a monitoring obligation instead of an ingest one."""
+    import os
+
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.drift import (
+        baseline_bounds,
+        histogram_on_bounds,
+        psi_from_histograms,
+    )
+
+    feature_cols = ["value", "hour_of_day"]
+    scratch = tempfile.mkdtemp(prefix="gas_drift_mon_")
+    src = os.path.join(scratch, "incoming")
+    ckpt = os.path.join(scratch, "ckpt")
+    log_path = os.path.join(scratch, "drift_log")
+    os.makedirs(src)
+
+    ev = table(spark, sf_dir, "events")
+    feats = ev.select(
+        "event_id",
+        F.when(
+            (F.col("event_id") % 2 == 1) & (F.col("event_type") == "click"),
+            F.col("value") * 1.5 + 2,
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.hour("ts").cast("double").alias("hour_of_day"),
+    )
+    base = feats.filter(F.col("event_id") % 2 == 0)
+
+    # Baseline summarized once: bounds + histogram, both tiny.
+    bounds_path = os.path.join(scratch, "bounds")
+    base_hist_path = os.path.join(scratch, "base_hist")
+    bounds = baseline_bounds(base, feature_cols)
+    bounds.write.parquet(bounds_path)
+    histogram_on_bounds(base, feature_cols, bounds, bins=10).write.parquet(
+        base_hist_path
+    )
+
+    def state_path(n: int) -> str:
+        return os.path.join(scratch, f"hist_after_{n}")
+
+    def monitor(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        b = sp.read.parquet(bounds_path)
+        batch_hist = histogram_on_bounds(bdf, feature_cols, b, bins=10)
+        if batch_id == 0:
+            merged = batch_hist
+        else:
+            prev = sp.read.parquet(state_path(batch_id - 1))
+            merged = (
+                prev.unionByName(batch_hist)
+                .groupBy("feature", "bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        merged.write.parquet(state_path(batch_id))
+        psi = psi_from_histograms(
+            sp.read.parquet(base_hist_path), sp.read.parquet(state_path(batch_id))
+        ).select(F.lit(batch_id).alias("batch_seq"), "*")
+        psi.write.mode("append").parquet(log_path)
+
+    def drop_batch(df: DataFrame, name: str) -> None:
+        stage = os.path.join(scratch, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(stage)
+
+    cur = feats.filter(F.col("event_id") % 2 == 1)
+    stream_schema = "event_id bigint, value double, hour_of_day double"
+    for n, part_filter in ((0, F.col("event_id") % 4 == 1), (1, F.col("event_id") % 4 == 3)):
+        drop_batch(cur.filter(part_filter), f"b{n}")
+        run_foreach_batch(
+            spark.readStream.schema(stream_schema).parquet(src), monitor, ckpt
+        )
+
+    return spark.read.parquet(log_path).select(
+        "batch_seq", "feature", "n_base", "n_cur", "psi"
+    )

@@ -84,7 +84,7 @@ def test_psi_plan_partial_counts_and_broadcast_bounds(spark):
         (F.col("id") % 5).cast("double").alias("y"),
     )
     plan = _physical(psi_drift(df, df, ["x", "y"]))
-    assert "partial_sum" in plan
+    assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
