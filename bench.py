@@ -58,6 +58,11 @@ SCALE_PROBE_QUERIES = (
     "bloom_pruned_join_revenue",
     "heavy_hitters_exact",
     "interval_overlap_sessions",
+    # round-5 additions: the PPJoin prefix-filter kernel (the heaviest
+    # new exact kernel) and the PSI monitor (its claim — raw rows
+    # never shuffle — should show as strongly sublinear growth).
+    "dedup_prefix_jaccard",
+    "drift_psi_features",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

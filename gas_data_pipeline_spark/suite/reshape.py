@@ -337,3 +337,168 @@ def pivot_long_to_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
     return out
+
+
+def _profile_sql(cells: str) -> str:
+    """Profile a (field, value) relation: inferred-type lattice set +
+    null rate — the same kernel as the ``field_profile`` oracle."""
+    return f"""
+            SELECT field,
+                   COALESCE(NULLIF(string_agg(DISTINCT value_type,
+                       ',' ORDER BY value_type), ''), 'null') AS inferred_type,
+                   round((count(*) - count(value)) / count(*), 6) AS null_rate
+            FROM (
+                SELECT field, value,
+                       CASE
+                         WHEN value IS NULL THEN NULL
+                         WHEN value IN ('true','false') THEN 'boolean'
+                         WHEN regexp_matches(value, '^-?\\d+$') THEN 'integer'
+                         WHEN regexp_matches(value, '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$') THEN 'float'
+                         WHEN regexp_matches(value, '^[\\[{{]') THEN 'json'
+                         ELSE 'string'
+                       END AS value_type
+                FROM {cells}
+            ) GROUP BY field
+"""
+
+
+@register(
+    "schema_drift_audit",
+    oracle=f"""
+        WITH base_cells AS (
+            SELECT 'event_id' AS field, CAST(event_id AS VARCHAR) AS value
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL SELECT 'value', CAST(value AS VARCHAR)
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL SELECT 'props', props
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL SELECT 'legacy_code', CAST(user_id AS VARCHAR)
+            FROM events WHERE event_id % 2 = 0
+        ),
+        cur_cells AS (
+            SELECT 'event_id' AS field, CAST(event_id AS VARCHAR) AS value
+            FROM events WHERE event_id % 2 = 1
+            UNION ALL SELECT 'value',
+                CASE WHEN event_type = 'click' THEN 'oops'
+                     ELSE CAST(value AS VARCHAR) END
+            FROM events WHERE event_id % 2 = 1
+            UNION ALL SELECT 'props',
+                CASE WHEN event_type = 'error' THEN NULL ELSE props END
+            FROM events WHERE event_id % 2 = 1
+            UNION ALL SELECT 'new_field', event_type
+            FROM events WHERE event_id % 2 = 1
+        ),
+        base_prof AS ({_profile_sql("base_cells")}),
+        cur_prof AS ({_profile_sql("cur_cells")})
+        SELECT coalesce(b.field, c.field) AS field_name,
+               CASE WHEN b.field IS NULL THEN 'added'
+                    WHEN c.field IS NULL THEN 'dropped'
+                    WHEN b.inferred_type <> c.inferred_type THEN 'type_changed'
+                    WHEN abs(c.null_rate - b.null_rate) > 0.1 THEN 'null_rate_shift'
+                    ELSE 'stable' END AS status,
+               b.inferred_type AS type_base,
+               c.inferred_type AS type_cur,
+               b.null_rate AS null_rate_base,
+               c.null_rate AS null_rate_cur
+        FROM base_prof b FULL OUTER JOIN cur_prof c ON b.field = c.field
+    """,
+)
+def schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit between two snapshot profiles of the same
+    feed — the discovery-layer complement to `drift_psi_features`
+    (values drift there; SHAPE drifts here). Each snapshot is melted
+    and profiled with the reference's type lattice (field_discovery.py
+    5-48, same kernel as `field_profile`), then the two fields-sized
+    profiles full-outer join into one verdict per field: `added` /
+    `dropped` / `type_changed` / `null_rate_shift` (>10 points) /
+    `stable`. The planted evolution exercises every verdict: a field
+    dropped (`legacy_code`), added (`new_field`), type-widened
+    (`value` gains string 'oops' cells), and null-degraded (`props`
+    nulled on errors), with `event_id` the stable control.
+
+    100 TB shape: the row-sized work is the two melt+aggregate passes
+    (map-side combinable, one ~|fields|-group exchange each —
+    `field_profile`'s own cost); the diff join and verdicts are
+    fields-sized. Snapshot profiles are the mergeable summary a
+    catalog would persist per ingest cycle, so in production the diff
+    costs nothing but the two catalog reads."""
+    from gas_data_pipeline_spark.functions.profiling import (
+        infer_value_type,
+        inferred_type_agg,
+    )
+
+    ev = spread_scan(table(spark, sf_dir, "events"))
+
+    def melt(df: DataFrame, fields: dict[str, F.Column]) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(n).alias("field_name"), c.alias("cell"))
+                        for n, c in fields.items()
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.field_name", "kv.cell")
+
+    def profile(cells: DataFrame) -> DataFrame:
+        return cells.groupBy("field_name").agg(
+            inferred_type_agg(infer_value_type(F.col("cell"))).alias("inferred_type"),
+            F.round(
+                (F.count(F.lit(1)) - F.count("cell")) / F.count(F.lit(1)), 6
+            ).alias("null_rate"),
+        )
+
+    base = profile(
+        melt(
+            ev.filter(F.col("event_id") % 2 == 0),
+            {
+                "event_id": F.col("event_id").cast("string"),
+                "value": F.col("value").cast("string"),
+                "props": F.col("props"),
+                "legacy_code": F.col("user_id").cast("string"),
+            },
+        )
+    )
+    cur = profile(
+        melt(
+            ev.filter(F.col("event_id") % 2 == 1),
+            {
+                "event_id": F.col("event_id").cast("string"),
+                "value": F.when(F.col("event_type") == "click", "oops").otherwise(
+                    F.col("value").cast("string")
+                ),
+                "props": F.when(F.col("event_type") != "error", F.col("props")),
+                "new_field": F.col("event_type"),
+            },
+        )
+    )
+    b = base.select(
+        F.col("field_name"),
+        F.col("inferred_type").alias("type_base"),
+        F.col("null_rate").alias("null_rate_base"),
+    )
+    c = cur.select(
+        F.col("field_name"),
+        F.col("inferred_type").alias("type_cur"),
+        F.col("null_rate").alias("null_rate_cur"),
+    )
+    diff = b.join(c, "field_name", "full_outer")
+    status = (
+        F.when(F.col("type_base").isNull(), "added")
+        .when(F.col("type_cur").isNull(), "dropped")
+        .when(F.col("type_base") != F.col("type_cur"), "type_changed")
+        .when(
+            F.abs(F.col("null_rate_cur") - F.col("null_rate_base")) > 0.1,
+            "null_rate_shift",
+        )
+        .otherwise("stable")
+    )
+    return diff.select(
+        "field_name",
+        status.alias("status"),
+        "type_base",
+        "type_cur",
+        "null_rate_base",
+        "null_rate_cur",
+    )
