@@ -91,7 +91,16 @@ def psi_from_histograms(
     """PSI per feature from two (feature, bin, cnt) histograms built
     on the SAME bounds. Histogram-sized arithmetic — at 100 TB this
     is the free part; the scans that built the histograms were the
-    cost. Returns ``feature, n_base, n_cur, psi`` (psi rounded 6dp)."""
+    cost. Returns ``feature, n_base, n_cur, psi`` (psi rounded 6dp).
+
+    The per-feature totals come from a WINDOW over the merged
+    histogram, not a second aggregate branch: branching ``hist`` into
+    a totals subquery and re-joining would re-execute the entire
+    upstream lineage (both snapshot scans!) once per branch — the
+    single-reference plan keeps each input scanned exactly once.
+    """
+    from pyspark.sql.window import Window
+
     hist = (
         base_hist.select("feature", "bin", F.col("cnt").alias("cnt_base"))
         .join(
@@ -101,21 +110,18 @@ def psi_from_histograms(
         )
         .fillna(0, subset=["cnt_base", "cnt_cur"])
     )
-    totals = hist.groupBy("feature").agg(
-        F.sum("cnt_base").alias("n_base"), F.sum("cnt_cur").alias("n_cur")
+    w = Window.partitionBy("feature")
+    hist = hist.withColumn("n_base", F.sum("cnt_base").over(w)).withColumn(
+        "n_cur", F.sum("cnt_cur").over(w)
     )
     eps = F.lit(float(min_share))
     p_base = F.greatest(F.col("cnt_base") / F.col("n_base"), eps)
     p_cur = F.greatest(F.col("cnt_cur") / F.col("n_cur"), eps)
     term = (p_cur - p_base) * F.log(p_cur / p_base)
-    return (
-        hist.join(F.broadcast(totals), "feature")
-        .groupBy("feature")
-        .agg(
-            F.max("n_base").alias("n_base"),
-            F.max("n_cur").alias("n_cur"),
-            F.round(F.sum(term), 6).alias("psi"),
-        )
+    return hist.groupBy("feature").agg(
+        F.max("n_base").alias("n_base"),
+        F.max("n_cur").alias("n_cur"),
+        F.round(F.sum(term), 6).alias("psi"),
     )
 
 
@@ -232,3 +238,56 @@ def join_skew_profile(
         F.lit(None).cast("bigint").alias("n_keys"),
         "contribution",
     ).unionByName(total)
+
+
+def embedding_centroid_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Vector-space drift per label slice: the cosine between the two
+    snapshots' per-label centroids and the L2 centroid shift — the
+    embedding-column complement of :func:`psi_drift` (a re-embedded or
+    silently re-normalized corpus moves here long before scalar
+    features notice). Returns ``label, n_base, n_cur, centroid_cos,
+    centroid_shift`` (rounded 6dp).
+
+    Scale shape: each side posexplodes to (label, pos, x) and folds
+    map-side into per-(label, pos) partial sums — the exchange carries
+    ``labels x dim`` rows per side regardless of corpus size; the
+    centroid join and the final per-label reduction are labels-sized.
+    No Python, no vector ever collected.
+    """
+    def cent(df: DataFrame) -> DataFrame:
+        ex = df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+        )
+        return ex.groupBy("label", "pos").agg(
+            F.avg("x").alias("c"), F.count(F.lit(1)).alias("n")
+        )
+
+    cb = cent(base).select(
+        "label", "pos", F.col("c").alias("cb"), F.col("n").alias("n_base")
+    )
+    cc = cent(cur).select(
+        "label", "pos", F.col("c").alias("cc"), F.col("n").alias("n_cur")
+    )
+    joined = cb.join(cc, ["label", "pos"], "inner")
+    return joined.groupBy("label").agg(
+        F.max("n_base").alias("n_base"),
+        F.max("n_cur").alias("n_cur"),
+        F.round(
+            F.sum(F.col("cb") * F.col("cc"))
+            / (
+                F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                * F.sqrt(F.sum(F.col("cc") * F.col("cc")))
+            ),
+            6,
+        ).alias("centroid_cos"),
+        F.round(
+            F.sqrt(F.sum((F.col("cb") - F.col("cc")) * (F.col("cb") - F.col("cc")))),
+            6,
+        ).alias("centroid_shift"),
+    )

@@ -705,3 +705,70 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rk",
     )
     return out.select("source", "doc_id", "rk")
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+        WITH snap AS (
+            SELECT vec_id, label,
+                   CASE WHEN vec_id % 2 = 1 AND label < 3
+                        THEN list_transform(embedding::DOUBLE[], x -> x + 0.25)
+                        ELSE embedding::DOUBLE[] END AS v
+            FROM embeddings
+        ),
+        ex AS (
+            SELECT vec_id, label,
+                   generate_subscripts(v, 1) AS pos, unnest(v) AS x
+            FROM snap
+        ),
+        cb AS (
+            SELECT label, pos, avg(x) AS c, count(*) AS n
+            FROM ex WHERE vec_id % 2 = 0 GROUP BY label, pos
+        ),
+        cc AS (
+            SELECT label, pos, avg(x) AS c, count(*) AS n
+            FROM ex WHERE vec_id % 2 = 1 GROUP BY label, pos
+        )
+        SELECT cb.label,
+               CAST(max(cb.n) AS BIGINT) AS n_base,
+               CAST(max(cc.n) AS BIGINT) AS n_cur,
+               round(sum(cb.c * cc.c)
+                     / (sqrt(sum(cb.c * cb.c)) * sqrt(sum(cc.c * cc.c))), 6)
+                   AS centroid_cos,
+               round(sqrt(sum((cb.c - cc.c) * (cb.c - cc.c))), 6)
+                   AS centroid_shift
+        FROM cb JOIN cc ON cb.label = cc.label AND cb.pos = cc.pos
+        GROUP BY cb.label
+    """,
+)
+def embedding_centroid_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space drift per label between two embedding snapshots —
+    the third leg of the drift family (values: `drift_psi_features`;
+    shape: `schema_drift_audit`; embedding space: here). A re-embedded
+    or silently re-normalized corpus slice moves its centroid long
+    before any scalar feature notices; the planted +0.25-per-dim shift
+    on odd-snapshot labels 0-2 must show as centroid_cos < 1 and a
+    positive centroid_shift exactly there, with labels 3-9 the
+    unshifted controls. Scale shape: posexplode folds map-side to
+    per-(label, pos) partial sums — the exchange is labels x dim per
+    side regardless of corpus size; everything after is labels-sized
+    (operators/drift.embedding_centroid_drift)."""
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.drift import embedding_centroid_drift
+
+    emb = spread_scan(table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding").cast("array<double>")
+    snap = emb.select(
+        "vec_id",
+        "label",
+        F.when(
+            (F.col("vec_id") % 2 == 1) & (F.col("label") < 3),
+            F.transform(v, lambda x: x + 0.25),
+        )
+        .otherwise(v)
+        .alias("embedding"),
+    )
+    base = snap.filter(F.col("vec_id") % 2 == 0)
+    cur = snap.filter(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_drift(base, cur, "embedding", "label")

@@ -86,7 +86,12 @@ def test_psi_plan_partial_counts_and_broadcast_bounds(spark):
     plan = _physical(psi_drift(df, df, ["x", "y"]))
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # The only sort-merge join allowed is the FullOuter merge of the
+    # two POST-AGGREGATION histograms (features x bins rows) — raw
+    # rows must never reach a shuffled join.
+    assert plan.count("SortMergeJoin") <= 1
+    if "SortMergeJoin" in plan:
+        assert "FullOuter" in plan
 
 
 # ----------------------------------------------------------- leakage
@@ -163,3 +168,51 @@ def test_skew_profile_plan_reduces_before_join(spark):
     # exchange — the diagnostic must never shuffle raw rows.
     assert plan.count("partial_count") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------- centroid drift
+
+
+def _emb_frame(spark, shift=0.0, labels=(0, 1)):
+    rows = [
+        (i, int(lab), [float(i % 5) + d + (shift if lab == 0 else 0.0)
+                       for d in range(4)])
+        for i in range(40)
+        for lab in [i % len(labels)]
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+
+
+def test_centroid_drift_identity(spark):
+    from gas_data_pipeline_spark.operators.drift import embedding_centroid_drift
+
+    df = _emb_frame(spark)
+    out = embedding_centroid_drift(df, df, "embedding", "label").collect()
+    for r in out:
+        assert r["centroid_cos"] == pytest.approx(1.0, abs=1e-9)
+        assert r["centroid_shift"] == pytest.approx(0.0, abs=1e-9)
+        assert r["n_base"] == r["n_cur"] == 20
+
+
+def test_centroid_drift_detects_shifted_label_only(spark):
+    from gas_data_pipeline_spark.operators.drift import embedding_centroid_drift
+
+    base = _emb_frame(spark)
+    cur = _emb_frame(spark, shift=5.0)  # label 0 shifted, label 1 untouched
+    out = {r["label"]: r for r in
+           embedding_centroid_drift(base, cur, "embedding", "label").collect()}
+    assert out[0]["centroid_shift"] == pytest.approx(10.0, abs=1e-6)  # sqrt(4*25)
+    assert out[0]["centroid_cos"] < 1.0
+    assert out[1]["centroid_shift"] == pytest.approx(0.0, abs=1e-9)
+    assert out[1]["centroid_cos"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_centroid_drift_plan_partial_avg(spark):
+    from gas_data_pipeline_spark.operators.drift import embedding_centroid_drift
+
+    df = _emb_frame(spark)
+    plan = _physical(embedding_centroid_drift(df, df, "embedding", "label"))
+    # The posexploded stream must fold map-side before its exchange.
+    assert "partial_avg" in plan or "partial_average" in plan
