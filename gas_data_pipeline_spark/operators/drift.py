@@ -41,6 +41,9 @@ def _long_form(df: DataFrame, feature_cols: list[str]) -> DataFrame:
     """(feature, v) long form via one ``stack`` pass — a single scan
     regardless of feature count; null feature values drop (they have
     no bin in either engine's histogram)."""
+    bad = [c for c in feature_cols if "'" in c or "`" in c]
+    if bad:
+        raise ValueError(f"feature names may not contain quotes/backticks: {bad}")
     pairs = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in feature_cols)
     return df.select(
         F.expr(f"stack({len(feature_cols)}, {pairs}) AS (feature, v)")
@@ -218,6 +221,12 @@ def join_skew_profile(
         "cnt_right",
         (F.col("cnt_left") * F.col("cnt_right")).alias("contribution"),
     )
+    # Both output branches (top-N and the 1-row total) consume `prof`;
+    # without a cache each branch would re-execute the two count
+    # aggregations AND their input scans — the same double-lineage
+    # trap psi_from_histograms avoids with its window. The profile is
+    # keys-sized (already reduced), so caching it is bounded.
+    prof = prof.persist()
     top = prof.orderBy(F.desc("contribution"), F.asc("key")).limit(top_n)
     total = prof.agg(
         F.count(F.lit(1)).alias("n_keys"),
