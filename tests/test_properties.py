@@ -537,3 +537,52 @@ def test_pagerank_salting_invariant_on_random_graphs(spark, edges, salts):
     assert set(plain) == set(salted)
     for node, rank in plain.items():
         assert salted[node] == pytest.approx(rank, rel=1e-9)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    cut=st.integers(min_value=0, max_value=60),
+)
+@settings(**SETTINGS)
+def test_incremental_histogram_psi_equals_batch(spark, vals, cut):
+    """The streaming monitor's invariant, for ANY value set and ANY
+    batch boundary: histogram(batch1) + histogram(batch2), merged by
+    per-bin addition, yields the same PSI as one batch histogram of
+    the whole stream — incremental maintenance == full recompute."""
+    from gas_data_pipeline_spark.operators.drift import (
+        baseline_bounds,
+        histogram_on_bounds,
+        psi_drift,
+        psi_from_histograms,
+    )
+
+    cut = min(cut, len(vals))
+    base = spark.createDataFrame([(v,) for v in vals], "x double")
+    b1 = spark.createDataFrame([(v,) for v in vals[:cut]], "x double") if cut else None
+    b2 = (
+        spark.createDataFrame([(v,) for v in vals[cut:]], "x double")
+        if cut < len(vals)
+        else None
+    )
+    bounds = baseline_bounds(base, ["x"])
+    base_hist = histogram_on_bounds(base, ["x"], bounds, bins=5)
+    parts = [
+        histogram_on_bounds(b, ["x"], bounds, bins=5) for b in (b1, b2) if b is not None
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = (
+            merged.unionByName(p)
+            .groupBy("feature", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    incr = psi_from_histograms(base_hist, merged).collect()[0]
+    batch = psi_drift(base, base, ["x"], bins=5).collect()[0]
+    # base vs full stream: the "stream" here IS base split in two, so
+    # the incremental PSI must equal the batch self-PSI (zero).
+    assert incr["psi"] == pytest.approx(batch["psi"], abs=1e-9)
+    assert incr["n_cur"] == len(vals)
