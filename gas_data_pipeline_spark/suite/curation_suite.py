@@ -772,3 +772,104 @@ def embedding_centroid_drift_query(spark: SparkSession, sf_dir: str) -> DataFram
     base = snap.filter(F.col("vec_id") % 2 == 0)
     cur = snap.filter(F.col("vec_id") % 2 == 1)
     return embedding_centroid_drift(base, cur, "embedding", "label")
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One unrolled BPE round for the oracle: pair counts with a
+    deterministic argmax, then the greedy-left merge via the
+    gaps-and-islands closed form (runs of consecutive matches keep
+    their even offsets) — sequential-fold-free SQL identical in
+    semantics to the engine's per-row HOF fold."""
+    p = r - 1
+    return f"""
+        lead{r} AS (
+            SELECT word, freq, pos, sym,
+                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+            FROM syms{p}
+        ),
+        pairs{r} AS (
+            SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM lead{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+        ),
+        best{r} AS (
+            SELECT l, r, cnt FROM pairs{r} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+        ),
+        m{r} AS (
+            SELECT s.word, s.freq, s.pos, s.sym, s.nxt,
+                   CASE WHEN s.sym = b.l AND s.nxt = b.r THEN 1 ELSE 0 END AS mt
+            FROM lead{r} s CROSS JOIN best{r} b
+        ),
+        mm{r} AS (
+            SELECT word, pos,
+                   pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+            FROM m{r} WHERE mt = 1
+        ),
+        sel{r} AS (
+            SELECT word, pos FROM (
+                SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS g0
+                FROM mm{r}
+            ) WHERE (pos - g0) % 2 = 0
+        ),
+        syms{r} AS (
+            SELECT word, freq,
+                   row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                   CASE WHEN sel_pos IS NOT NULL THEN sym || nxt ELSE sym END AS sym
+            FROM (
+                SELECT m.word, m.freq, m.pos, m.sym, m.nxt, s.pos AS sel_pos
+                FROM m{r} m LEFT JOIN sel{r} s ON m.word = s.word AND m.pos = s.pos
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sel{r} s2
+                    WHERE s2.word = m.word AND s2.pos = m.pos - 1
+                )
+            )
+        )"""
+
+
+_BPE_ORACLE = (
+    f"""
+        WITH w0 AS (
+            SELECT unnest({_WORDS_SQL}) AS word FROM documents
+        ),
+        words0 AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM w0 WHERE len(word) BETWEEN 2 AND 12 GROUP BY word
+        ),
+        syms0 AS (
+            SELECT word, freq, pos, substring(word, pos, 1) AS sym
+            FROM words0, unnest(range(1, len(word) + 1)) AS t(pos)
+        ),{",".join(_bpe_round_ctes(r) for r in range(1, 4))}
+        """
+    + "\n UNION ALL ".join(
+        f"""SELECT {r} AS round, l AS "left", r AS "right", l || r AS merged,
+               cnt AS pair_count FROM best{r}"""
+        for r in range(1, 4)
+    )
+)
+
+
+@register("bpe_train_merge_rules", oracle=_BPE_ORACLE)
+def bpe_train_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction end to end: three rounds of distributed
+    BPE merge training on the corpus's distinct-word frequency table
+    (Sennrich et al. 2016) — the iterative big sibling of
+    `bpe_pair_counts` (which is one round's count step). Training on
+    the WORD TABLE is what survives 100 TB: pair statistics are
+    identical (merges never cross word boundaries) but the state is
+    vocab-sized, so each round costs one map-side-combinable pair-count
+    shuffle plus a zero-shuffle per-row HOF rewrite, with
+    localCheckpoint truncating the loop lineage exactly like
+    `graph_pagerank`. The oracle unrolls all three rounds in SQL,
+    replaying the greedy-left merge through its gaps-and-islands
+    closed form (operators/bpe.py)."""
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.bpe import bpe_train_merges
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("text"))
+    words = (
+        docs.select(F.explode(F.filter(tokenize(F.col("text")), is_word)).alias("word"))
+        .filter(F.length("word").between(2, 12))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return bpe_train_merges(words, rounds=3)
