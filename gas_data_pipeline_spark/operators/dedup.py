@@ -412,7 +412,16 @@ def jaccard_pairs_prefix_filter(
         F.col(id_col).alias("id"),
         F.transform(shingle_col, lambda s: F.xxhash64(s)).alias("shingles"),
     )
-    sized = base.select("id", "shingles", F.size("shingles").alias("n_shingles"))
+    # The hashed shingle sets feed FOUR consumers (df-count explode,
+    # the rank join, and both sides of the verification join); without
+    # a materialization each consumer re-runs the scan + shingling +
+    # hashing. Materialized form is bounded: N x avg-set-size longs,
+    # not text — same discipline as the bitset-GEMM kernel's `base`.
+    # localCheckpoint (not persist): scoped to this invocation, so
+    # repeated calls can't silently serve a stale cache entry.
+    sized = base.select(
+        "id", "shingles", F.size("shingles").alias("n_shingles")
+    ).localCheckpoint(eager=True)
     ex = sized.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
     df_counts = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Rank each doc's shingles by (global df, hash): regroup and keep
