@@ -1879,3 +1879,105 @@ def join_skew_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spread_scan(table(spark, sf_dir, "events"))
     purchases = ev.filter(F.col("event_type") == "purchase")
     return join_skew_profile(ev, purchases, "user_id", top_n=20)
+
+
+@register(
+    "entity_resolution_e2e",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 8
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        labeled AS (
+            SELECT p.p_partkey, p.p_retailprice,
+                   coalesce(c.label, p.p_partkey) AS cluster_id
+            FROM part p LEFT JOIN comp c ON p.p_partkey = c.id
+        )
+        SELECT p_partkey,
+               cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size,
+               first_value(p_partkey) OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY p_retailprice ASC, p_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS canonical_partkey,
+               p_partkey = first_value(p_partkey) OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY p_retailprice ASC, p_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS is_canonical
+        FROM labeled
+    """,
+)
+def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage end to end, every stage a proven operator:
+    blocking (brand x size — quadratic only within blocks, skew
+    saltable) -> exact Levenshtein verification (codegen'd, the
+    `fuzzy_part_name_pairs` stage) -> transitive closure via hash-min
+    connected components (`operators/dedup.connected_components` —
+    per-pair linking is wrong under transitivity) -> survivorship:
+    the cheapest record per cluster wins (tiebreak lowest key), the
+    classic master-data election. Every part row comes back with its
+    cluster id (min member key; singletons label themselves), cluster
+    size, and the elected canonical key. The oracle replays the chain
+    with a recursive-CTE closure over the identical pair set.
+
+    100 TB shape: the block join shuffles on the block key; CC is the
+    |V|-per-round hash-min loop; the election is one window over
+    cluster-keyed rows — no stage is all-pairs, nothing collects."""
+    from pyspark.sql.window import Window as W
+
+    from gas_data_pipeline_spark.operators.dedup import connected_components
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 8)
+        .select(
+            F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
+        )
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        p.join(labels, p["p_partkey"] == labels["id"], "left")
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.coalesce(F.col("label"), F.col("p_partkey")).alias("cluster_id"),
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.asc("p_retailprice"), F.asc("p_partkey")
+    ).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wc = W.partitionBy("cluster_id")
+    canonical = F.first("p_partkey").over(w)
+    return labeled.select(
+        "p_partkey",
+        "cluster_id",
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
+        canonical.alias("canonical_partkey"),
+        (F.col("p_partkey") == canonical).alias("is_canonical"),
+    )
