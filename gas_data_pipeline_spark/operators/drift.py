@@ -193,6 +193,22 @@ def split_leakage_audit(
     )
 
 
+def _key_profile(left: DataFrame, right: DataFrame, key_col: str) -> DataFrame:
+    """Keys-sized join profile: per-key counts on both sides and the
+    per-key output contribution. Each side folds map-side to per-key
+    counts before its exchange — the plan-shape contract
+    ``tests/test_drift.py`` pins on this builder (the public wrapper
+    checkpoints it, which hides these stages from the final plan)."""
+    lc = left.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt_left"))
+    rc = right.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt_right"))
+    return lc.join(rc, key_col, "inner").select(
+        F.col(key_col).cast("string").alias("key"),
+        "cnt_left",
+        "cnt_right",
+        (F.col("cnt_left") * F.col("cnt_right")).alias("contribution"),
+    )
+
+
 def join_skew_profile(
     left: DataFrame,
     right: DataFrame,
@@ -213,20 +229,15 @@ def join_skew_profile(
     count-table join is keys-sized; top-N is TakeOrderedAndProject;
     the total is a 1-row aggregate. Never materializes the join.
     """
-    lc = left.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt_left"))
-    rc = right.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt_right"))
-    prof = lc.join(rc, key_col, "inner").select(
-        F.col(key_col).cast("string").alias("key"),
-        "cnt_left",
-        "cnt_right",
-        (F.col("cnt_left") * F.col("cnt_right")).alias("contribution"),
-    )
+    prof = _key_profile(left, right, key_col)
     # Both output branches (top-N and the 1-row total) consume `prof`;
-    # without a cache each branch would re-execute the two count
-    # aggregations AND their input scans — the same double-lineage
-    # trap psi_from_histograms avoids with its window. The profile is
-    # keys-sized (already reduced), so caching it is bounded.
-    prof = prof.persist()
+    # without a materialization each branch would re-execute the two
+    # count aggregations AND their input scans — the same
+    # double-lineage trap psi_from_histograms avoids with its window.
+    # The profile is keys-sized (already reduced) so materializing is
+    # bounded; localCheckpoint (not persist) keeps it scoped to this
+    # invocation instead of leaving a session-lifetime cache entry.
+    prof = prof.localCheckpoint(eager=True)
     top = prof.orderBy(F.desc("contribution"), F.asc("key")).limit(top_n)
     total = prof.agg(
         F.count(F.lit(1)).alias("n_keys"),

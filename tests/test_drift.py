@@ -161,13 +161,19 @@ def test_skew_profile_surfaces_planted_hot_key(spark):
 
 
 def test_skew_profile_plan_reduces_before_join(spark):
+    from gas_data_pipeline_spark.operators.drift import _key_profile
+
     left = spark.range(10000).select((F.col("id") % 100).alias("k"))
     right = spark.range(10000).select((F.col("id") % 80).alias("k"))
-    plan = _physical(join_skew_profile(left, right, "k"))
     # Both sides must fold to per-key counts map-side before any
-    # exchange — the diagnostic must never shuffle raw rows.
+    # exchange — the diagnostic must never shuffle raw rows. Pinned on
+    # the profile builder (the wrapper's eager checkpoint hides these
+    # stages from the final plan).
+    plan = _physical(_key_profile(left, right, "k"))
     assert plan.count("partial_count") >= 2
-    assert "TakeOrderedAndProject" in plan
+    # The public wrapper's top-N must stay a bounded TakeOrdered, not
+    # a global sort.
+    assert "TakeOrderedAndProject" in _physical(join_skew_profile(left, right, "k"))
 
 
 # ---------------------------------------------------- centroid drift
