@@ -1981,3 +1981,64 @@ def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.alias("canonical_partkey"),
         (F.col("p_partkey") == canonical).alias("is_canonical"),
     )
+
+
+@register(
+    "forecast_seasonal_naive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT a.user_id, a.day, a.v AS actual, f.v AS forecast
+            FROM daily a JOIN daily f
+              ON a.user_id = f.user_id AND f.day = a.day - INTERVAL 7 DAY
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               round(avg(abs(actual - forecast)), 6) AS mae,
+               round(sum(abs(actual - forecast)) / sum(abs(actual)), 6) AS wape
+        FROM scored
+        GROUP BY user_id
+    """,
+)
+def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality backtest per series: the seasonal-naive
+    baseline (forecast(d) = actual(d - 7), the model every real
+    forecaster must beat) scored over the full history with MAE and
+    WAPE (sum-ratio form — no per-row division, so zero-actual days
+    can't poison the metric). The calendar lag is an equality
+    self-join on (user, day-7) rather than a row-offset window, so
+    gap days score correctly instead of silently comparing against
+    the wrong date.
+
+    100 TB shape: raw events collapse once to the (user, day) rollup
+    with map-side partial decimal sums; the backtest self-join and
+    the metric aggregate run entirely on that summary — the raw
+    stream is scanned exactly once, and everything after is
+    users x days sized."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v")
+    )
+    a = daily.alias("a")
+    f = daily.alias("f")
+    scored = a.join(
+        f,
+        (F.col("a.user_id") == F.col("f.user_id"))
+        & (F.col("f.day") == F.date_sub(F.col("a.day"), 7)),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.v").alias("actual"),
+        F.col("f.v").alias("forecast"),
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.round(F.avg(err), 6).alias("mae"),
+        F.round(F.sum(err) / F.sum(F.abs(F.col("actual"))), 6).alias("wape"),
+    )
