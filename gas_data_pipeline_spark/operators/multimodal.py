@@ -174,7 +174,9 @@ def resize_media(
     return binary_df.mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
-FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, n_bytes bigint, crc bigint"
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, n_bytes bigint, frame_sha string"
+)
 
 
 def sample_frames(
@@ -190,12 +192,12 @@ def sample_frames(
     fs, ev = int(frame_size), int(every)
 
     def frames(batches):
-        import zlib
+        import hashlib
 
         import pandas as pd
 
         for pdf in batches:
-            ids, idxs, sizes, crcs = [], [], [], []
+            ids, idxs, sizes, shas = [], [], [], []
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(raw)
                 n_frames = max((len(raw) + fs - 1) // fs, 1)
@@ -204,9 +206,13 @@ def sample_frames(
                     ids.append(doc_id)
                     idxs.append(k)
                     sizes.append(len(chunk))
-                    crcs.append(zlib.crc32(chunk) & 0xFFFFFFFF)
+                    # sha-256 (not crc32): same per-frame checksum role,
+                    # but portable — every engine (and the DuckDB
+                    # oracle) can recompute it.
+                    shas.append(hashlib.sha256(chunk).hexdigest())
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "n_bytes": sizes, "crc": crcs}
+                {"doc_id": ids, "frame_idx": idxs, "n_bytes": sizes,
+                 "frame_sha": shas}
             )
 
     return binary_df.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -803,13 +803,32 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")  # rows-only: fake demux is engine-side
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents WHERE doc_id < 500
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(length(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+                    AS BIGINT) AS n_bytes,
+               sha256(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+                   AS frame_sha
+        FROM d, unnest(range(0, greatest(CAST(ceil(n / 64.0) AS BIGINT), 1), 4))
+                    AS t(frame_idx)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 frame sampling: documents as fake media containers, every
     4th 64-byte frame emitted as a row (row-expanding mapInPandas —
     the video-sampler batch shape; demux faked, plumbing real). Frame
     counts and checksums re-derived in pure Python in
-    tests/test_northstar.py."""
+    tests/test_northstar.py — and now ALSO value-oracled: the
+    per-frame checksum is sha-256 (portable; crc32 had no DuckDB
+    twin) and the corpus is pure ASCII, so character slicing in the
+    oracle equals the engine's byte slicing."""
     from gas_data_pipeline_spark.operators.multimodal import sample_frames
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
@@ -817,11 +836,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(binary, frame_size=64, every=4)
 
 
-@register("multimodal_resize_grid")  # rows-only: fake decode is engine-side
+@register(
+    "multimodal_resize_grid",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents WHERE doc_id < 500
+        ),
+        dim AS (
+            SELECT doc_id, text, n,
+                   CAST(ceil(sqrt(greatest(n, 1))) AS BIGINT) AS side
+            FROM d
+        ),
+        px AS (
+            SELECT doc_id, side, p // side AS r, p % side AS c,
+                   CAST(ord(substring(text, CAST(p % n AS INT) + 1, 1)) AS DOUBLE)
+                       AS v
+            FROM dim, unnest(range(0, side * side)) AS t(p)
+        ),
+        blocks AS (
+            SELECT i, j
+            FROM unnest(range(0, 8)) AS a(i), unnest(range(0, 8)) AS b(j)
+        ),
+        cell AS (
+            SELECT px.doc_id, b.i, b.j, avg(v) AS v
+            FROM px CROSS JOIN blocks b
+            WHERE px.r >= (b.i * px.side) // 8
+              AND px.r < greatest(((b.i + 1) * px.side) // 8,
+                                  (b.i * px.side) // 8 + 1)
+              AND px.c >= (b.j * px.side) // 8
+              AND px.c < greatest(((b.j + 1) * px.side) // 8,
+                                  (b.j * px.side) // 8 + 1)
+            GROUP BY px.doc_id, b.i, b.j
+        )
+        SELECT doc_id, CAST(8 AS INT) AS height, CAST(8 AS INT) AS width,
+               list(round(v, 6) ORDER BY i, j) AS pixels
+        FROM cell GROUP BY doc_id
+    """,
+)
 def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 resize: variable-size payloads pooled to a fixed 8x8 grid
     (block-mean; decode faked as bytes-are-pixels, batch shape real).
-    Pixel values re-derived with numpy in tests/test_northstar.py."""
+    Pixel values re-derived with numpy in tests/test_northstar.py —
+    and now ALSO value-oracled: the fake decode is deterministic
+    integer arithmetic (pixel p = byte[p mod n], cyclic np.resize
+    fill; the ASCII corpus makes ord(char) == byte), and block means
+    of integer-valued doubles are exact in both engines, so the
+    oracle replays the full decode -> block-mean -> round pipeline,
+    including the degenerate side<8 overlapping-block guard."""
     from gas_data_pipeline_spark.operators.multimodal import resize_media
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)

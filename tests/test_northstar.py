@@ -330,7 +330,7 @@ def test_codec_seam_accepts_custom_decoder(spark):
 
 def test_frame_sample_matches_python_slicing(spark):
     """Row-expanding frame sampler must equal pure-Python slicing."""
-    import zlib
+    import hashlib
 
     from gas_data_pipeline_spark.registry import all_queries
 
@@ -354,9 +354,9 @@ def test_frame_sample_matches_python_slicing(spark):
         for k in range(0, n_frames, 4):
             chunk = raw[k * 64 : (k + 1) * 64]
             expect.append(
-                (row["doc_id"], k, len(chunk), zlib.crc32(chunk) & 0xFFFFFFFF)
+                (row["doc_id"], k, len(chunk), hashlib.sha256(chunk).hexdigest())
             )
-    got = list(out[["doc_id", "frame_idx", "n_bytes", "crc"]].itertuples(index=False, name=None))
+    got = list(out[["doc_id", "frame_idx", "n_bytes", "frame_sha"]].itertuples(index=False, name=None))
     assert sorted(got) == sorted(expect)
 
 

@@ -471,3 +471,44 @@ def test_gap_fill_broadcasts_only_bounded_side(spark):
     build = after_bnlj.split("BroadcastExchange", 1)[1]
     head = "\n".join(build.splitlines()[:4]).lower()
     assert "min(" in head and "max(" in head
+
+
+def test_silver_date_scan_prunes_partitions(spark, tmp_path):
+    """A date-filtered read of the obs_date-partitioned silver store
+    must prune at the PARTITION level — the predicate shows up as a
+    PartitionFilter on the scan (directory-level pruning: unmatched
+    dates are never opened), not merely as a data filter. This is the
+    lakehouse property the partitioned layout exists for; at 100 TB a
+    one-day query must touch one day's files."""
+    import pyspark.sql.functions as F
+
+    from gas_data_pipeline_spark.pipeline.silver import upsert_observations
+
+    batch = spark.createDataFrame(
+        [
+            ("s1", f"2024-01-0{d} 0{h}:00:00", float(d * h), "ok",
+             "2024-02-01 00:00:00")
+            for d in range(1, 6)
+            for h in range(3)
+        ],
+        "series_id string, observation_time string, value double, "
+        "quality_flag string, ingestion_time string",
+    ).withColumn(
+        "observation_time", F.col("observation_time").cast("timestamp")
+    ).withColumn("ingestion_time", F.col("ingestion_time").cast("timestamp"))
+    path = str(tmp_path / "silver")
+    upsert_observations(spark, batch, path)
+
+    day = (
+        spark.read.parquet(path)
+        .filter(F.col("obs_date") == "2024-01-03")
+        .select("series_id", "value")
+    )
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "obs_date" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert day.count() == 3
+    # And the scan must NOT carry the date predicate as a post-scan
+    # row filter over every partition's rows: pruning happened at
+    # planning time, so only one directory's files are listed.
+    assert day.rdd.getNumPartitions() <= 4
