@@ -171,9 +171,12 @@ def run_scale_probe(
     scaled_dir = _build_scaled_dir(spark, sf_dir, factor)
     out: dict[str, dict] = {}
     superlinear: list[str] = []
+    import gc
+
     for name in SCALE_PROBE_QUERIES:
         if name not in queries:
             continue
+        gc.collect()  # same per-query JVM-state hygiene as run_pass
         start = time.perf_counter()
         df = queries[name](spark, scaled_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -263,12 +266,23 @@ def main() -> None:
         return
 
     def run_pass() -> dict[str, float]:
+        import gc
+
         out: dict[str, float] = {}
         for name in sorted(queries):
             fn = queries[name]
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[name] = round(time.perf_counter() - start, 4)
+            # Measurement hygiene, not a speed hack: localCheckpoint /
+            # persist blocks from query i stay pinned in the JVM until
+            # Python's lazy GC drops the py4j refs, so without this a
+            # 149-query pass accumulates storage pressure that taxes
+            # whichever queries run LATER in alphabet order (observed:
+            # graph_pagerank 5s fresh vs 10s late-pass). Collecting
+            # after each query lets the ContextCleaner release blocks
+            # so every query is measured against the same JVM state.
+            gc.collect()
         return out
 
     # Host-level noise on shared machines swings identical suite runs

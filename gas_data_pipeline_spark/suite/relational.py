@@ -782,3 +782,60 @@ def sql_topn_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark needs TIMESTAMP literals in UTC session tz — identical text
     # works in both engines.
     return spark.sql(_Q3_SQL)
+
+
+@register(
+    "sql_q5_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(8,2))
+                        * (CAST(1 AS DECIMAL(3,2))
+                           - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY n.n_name
+    """,
+)
+def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — local supplier volume: the 6-table star/snake
+    join (customer⋈orders⋈lineitem⋈supplier⋈nation⋈region) with a
+    selective region filter and the customer-nation = supplier-nation
+    equality that makes join ORDER matter. Declared as one SQL
+    statement so Catalyst does the planning: the region/nation dims
+    broadcast, the region filter prunes nation keys BEFORE the big
+    fact joins, and the o_orderdate predicate pushes to the orders
+    scan. Revenue in exact decimal, cast to double at the end (the
+    `pricing_summary` discipline). At 100 TB only the
+    orders⋈lineitem⋈(customer,supplier) joins shuffle — everything
+    else rides broadcasts."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"q5_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(8,2))
+                        * (CAST(1 AS DECIMAL(3,2))
+                           - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS revenue
+        FROM q5_customer c
+        JOIN q5_orders o ON c.c_custkey = o.o_custkey
+        JOIN q5_lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN q5_supplier s ON l.l_suppkey = s.s_suppkey
+                          AND c.c_nationkey = s.s_nationkey
+        JOIN q5_nation n ON s.s_nationkey = n.n_nationkey
+        JOIN q5_region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY n.n_name
+        """
+    )

@@ -512,3 +512,14 @@ def test_silver_date_scan_prunes_partitions(spark, tmp_path):
     # row filter over every partition's rows: pruning happened at
     # planning time, so only one directory's files are listed.
     assert day.rdd.getNumPartitions() <= 4
+
+
+def test_q5_broadcasts_dims_and_pushes_date(spark):
+    """The 6-table Q5 join must ride broadcasts for every dimension
+    (supplier/nation/region at minimum — Catalyst prunes nation keys
+    via the region filter before the fact joins) and push the
+    o_orderdate predicate into the orders parquet scan."""
+    plan = _plan(spark, "sql_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
