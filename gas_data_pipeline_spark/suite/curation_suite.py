@@ -873,3 +873,131 @@ def bpe_train_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return bpe_train_merges(words, rounds=3)
+
+
+@register(
+    "bpe_vocab_after_merges",
+    oracle=f"""
+        WITH w0 AS (
+            SELECT unnest({_WORDS_SQL}) AS word FROM documents
+        ),
+        words0 AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM w0 WHERE len(word) BETWEEN 2 AND 12 GROUP BY word
+        ),
+        syms0 AS (
+            SELECT word, freq, pos, substring(word, pos, 1) AS sym
+            FROM words0, unnest(range(1, len(word) + 1)) AS t(pos)
+        ),{",".join(_bpe_round_ctes(r) for r in range(1, 4))}
+        SELECT sym AS symbol,
+               CAST(sum(freq) AS BIGINT) AS occurrences,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        FROM syms3
+        GROUP BY sym
+        ORDER BY occurrences DESC, symbol ASC
+        LIMIT 50
+    """,
+)
+def bpe_vocab_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer vocabulary AFTER applying the three learned BPE
+    merges — the encode-side complement of `bpe_train_merge_rules`
+    (that query learns the rules; this one shows the symbol inventory
+    the encoder would emit, weighted by word frequency). Merged
+    symbols must appear with exactly the mass the merge rules
+    captured; the top-50 cut is a bounded TakeOrdered. Spark side
+    replays training and aggregates the final symbol state — same
+    loop, one extra vocab-sized aggregate; the oracle extends the
+    identical unrolled SQL with a final GROUP BY over syms3."""
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.bpe import (
+        _char_split,
+        _merge_pair,
+        bpe_train_merges,
+    )
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("text"))
+    words = (
+        docs.select(F.explode(F.filter(tokenize(F.col("text")), is_word)).alias("word"))
+        .filter(F.length("word").between(2, 12))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # shared by training and encoding
+    )
+    rules = bpe_train_merges(words, rounds=3).collect()
+    state = words.select("word", "freq", _char_split(F.col("word")).alias("syms"))
+    for r in rules:
+        state = state.select(
+            "word", "freq", _merge_pair(F.col("syms"), r["left"], r["right"]).alias("syms")
+        )
+    return (
+        state.select("word", "freq", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.sum("freq").alias("occurrences"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("symbol"))
+        .limit(50)
+    )
+
+
+@register(
+    "corpus_stats_card",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents
+        ),
+        src AS (
+            SELECT source, count(*) AS c FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(c) AS n FROM src)
+        SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+               CAST((SELECT sum(n_tokens) FROM toks) AS BIGINT) AS total_tokens,
+               CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT)
+                   AS n_sources,
+               CAST((SELECT count(DISTINCT lang) FROM documents) AS BIGINT)
+                   AS n_langs,
+               round((SELECT avg(n_tokens) FROM toks), 6) AS mean_tokens,
+               round((SELECT -sum((c / tot.n) * ln(c / tot.n))
+                      FROM src CROSS JOIN tot), 6) AS source_entropy
+    """,
+)
+def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card header row: corpus size, token mass, source /
+    language inventory, and the source-mix Shannon entropy (the
+    number every data-mixture report leads with — low entropy means
+    one domain dominates). One narrow scan with map-side-combinable
+    aggregates plus a sources-sized entropy fold; everything reduces
+    to a single row, so at 100 TB this costs exactly one pass over
+    the token counter."""
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    docs = spread_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "source", "lang")
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.filter(tokenize(F.col("text")), is_word)).alias("n_tokens"),
+    )
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+    )
+    src = per_doc.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    ent = (
+        src.crossJoin(F.broadcast(src.agg(F.sum("c").alias("n"))))
+        .agg(
+            F.round(
+                -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))),
+                6,
+            ).alias("source_entropy")
+        )
+    )
+    return base.crossJoin(F.broadcast(ent))
