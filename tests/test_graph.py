@@ -119,3 +119,28 @@ def test_hub_salting_rejects_bad_salt_count(spark):
     e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     with pytest.raises(ValueError):
         pagerank(e, hub_degree_threshold=10, hub_salts=1)
+
+
+def test_entity_resolution_survivorship_invariants(spark):
+    """Every cluster elects exactly one canonical; the canonical is a
+    member of its own cluster with the minimum (price, key); cluster
+    ids are the min member key; singletons self-label. Checked on the
+    registered composition at test SF."""
+    import pyspark.sql.functions as F
+
+    from gas_data_pipeline_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    out = all_queries()["entity_resolution_e2e"](spark, SF_DIR).toPandas()
+    grouped = out.groupby("cluster_id")
+    for cid, g in grouped:
+        assert g["is_canonical"].sum() == 1, cid
+        canon = g["canonical_partkey"].unique()
+        assert len(canon) == 1 and canon[0] in set(g["p_partkey"]), cid
+        assert cid == g["p_partkey"].min(), cid
+        assert (g["cluster_size"] == len(g)).all(), cid
+    # Part table cardinality is preserved: resolution labels, never drops.
+    n_parts = len(out)
+    from gas_data_pipeline_spark.catalog import table
+
+    assert n_parts == table(spark, SF_DIR, "part").count()
