@@ -999,3 +999,97 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(log_path).select(
         "batch_seq", "feature", "n_base", "n_cur", "psi"
     )
+
+
+@register(
+    "stream_quarantine_split",
+    oracle="""
+        SELECT CAST(doc_id % 2 AS BIGINT) AS batch_seq, lang,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM documents WHERE doc_id % 97 <> 0 GROUP BY 1, 2
+        UNION ALL
+        SELECT CAST(doc_id % 2 AS BIGINT), '_quarantined',
+               CAST(count(*) AS BIGINT)
+        FROM documents WHERE doc_id % 97 = 0 GROUP BY 1
+    """,
+)
+def stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-loss ingest under the STREAM engine: each micro-batch of
+    raw JSONL lines splits into parsed rows (appended to silver) and
+    malformed lines (appended, verbatim, to the quarantine sink) —
+    the streaming twin of `jsonl_ingest_quarantine`, proving the
+    store-then-transform discipline holds per micro-batch, not just
+    per file. Every 97th document's line is truncated mid-JSON; two
+    deterministic micro-batches (even/odd doc ids) drain through
+    foreachBatch, and the result reports per-(batch, lang) parsed
+    counts plus per-batch quarantine counts. Nothing is dropped: the
+    oracle reproduces both partitions of every batch from the clean
+    table. Scale shape: the split is two narrow filters over one
+    from_json pass; both sinks are blind appends — per-cycle cost is
+    the new batch only."""
+    import os
+
+    from gas_data_pipeline_spark.catalog import table
+
+    scratch = tempfile.mkdtemp(prefix="gas_stream_quar_")
+    src = os.path.join(scratch, "incoming")
+    ckpt = os.path.join(scratch, "ckpt")
+    silver = os.path.join(scratch, "silver")
+    quar = os.path.join(scratch, "quarantine")
+    os.makedirs(src)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    corrupted = F.when(
+        F.col("doc_id") % 97 == 0, F.substring(line, 1, 10)
+    ).otherwise(line)
+    batched = docs.select(
+        corrupted.alias("value"), (F.col("doc_id") % 2).alias("batch")
+    )
+
+    schema = "doc_id bigint, lang string, n_chars bigint"
+
+    def split(bdf: DataFrame, batch_id: int) -> None:
+        parsed = bdf.select(
+            "value", F.from_json("value", schema).alias("j")
+        ).localCheckpoint(eager=True)  # one parse pass feeds both sinks
+        # Permissive from_json "salvages" some truncated lines as a
+        # struct of nulls — a line only counts as parsed if the
+        # required key actually materialized (same contract as
+        # sources/files.read_jsonl_quarantine: quarantine on parse
+        # failure, never on optional-field absence).
+        ok = F.col("j").isNotNull() & F.col("j.doc_id").isNotNull()
+        good = parsed.filter(ok).select(
+            "j.*", F.lit(batch_id).alias("batch_seq")
+        )
+        bad = parsed.filter(~ok).select(
+            "value", F.lit(batch_id).alias("batch_seq")
+        )
+        good.write.mode("append").parquet(silver)
+        bad.write.mode("append").parquet(quar)
+
+    def drop_batch(df: DataFrame, name: str) -> None:
+        stage = os.path.join(scratch, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").text(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".txt"))
+        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.txt"))
+        shutil.rmtree(stage)
+
+    for b in (0, 1):
+        drop_batch(batched.filter(F.col("batch") == b).select("value"), f"b{b}")
+        run_foreach_batch(spark.readStream.text(src), split, ckpt)
+
+    per_lang = (
+        spark.read.parquet(silver)
+        .groupBy("batch_seq", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    quarantined = (
+        spark.read.parquet(quar)
+        .groupBy("batch_seq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select("batch_seq", F.lit("_quarantined").alias("lang"), "n_rows")
+    )
+    return per_lang.unionByName(quarantined).select(
+        F.col("batch_seq").cast("bigint"), "lang", "n_rows"
+    )
