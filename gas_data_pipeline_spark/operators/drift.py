@@ -311,3 +311,48 @@ def embedding_centroid_drift(
             6,
         ).alias("centroid_shift"),
     )
+
+
+def ks_from_histograms(
+    base_hist: DataFrame, cur_hist: DataFrame
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D per feature from the same
+    (feature, bin, cnt) summaries :func:`psi_from_histograms` consumes:
+    D = max over bin boundaries of |CDF_base - CDF_cur| (computed on
+    the binned empirical CDFs, so it is exact FOR THE BINNING — the
+    summary-resolution counterpart of the exact-sketch family).
+    Threshold-free complement to PSI: PSI weights tail mass
+    logarithmically; D reports the single largest CDF gap. Same scale
+    shape: everything after the histogram builds is bins-sized; the
+    running CDFs are one ordered window per feature over <= bins rows.
+    """
+    from pyspark.sql.window import Window
+
+    hist = (
+        base_hist.select("feature", "bin", F.col("cnt").alias("cnt_base"))
+        .join(
+            cur_hist.select("feature", "bin", F.col("cnt").alias("cnt_cur")),
+            ["feature", "bin"],
+            "full_outer",
+        )
+        .fillna(0, subset=["cnt_base", "cnt_cur"])
+    )
+    wtot = Window.partitionBy("feature")
+    wcdf = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        hist.withColumn("n_base", F.sum("cnt_base").over(wtot))
+        .withColumn("n_cur", F.sum("cnt_cur").over(wtot))
+        .withColumn("cdf_base", F.sum("cnt_base").over(wcdf) / F.col("n_base"))
+        .withColumn("cdf_cur", F.sum("cnt_cur").over(wcdf) / F.col("n_cur"))
+    )
+    return hist.groupBy("feature").agg(
+        F.max("n_base").alias("n_base"),
+        F.max("n_cur").alias("n_cur"),
+        F.round(
+            F.max(F.abs(F.col("cdf_base") - F.col("cdf_cur"))), 6
+        ).alias("ks_d"),
+    )

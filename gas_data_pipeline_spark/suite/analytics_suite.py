@@ -2042,3 +2042,83 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.avg(err), 6).alias("mae"),
         F.round(F.sum(err) / F.sum(F.abs(F.col("actual"))), 6).alias("wape"),
     )
+
+
+@register(
+    "drift_ks_statistic",
+    oracle="""
+        WITH feats AS (
+            SELECT event_id % 2 AS side_id,
+                   CASE WHEN event_id % 2 = 1 AND event_type = 'click'
+                        THEN value * 1.5 + 2 ELSE value END AS v
+            FROM events
+        ),
+        bounds AS (
+            SELECT min(v) AS lo, max(v) AS hi FROM feats
+            WHERE side_id = 0 AND v IS NOT NULL
+        ),
+        binned AS (
+            SELECT f.side_id,
+                   CASE WHEN b.hi = b.lo THEN 0
+                        ELSE least(19, greatest(0, CAST(floor(
+                            (f.v - b.lo) / ((b.hi - b.lo) / 20.0)) AS INT)))
+                   END AS bin
+            FROM feats f CROSS JOIN bounds b
+            WHERE f.v IS NOT NULL
+        ),
+        hist AS (
+            SELECT bin,
+                   sum(CASE WHEN side_id = 0 THEN 1 ELSE 0 END) AS cnt_base,
+                   sum(CASE WHEN side_id = 1 THEN 1 ELSE 0 END) AS cnt_cur
+            FROM binned GROUP BY bin
+        ),
+        cdf AS (
+            SELECT bin, cnt_base, cnt_cur,
+                   sum(cnt_base) OVER () AS n_base,
+                   sum(cnt_cur) OVER () AS n_cur,
+                   sum(cnt_base) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_base,
+                   sum(cnt_cur) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cur
+            FROM hist
+        )
+        SELECT 'value' AS feature,
+               CAST(max(n_base) AS BIGINT) AS n_base,
+               CAST(max(n_cur) AS BIGINT) AS n_cur,
+               round(max(abs(cum_base / n_base - cum_cur / n_cur)), 6) AS ks_d
+        FROM cdf
+    """,
+)
+def drift_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D on the event-value stream —
+    the threshold-free companion of `drift_psi_features` (same planted
+    click drift, same baseline-anchored 20-bin summaries; PSI weights
+    tail mass, D reports the largest single CDF gap). Everything
+    after the two histogram folds is bins-sized window arithmetic
+    (operators/drift.ks_from_histograms); raw rows never shuffle."""
+    from gas_data_pipeline_spark.catalog import spread_scan
+    from gas_data_pipeline_spark.operators.drift import (
+        baseline_bounds,
+        histogram_on_bounds,
+        ks_from_histograms,
+    )
+
+    ev = spread_scan(table(spark, sf_dir, "events"))
+    feats = ev.select(
+        "event_id",
+        F.when(
+            (F.col("event_id") % 2 == 1) & (F.col("event_type") == "click"),
+            F.col("value") * 1.5 + 2,
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    base = feats.filter(F.col("event_id") % 2 == 0)
+    cur = feats.filter(F.col("event_id") % 2 == 1)
+    bounds = baseline_bounds(base, ["value"])
+    return ks_from_histograms(
+        histogram_on_bounds(base, ["value"], bounds, bins=20),
+        histogram_on_bounds(cur, ["value"], bounds, bins=20),
+    )

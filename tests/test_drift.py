@@ -222,3 +222,26 @@ def test_centroid_drift_plan_partial_avg(spark):
     plan = _physical(embedding_centroid_drift(df, df, "embedding", "label"))
     # The posexploded stream must fold map-side before its exchange.
     assert "partial_avg" in plan or "partial_average" in plan
+
+
+def test_ks_zero_on_identical_and_one_on_disjoint(spark):
+    from gas_data_pipeline_spark.operators.drift import (
+        baseline_bounds,
+        histogram_on_bounds,
+        ks_from_histograms,
+    )
+
+    base = spark.range(500).select((F.col("id") % 40).cast("double").alias("x"))
+    bounds = baseline_bounds(base, ["x"])
+    hb = histogram_on_bounds(base, ["x"], bounds, bins=10)
+    same = ks_from_histograms(hb, hb).collect()[0]
+    assert same["ks_d"] == pytest.approx(0.0, abs=1e-9)
+
+    # Disjoint supports (current clamps into the top edge bin): D = 1
+    # at the boundary just below the last bin.
+    cur = spark.range(500).select(
+        (F.col("id").cast("double") + 1000).alias("x")
+    )
+    hc = histogram_on_bounds(cur, ["x"], bounds, bins=10)
+    far = ks_from_histograms(hb, hc).collect()[0]
+    assert far["ks_d"] > 0.85
