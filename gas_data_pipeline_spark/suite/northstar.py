@@ -1381,3 +1381,108 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(50)
     )
+
+
+_CLUSTER_STATS_ORACLE = f"""
+        WITH RECURSIVE docs AS ({_PLANT_SQL}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([
+                       words[x] || ' ' || words[x+1] || ' ' || words[x+2]
+                       FOR x IN range(1, greatest(len(words) - 1, 1))
+                   ]) AS shingles
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM docs)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.shingles, b.shingles))
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        labeled AS (
+            SELECT d.doc_id, coalesce(c.label, d.doc_id) AS cluster_id
+            FROM docs d LEFT JOIN comp c ON d.doc_id = c.id
+        ),
+        clusters AS (
+            SELECT cluster_id, count(*) AS sz FROM labeled GROUP BY cluster_id
+        ),
+        hist AS (
+            SELECT sz AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sz * count(*) AS BIGINT) AS n_docs
+            FROM clusters GROUP BY sz
+        )
+        SELECT 'size' AS kind, CAST(cluster_size AS BIGINT) AS cluster_size,
+               n_clusters, n_docs, CAST(NULL AS DOUBLE) AS dedup_rate
+        FROM hist
+        UNION ALL
+        SELECT 'total', CAST(NULL AS BIGINT),
+               CAST((SELECT count(*) FROM clusters) AS BIGINT),
+               CAST((SELECT count(*) FROM labeled) AS BIGINT),
+               round(1.0 - (SELECT count(*) FROM clusters)
+                           / (SELECT count(*) FROM labeled), 6)
+"""
+
+
+@register("dedup_cluster_stats", oracle=_CLUSTER_STATS_ORACLE)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup report's headline: cluster-size histogram plus the
+    corpus dedup rate (1 - canonicals/docs — what fraction keep-best
+    canonicalization would remove), over the SAME near-dup components
+    as `dedup_connected_components`, with every un-clustered doc a
+    singleton of itself. Histogram rows are `kind='size'`; the one
+    `kind='total'` row carries total clusters, total docs, and the
+    rate. Scale shape: the expensive part is the pair kernel +
+    hash-min CC the siblings already pay; the histogram is a
+    clusters-sized double aggregate and the total a 1-row fold."""
+    from pyspark.sql.window import Window as W
+
+    from gas_data_pipeline_spark.operators.dedup import connected_components
+
+    docs = _docs_with_planted(spark, sf_dir)
+    pairs = jaccard_pairs_inverted_index(
+        docs, "doc_id", word_shingles(F.col("text"), n=3), threshold=0.5
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    clusters = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    clusters = clusters.localCheckpoint(eager=True)  # feeds hist + totals
+    hist = clusters.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+    ).select(
+        F.lit("size").alias("kind"),
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint"),
+        (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        F.lit(None).cast("double").alias("dedup_rate"),
+    )
+    total = clusters.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    ).select(
+        F.lit("total").alias("kind"),
+        F.lit(None).cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint"),
+        F.col("n_docs").cast("bigint"),
+        F.round(1.0 - F.col("n_clusters") / F.col("n_docs"), 6).alias("dedup_rate"),
+    )
+    return hist.unionByName(total)
