@@ -2122,3 +2122,63 @@ def drift_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         histogram_on_bounds(base, ["value"], bounds, bins=20),
         histogram_on_bounds(cur, ["value"], bounds, bins=20),
     )
+
+
+@register(
+    "robust_scale_winsorized",
+    oracle="""
+        WITH pct AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        ),
+        clipped AS (
+            SELECT e.event_type,
+                   least(greatest(e.value, p.lo), p.hi) AS cv,
+                   CASE WHEN e.value < p.lo THEN 1 ELSE 0 END AS cl,
+                   CASE WHEN e.value > p.hi THEN 1 ELSE 0 END AS ch
+            FROM events e JOIN pct p USING (event_type)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cl) AS BIGINT) AS n_clipped_low,
+               CAST(sum(ch) AS BIGINT) AS n_clipped_high,
+               round(avg(cv), 6) AS mean_winsorized,
+               round(stddev_samp(cv), 6) AS std_winsorized
+        FROM clipped GROUP BY event_type
+    """,
+)
+def robust_scale_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized feature profile per series: exact p05/p95 fences,
+    values clipped into them, and the post-clip moments — the robust
+    scaling a feature pipeline applies before normalizing
+    heavy-tailed inputs (clipping at percentiles instead of sigma
+    keeps one outlier from moving its own fence). Two passes: the
+    exact-percentile aggregate (one group-keyed shuffle — at 100 TB
+    swap in approx_percentile's mergeable sketch, same plan shape),
+    then fences broadcast back for a map-side clip + partial-agg
+    moment fold. Oracle replays quantile_cont + clip exactly."""
+    ev = table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    cv = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .select(
+            "event_type",
+            cv.alias("cv"),
+            (F.col("value") < F.col("lo")).cast("int").alias("cl"),
+            (F.col("value") > F.col("hi")).cast("int").alias("ch"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cl").cast("bigint").alias("n_clipped_low"),
+            F.sum("ch").cast("bigint").alias("n_clipped_high"),
+            F.round(F.avg("cv"), 6).alias("mean_winsorized"),
+            F.round(F.stddev_samp("cv"), 6).alias("std_winsorized"),
+        )
+    )
