@@ -2025,6 +2025,10 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
     ).agg(
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v")
     )
+    # Materialize the rollup once: the backtest self-joins it on two
+    # DIFFERENT keys (day vs day-7), so no exchange reuse applies and
+    # without this both join sides would rescan the raw events.
+    daily = daily.localCheckpoint(eager=True)
     a = daily.alias("a")
     f = daily.alias("f")
     scored = a.join(
