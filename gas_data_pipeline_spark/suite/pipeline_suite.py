@@ -481,3 +481,47 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("total").cast("double").alias("total"),
     )
+
+
+@register(
+    "schema_evolution_merge_read",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                   AS o_orderpriority,
+               o_orderkey % 2 = 1 AS from_v2
+        FROM orders
+    """,
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level schema evolution: a v1 writer lands files WITHOUT
+    the `o_orderpriority` column, a later v2 writer includes it; one
+    `mergeSchema` read returns the union schema with nulls where v1
+    files have no column — no rewrite of old files, no reader branch
+    per vintage (the lakehouse answer to the reference's additive
+    ALTER TABLE migrations). The DataFrame-level counterpart is
+    `union_by_name_harmonized`; this proves the same contract at the
+    PARQUET FOOTER level, where schema merging is per-file metadata
+    only — at 100 TB the merge cost is footer reads, never data."""
+    import os
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _scratch()
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "from_v2", F.lit(True)
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "vintage=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "vintage=2"))
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+    return merged.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double"),
+        "o_orderpriority",
+        F.coalesce(F.col("from_v2"), F.lit(False)).alias("from_v2"),
+    )
