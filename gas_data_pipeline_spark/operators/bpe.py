@@ -39,10 +39,20 @@ from pyspark.sql import functions as F
 
 
 def _char_split(word: F.Column) -> F.Column:
-    """Initial BPE state: the word as an array of single characters."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(word)),
-        lambda i: word.substr(i, F.lit(1)),
+    """Initial BPE state: the word as an array of single characters.
+
+    Guarded for the degenerate empty word: ``sequence(1, 0)`` is the
+    DESCENDING sequence [1, 0] in Spark, which would otherwise yield
+    two empty-string symbols and a phantom ("", "") pair weighted by
+    the word's full frequency.
+    """
+    return F.when(
+        F.length(word) < 1, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        )
     )
 
 
@@ -55,10 +65,14 @@ def _merge_pair(syms: F.Column, left: str, right: str) -> F.Column:
     l_lit, r_lit = F.lit(left), F.lit(right)
 
     def step(acc, i):
+        # F.get is 0-based and null-safe on out-of-bounds, so the
+        # lookahead at i == n stays ANSI-safe — the (i < n) conjunct
+        # does NOT short-circuit and a bare element_at(syms, i + 1)
+        # would throw INVALID_ARRAY_INDEX under spark.sql.ansi.enabled.
         is_match = (
             (i < n)
             & (F.element_at(syms, i) == l_lit)
-            & (F.element_at(syms, i + 1) == r_lit)
+            & (F.get(syms, i) == r_lit)
         )
         return F.struct(
             F.when(acc["skip"], acc["out"])
@@ -71,7 +85,11 @@ def _merge_pair(syms: F.Column, left: str, right: str) -> F.Column:
     init = F.struct(
         F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
     )
-    return F.aggregate(F.sequence(F.lit(1), n), init, step, lambda acc: acc["out"])
+    # n < 2 can't contain a pair — and n = 0 would make sequence(1, n)
+    # the DESCENDING [1, 0], feeding element_at an invalid index 0.
+    return F.when(n < 2, syms).otherwise(
+        F.aggregate(F.sequence(F.lit(1), n), init, step, lambda acc: acc["out"])
+    )
 
 
 def bpe_train_merges(words: DataFrame, rounds: int = 3) -> DataFrame:

@@ -63,75 +63,82 @@ def _load_all() -> None:
 # still covered by the builder-side parity gate (tests/test_parity.py,
 # all queries).
 #
-# Round-5 rotation (VERDICT r4 #1/#5): the 24 family anchors stay,
-# and 26 slots rotate to queries that have never earned a driver-side
-# CORRECTNESS row — prioritizing the round-4 operator families no
-# prior window could have seen (PageRank, Bloom join/dedup, heavy
-# hitters, bounded top-k, interval join, CDC/rollup maintenance, RI
-# audit), the analytics/time-series tail, two rows-only ANN variants
-# (recall floors pinned in tests/test_northstar.py), and the new
-# hourly-pipeline end-to-end composition. Every rotated-OUT query
-# keeps its exact DuckDB oracle in tests/test_parity.py, so nothing
-# loses correctness coverage — the rotation converts builder-side
-# trust into driver-side proof; the ~20 still-unwindowed queries
-# finish in the round-6 rotation.
+# Round-6 rotation (VERDICT r5 #1): finish the evidence rotation in
+# one round. The anchor block shrinks 24 -> 9 (one per macro-family,
+# each driver-green in >=2 prior rounds), freeing 41 slots — exactly
+# the number of registered queries that have never earned a
+# driver-side CORRECTNESS row (union of CORRECTNESS_r01..r05 keys =
+# 116 of 157; the remaining 41 all rotate in below, including the
+# whole drift/X7 and BPE/X8 families). After this round,
+# union(r1..r6 driver rows) == all 157 registered names. Every
+# rotated-OUT query keeps its exact DuckDB oracle in
+# tests/test_parity.py, so nothing loses correctness coverage. Four
+# rotated-in queries are rows-only by design, each with a pytest
+# ground-truth bound: ann_ivf / ann_pq (recall floors,
+# tests/test_northstar.py), approx_distinct_users (relative-error
+# bound vs exact COUNT(DISTINCT), tests/test_parity.py),
+# approx_percentiles_tdigest (quantile-error bound vs exact
+# percentiles, tests/test_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- anchors (driver-green in r1-r4, one per SURVEY §2 family) --
+    # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
-    "json_field_predicate",
     "star_join_3way",
-    "lookup_join_get_or_create",
-    "dedup_last_write_wins",
-    "group_to_nested",
-    "quality_expectations",
-    "limit_offset_pagination",
-    "union_by_name_harmonized",
-    "stream_gie_delete_reload",
-    "sql_topn_revenue_report",
-    "series_id_slug",
-    "date_chunk_fanout",
-    "value_clean_gauntlet",
+    "silver_upsert_idempotent",
     "melt_wide_to_long",
-    "json_key_melt_nested",
     "field_profile",
     "bronze_zero_loss_roundtrip",
-    "silver_upsert_idempotent",
-    "export_csv_roundtrip",
-    "stream_stateful_stats",
+    "stream_gie_delete_reload",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    "multimodal_features",
-    # -- first-time driver-checked this round --
-    # round-4 operator families (VERDICT r4 #1 priority list)
-    "graph_pagerank",
-    "bloom_pruned_join_revenue",
-    "heavy_hitters_exact",
-    "grouped_topk_bounded",
-    "interval_overlap_sessions",
-    "snapshot_diff_cdc",
-    "incremental_rollup_maintenance",
-    "referential_integrity_audit",
-    "stream_bloom_dedup",
-    "dedup_bloom_incremental",
-    "dedup_repeated_ngrams",
-    "curation_token_budget",
-    "hash_split_train_test",
-    "stratified_sample_events",
-    "approx_distinct_portable_hll",
-    "approx_percentiles_sampled",
-    # analytics / time-series tail
-    "sessionize_events",
-    "ewma_by_series",
-    "gap_fill_daily_rollup",
-    "trend_slope_by_series",
-    "anomaly_mad_outliers",
-    "text_fingerprint",
-    "interpolate_daily_gaps",
-    # rows-only ANN variants (VERDICT r4 #5; recall floors in pytest)
-    "ann_ivfpq",
-    "ann_lsh_bucketed",
-    # new this round: the composed scheduler lifecycle (VERDICT r4 #7)
-    "hourly_pipeline_e2e",
+    # -- first-time driver-checked this round (all 41 remaining) --
+    # drift / dataset-QA family (X7)
+    "drift_psi_features",
+    "drift_ks_statistic",
+    "schema_drift_audit",
+    "split_leakage_audit",
+    "join_skew_profile",
+    "embedding_centroid_drift",
+    "stream_drift_monitor",
+    "sample_k_per_group",
+    # distributed BPE tokenizer training (X8)
+    "bpe_pair_counts",
+    "bpe_train_merge_rules",
+    "bpe_vocab_after_merges",
+    # analytics / SQL showcase tail
+    "sql_q5_local_supplier_volume",
+    "entity_resolution_e2e",
+    "forecast_seasonal_naive_backtest",
+    "robust_scale_winsorized",
+    "event_day_streaks",
+    "value_histogram_bins",
+    "fuzzy_part_name_pairs",
+    "zorder_bucket_stats",
+    "order_basket_hof_profile",
+    "stats_corr_by_brand",
+    "rolling_weekly_active_users",
+    # sketches / approximate family
+    "approx_distinct_rollup_merge",
+    "kmv_segment_overlap",
+    "approx_distinct_users",
+    "approx_percentiles_tdigest",
+    # dedup / similarity tail
+    "dedup_prefix_jaccard",
+    "dedup_cluster_stats",
+    "dedup_semantic_buckets",
+    "ann_ivf",
+    "ann_pq",
+    # text / multimodal tail
+    "multimodal_frame_sample",
+    "multimodal_resize_grid",
+    "text_chunk_sliding",
+    "text_repetition_topgram",
+    "embedding_norm_stats",
+    "vocab_top_terms",
+    "curation_quality_percentile",
+    "corpus_stats_card",
+    # pipeline / streaming tail
+    "schema_evolution_merge_read",
+    "stream_quarantine_split",
 )
 
 

@@ -228,7 +228,11 @@ def field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("user_id"),
         "event_type",
         F.col("value").cast("string").alias("value"),
-        F.when(F.col("event_type") != "error", F.col("props")).alias("props"),
+        # == / otherwise (not !=) so NULL event_type keeps props,
+        # exactly like the oracle's CASE WHEN = 'error' THEN NULL.
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("props"),
         # Exercises the pure-boolean path: both 'true' AND 'false' occur.
         F.when(F.col("event_type") == "error", F.lit("true"))
         .otherwise(F.lit("false"))
@@ -468,7 +472,12 @@ def schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value": F.when(F.col("event_type") == "click", "oops").otherwise(
                     F.col("value").cast("string")
                 ),
-                "props": F.when(F.col("event_type") != "error", F.col("props")),
+                # Mirror the oracle's CASE WHEN = 'error' THEN NULL
+                # ELSE props exactly: the != form would also null props
+                # for NULL event_type, a latent parity divergence.
+                "props": F.when(
+                    F.col("event_type") == "error", F.lit(None)
+                ).otherwise(F.col("props")),
                 "new_field": F.col("event_type"),
             },
         )

@@ -975,11 +975,18 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("feature", "bin")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        merged.write.parquet(state_path(batch_id))
+        # Idempotent under micro-batch replay (the exactly-once
+        # contract run_foreach_batch documents): both writes are keyed
+        # by batch_id and OVERWRITE, so a retried batch converges to
+        # the identical state/log instead of failing (errorifexists
+        # state) or double-counting (blind log append).
+        merged.write.mode("overwrite").parquet(state_path(batch_id))
         psi = psi_from_histograms(
             sp.read.parquet(base_hist_path), sp.read.parquet(state_path(batch_id))
         ).select(F.lit(batch_id).alias("batch_seq"), "*")
-        psi.write.mode("append").parquet(log_path)
+        psi.write.mode("overwrite").parquet(
+            os.path.join(log_path, f"batch_{batch_id}")
+        )
 
     def drop_batch(df: DataFrame, name: str) -> None:
         stage = os.path.join(scratch, f"stage_{name}")
@@ -996,7 +1003,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(stream_schema).parquet(src), monitor, ckpt
         )
 
-    return spark.read.parquet(log_path).select(
+    return spark.read.parquet(os.path.join(log_path, "batch_*")).select(
         "batch_seq", "feature", "n_base", "n_cur", "psi"
     )
 

@@ -63,6 +63,19 @@ def test_exhausted_words_stop_early(spark):
     assert [r["merged"] for r in rules] == ["ab"]
 
 
+def test_empty_word_contributes_nothing(spark):
+    # sequence(1, 0) is DESCENDING in Spark — an unguarded char split
+    # would turn "" into ["", ""] and a phantom ("","") pair carrying
+    # the word's full frequency, beating every real pair.
+    words = spark.createDataFrame(
+        [("", 1000), ("ab", 3)], "word string, freq long"
+    )
+    split = words.select(_char_split(F.col("word")).alias("s")).collect()
+    assert sorted(r["s"] for r in split) == [[], ["a", "b"]]
+    rules = bpe_train_merges(words, rounds=1).collect()
+    assert [(r["merged"], r["pair_count"]) for r in rules] == [("ab", 3)]
+
+
 def test_rejects_bad_rounds(spark):
     words = spark.createDataFrame([("ab", 1)], "word string, freq long")
     with pytest.raises(ValueError):

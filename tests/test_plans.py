@@ -514,6 +514,54 @@ def test_silver_date_scan_prunes_partitions(spark, tmp_path):
     assert day.rdd.getNumPartitions() <= 4
 
 
+def test_forecast_backtest_materializes_rollup_once(spark):
+    """The seasonal-naive backtest self-joins the daily rollup on two
+    DIFFERENT keys (day vs day-7), so exchange reuse can't kick in —
+    the rollup must be materialized once (localCheckpoint) and BOTH
+    join sides must read the materialized summary. A regression here
+    reads the raw events parquet twice."""
+    plan = _plan(spark, "forecast_seasonal_naive_backtest")
+    assert "FileScan" not in plan  # no raw rescans: both sides are RDD scans
+    assert plan.count("Scan ExistingRDD") == 2
+    # The users×days summary side broadcasts; metrics fold map-side.
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_winsorize_single_percentile_pass_broadcast_fences(spark):
+    """Winsorized scaling is exactly two passes: ONE percentile
+    aggregate (both quantiles in the same ObjectHashAggregate, with
+    map-side partial_percentile), fences broadcast back for a
+    map-side clip + partial-agg moment fold. Regressions: a shuffle
+    join on the fences, a percentile pass per quantile, or a third
+    scan of the raw events."""
+    plan = _plan(spark, "robust_scale_winsorized")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_percentile" in plan
+    # Both quantiles computed in the one aggregate pass...
+    assert plan.count("ObjectHashAggregate") == 2  # partial + final
+    # ...and the raw table is scanned exactly twice (percentiles, clip).
+    assert plan.count("FileScan") == 2
+
+
+def test_ks_window_runs_on_bins_sized_summary(spark):
+    """KS-D's running-CDF windows must consume the (feature, bin)
+    histogram summaries, never raw rows: every exchange in the plan is
+    keyed on the summary columns, and the histogram folds carry
+    map-side partial counts so the wire cost is bins-sized regardless
+    of corpus size."""
+    plan = _plan(spark, "drift_ks_statistic")
+    assert "Window" in plan
+    assert "partial_count" in plan
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert keys, plan
+    # Raw-row columns (event_id, value, v) never key an exchange.
+    assert all(k.startswith("feature") for k in keys), keys
+
+
 def test_q5_broadcasts_dims_and_pushes_date(spark):
     """The 6-table Q5 join must ride broadcasts for every dimension
     (supplier/nation/region at minimum — Catalyst prunes nation keys
