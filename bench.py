@@ -63,6 +63,10 @@ SCALE_PROBE_QUERIES = (
     # never shuffle — should show as strongly sublinear growth).
     "dedup_prefix_jaccard",
     "drift_psi_features",
+    # round-6 addition (VERDICT r5 #2): the BPE pair-count explode —
+    # its claim (wire cost independent of corpus size via |alphabet|^2
+    # map-side partials) should show near-linear scan-bound growth.
+    "bpe_pair_counts",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

@@ -102,14 +102,46 @@ class GasDataEngine:
         ).filter(F.col("value").isNotNull() & F.col("observation_time").isNotNull())
 
         # SNK3 — series catalog insert-if-absent (B: auto-registration).
-        series_dim = observations.select("series_id").distinct().select(
-            "series_id",
-            F.lit(dataset_id).alias("dataset_id"),
-            F.lit(source).alias("source"),
-            F.lit("daily").alias("frequency"),
-            F.lit(30).alias("lookback_days"),
-            F.lit(True).alias("is_active"),
-            F.current_timestamp().alias("first_seen_at"),
+        # The series set is derived from the WIDE batch, not the melted
+        # observations: a series exists iff some row of its entity has
+        # a non-null value for its metric (and a non-null time) — which
+        # is a |entities|-sized any-non-null rollup followed by a tiny
+        # melt, instead of re-running the full melt and a distinct over
+        # |rows|x|metrics| observations. Identical output set; the
+        # melt-expanded stream is never re-scanned for registration.
+        from pyspark.sql.types import DoubleType
+
+        metric_cols = sorted(
+            f.name
+            for f in batch.schema.fields
+            if isinstance(f.dataType, DoubleType)
+            and f.name not in id_cols
+            and f.name != time_col
+        )
+        present = (
+            batch.filter(F.col(time_col).isNotNull())
+            .groupBy(*id_cols)
+            .agg(*[F.max(F.col(c).isNotNull()).alias(c) for c in metric_cols])
+        )
+        series_dim = (
+            present.melt(
+                ids=id_cols,
+                values=metric_cols,
+                variableColumnName="metric",
+                valueColumnName="__has_value",
+            )
+            .filter(F.col("__has_value"))
+            .select(
+                make_series_id(
+                    dataset_id, *[F.col(c) for c in id_cols], F.col("metric")
+                ).alias("series_id"),
+                F.lit(dataset_id).alias("dataset_id"),
+                F.lit(source).alias("source"),
+                F.lit("daily").alias("frequency"),
+                F.lit(30).alias("lookback_days"),
+                F.lit(True).alias("is_active"),
+                F.current_timestamp().alias("first_seen_at"),
+            )
         )
         new_series = insert_if_absent(
             self.spark, series_dim, self.series_path, keys=["series_id"]
@@ -139,26 +171,42 @@ class GasDataEngine:
             inferred_type_agg,
         )
 
-        cells = batch.select(
+        # One global aggregate computes every column's profile in a
+        # single scan: the per-column lattice set / null flag / example
+        # are independent aggregates, so exploding rows x columns into
+        # a (field, cell) relation first (the field_profile QUERY shape)
+        # only adds a |columns|x row expansion plus a keyed exchange to
+        # the ingest hot loop. State is bounded (<= 6 lattice types per
+        # column), so the 1-row reduce is safe at any batch size.
+        def col_profile(c: str) -> F.Column:
+            v = F.col(c).cast("string")
+            return F.struct(
+                inferred_type_agg(infer_value_type(v)).alias("inferred_type"),
+                (F.count(F.lit(1)) > F.count(v)).alias("nullable"),
+                # Example truncated to 200 chars (field_discovery.py:62).
+                F.substring(F.min(v), 1, 200).alias("example_value"),
+            )
+
+        one = batch.agg(
+            *[col_profile(c).alias(f"__p_{i}") for i, c in enumerate(batch.columns)]
+        )
+        profile = one.select(
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(c).alias("field_name"),
-                            F.col(c).cast("string").alias("cell"),
+                            F.col(f"__p_{i}").alias("p"),
                         )
-                        for c in batch.columns
+                        for i, c in enumerate(batch.columns)
                     ]
                 )
             ).alias("kv")
-        ).select("kv.field_name", "kv.cell")
-        v = F.col("cell")
-        n_nonnull = F.count(v)
-        profile = cells.groupBy("field_name").agg(
-            inferred_type_agg(infer_value_type(v)).alias("inferred_type"),
-            (F.count(F.lit(1)) > n_nonnull).alias("nullable"),
-            # Example truncated to 200 chars (field_discovery.py:62).
-            F.substring(F.min(v), 1, 200).alias("example_value"),
+        ).select(
+            "kv.field_name",
+            F.col("kv.p.inferred_type").alias("inferred_type"),
+            F.col("kv.p.nullable").alias("nullable"),
+            F.col("kv.p.example_value").alias("example_value"),
             F.current_timestamp().alias("first_seen_at"),
         ).withColumn("dataset_id", F.lit(dataset_id))
         insert_if_absent(

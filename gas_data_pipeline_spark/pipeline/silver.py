@@ -62,7 +62,12 @@ def upsert_observations(
         "__prio", F.lit(1)
     )
 
+    cached = None
     if os.path.exists(path):
+        # The deduped batch is consumed twice on the merge path (the
+        # affected-partition discovery collect, then the merge union) —
+        # cache it so the melt/window lineage upstream isn't replayed.
+        cached = batch.persist()
         # Only the partitions the batch touches participate in the merge.
         affected = [r[0] for r in batch.select(PARTITION_COL).distinct().collect()]
         existing = (
@@ -92,6 +97,8 @@ def upsert_observations(
         .partitionBy(PARTITION_COL)
         .parquet(path)
     )
+    if cached is not None:
+        cached.unpersist()
 
 
 def read_observations(

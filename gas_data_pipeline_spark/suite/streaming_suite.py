@@ -767,17 +767,25 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, obs_hour timestamp, n_events double, sum_value double"
     )
     stream = spark.readStream.schema(poll_schema).parquet(src)
+    # 100 ms trigger / 50 ms poll: the production cadence is hourly —
+    # the short interval here only bounds the HARNESS dead time between
+    # a file drop and its cycle (VERDICT r5 #5); cycles still execute
+    # strictly sequentially, so the no-overlap semantics are identical.
     q = start_processing_time_stream(
-        stream, cycle, ckpt, interval="500 milliseconds"
+        stream, cycle, ckpt, interval="100 milliseconds"
     )
     try:
         # Scheduler cycle 1: provisional poll (half the data).
         drop_poll(wide_poll(ev.filter(F.col("event_id") % 2 == 0)), "p0")
-        await_processed_batches(q, lambda: len(done) >= 1, timeout_sec=180)
+        await_processed_batches(
+            q, lambda: len(done) >= 1, timeout_sec=180, poll_sec=0.05
+        )
         # Scheduler cycle 2: authoritative re-poll, late revisions of
         # every cycle-1 key.
         drop_poll(wide_poll(ev), "p1")
-        await_processed_batches(q, lambda: len(done) >= 2, timeout_sec=180)
+        await_processed_batches(
+            q, lambda: len(done) >= 2, timeout_sec=180, poll_sec=0.05
+        )
     finally:
         q.stop()
         q.awaitTermination()
