@@ -897,6 +897,58 @@ def _psi_cum_block(batch_seq: int, cum_filter: str) -> str:
     """
 
 
+def drift_monitor_writer(
+    bounds_path: str,
+    base_hist_path: str,
+    state_dir: str,
+    log_path: str,
+    feature_cols: list[str],
+):
+    """Build the foreachBatch writer for the continuous drift monitor:
+    fold the batch's histogram into the persisted (feature, bin) state
+    and log the PSI vs the static baseline.
+
+    Idempotent under micro-batch replay (the exactly-once contract
+    ``run_foreach_batch`` documents): both writes are keyed by
+    batch_id and OVERWRITE, so a retried batch converges to the
+    identical state/log instead of failing (errorifexists state) or
+    double-counting (blind log append). Pinned in
+    tests/test_drift.py::test_drift_monitor_writer_replay_converges.
+    """
+    import os
+
+    from gas_data_pipeline_spark.operators.drift import (
+        histogram_on_bounds,
+        psi_from_histograms,
+    )
+
+    def state_path(n: int) -> str:
+        return os.path.join(state_dir, f"hist_after_{n}")
+
+    def monitor(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        b = sp.read.parquet(bounds_path)
+        batch_hist = histogram_on_bounds(bdf, feature_cols, b, bins=10)
+        if batch_id == 0:
+            merged = batch_hist
+        else:
+            prev = sp.read.parquet(state_path(batch_id - 1))
+            merged = (
+                prev.unionByName(batch_hist)
+                .groupBy("feature", "bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        merged.write.mode("overwrite").parquet(state_path(batch_id))
+        psi = psi_from_histograms(
+            sp.read.parquet(base_hist_path), sp.read.parquet(state_path(batch_id))
+        ).select(F.lit(batch_id).alias("batch_seq"), "*")
+        psi.write.mode("overwrite").parquet(
+            os.path.join(log_path, f"batch_{batch_id}")
+        )
+
+    return monitor
+
+
 @register(
     "stream_drift_monitor",
     oracle=" UNION ALL ".join(
@@ -967,34 +1019,9 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_hist_path
     )
 
-    def state_path(n: int) -> str:
-        return os.path.join(scratch, f"hist_after_{n}")
-
-    def monitor(bdf: DataFrame, batch_id: int) -> None:
-        sp = bdf.sparkSession
-        b = sp.read.parquet(bounds_path)
-        batch_hist = histogram_on_bounds(bdf, feature_cols, b, bins=10)
-        if batch_id == 0:
-            merged = batch_hist
-        else:
-            prev = sp.read.parquet(state_path(batch_id - 1))
-            merged = (
-                prev.unionByName(batch_hist)
-                .groupBy("feature", "bin")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        # Idempotent under micro-batch replay (the exactly-once
-        # contract run_foreach_batch documents): both writes are keyed
-        # by batch_id and OVERWRITE, so a retried batch converges to
-        # the identical state/log instead of failing (errorifexists
-        # state) or double-counting (blind log append).
-        merged.write.mode("overwrite").parquet(state_path(batch_id))
-        psi = psi_from_histograms(
-            sp.read.parquet(base_hist_path), sp.read.parquet(state_path(batch_id))
-        ).select(F.lit(batch_id).alias("batch_seq"), "*")
-        psi.write.mode("overwrite").parquet(
-            os.path.join(log_path, f"batch_{batch_id}")
-        )
+    monitor = drift_monitor_writer(
+        bounds_path, base_hist_path, scratch, log_path, feature_cols
+    )
 
     def drop_batch(df: DataFrame, name: str) -> None:
         stage = os.path.join(scratch, f"stage_{name}")

@@ -245,3 +245,48 @@ def test_ks_zero_on_identical_and_one_on_disjoint(spark):
     hc = histogram_on_bounds(cur, ["x"], bounds, bins=10)
     far = ks_from_histograms(hb, hc).collect()[0]
     assert far["ks_d"] > 0.85
+
+
+# ------------------------------------------- streaming monitor replay
+
+
+def test_drift_monitor_writer_replay_converges(spark, tmp_path):
+    """Structured Streaming re-delivers a micro-batch after a crash
+    between the sink write and the checkpoint commit — the writer must
+    converge under replay: re-running (batch 0, batch 0, batch 1) must
+    leave byte-identical state and log to the clean (batch 0, batch 1)
+    run. A blind append would double-count; errorifexists would throw."""
+    from gas_data_pipeline_spark.operators.drift import (
+        baseline_bounds,
+        histogram_on_bounds,
+    )
+    from gas_data_pipeline_spark.suite.streaming_suite import (
+        drift_monitor_writer,
+    )
+
+    base = spark.range(400).select((F.col("id") % 23).cast("double").alias("x"))
+    b0 = spark.range(100).select((F.col("id") % 17).cast("double").alias("x"))
+    b1 = spark.range(100).select((F.col("id") % 29).cast("double").alias("x"))
+
+    def run(root, replay):
+        bounds_path = str(root / "bounds")
+        base_hist = str(root / "base_hist")
+        log = str(root / "log")
+        bounds = baseline_bounds(base, ["x"])
+        bounds.write.parquet(bounds_path)
+        histogram_on_bounds(base, ["x"], bounds, bins=10).write.parquet(base_hist)
+        mon = drift_monitor_writer(bounds_path, base_hist, str(root), log, ["x"])
+        mon(b0, 0)
+        if replay:
+            mon(b0, 0)  # retried micro-batch: same data, same batch_id
+        mon(b1, 1)
+        return (
+            spark.read.parquet(log + "/batch_*")
+            .orderBy("batch_seq", "feature")
+            .collect()
+        )
+
+    clean = run(tmp_path / "clean", replay=False)
+    replayed = run(tmp_path / "replay", replay=True)
+    assert replayed == clean
+    assert len(clean) == 2  # one PSI row per batch for the one feature
