@@ -78,12 +78,17 @@ class GasDataEngine:
         count-only jobs (batch/observations/new-series); the scheduler
         loop uses that mode since the counts are observability, not
         pipeline inputs.
-        """
-        # SNK1 — zero-loss raw landing.
-        bronze_append(batch, dataset_id, source, self.bronze_path)
 
-        # A4 — incremental schema discovery on this batch's payloads.
-        self._discover_and_register_fields(batch, dataset_id)
+        The four sinks (bronze, field catalog, series catalog, silver)
+        are data-independent — each derives from ``batch`` alone and
+        writes its own store — so their jobs run CONCURRENTLY on the
+        shared scheduler and the cycle's wall-clock is the slowest
+        stage, not the sum. Atomicity is unchanged: the micro-batch
+        completes only when every stage has committed (all futures
+        joined before return), and a replay after a partial failure
+        re-runs the whole batch exactly as the sequential chain would.
+        """
+        from concurrent.futures import ThreadPoolExecutor
 
         # R1 + S1 — one-pass melt with derived series identity.
         long = melt_numeric(batch, id_cols=[*id_cols, time_col])
@@ -143,13 +148,36 @@ class GasDataEngine:
                 F.current_timestamp().alias("first_seen_at"),
             )
         )
-        new_series = insert_if_absent(
-            self.spark, series_dim, self.series_path, keys=["series_id"]
-        )
-
-        # SNK2 — idempotent last-write-wins upsert.
+        # Count BEFORE the upsert commits: a caller may legally derive
+        # ``batch`` from a read of the very store being upserted.
         n_obs = observations.count() if collect_stats else 0
-        upsert_observations(self.spark, observations, self.obs_path)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            # SNK1 — zero-loss raw landing.
+            f_bronze = pool.submit(
+                bronze_append, batch, dataset_id, source, self.bronze_path
+            )
+            # A4 — incremental schema discovery on this batch's payloads.
+            f_fields = pool.submit(
+                self._discover_and_register_fields, batch, dataset_id
+            )
+            # SNK3 — series catalog insert-if-absent.
+            f_series = pool.submit(
+                insert_if_absent,
+                self.spark,
+                series_dim,
+                self.series_path,
+                keys=["series_id"],
+            )
+            # SNK2 — idempotent last-write-wins upsert.
+            f_obs = pool.submit(
+                upsert_observations, self.spark, observations, self.obs_path
+            )
+            f_bronze.result()
+            f_fields.result()
+            new_series = f_series.result()
+            f_obs.result()
+
         if not collect_stats:
             return None
         return {

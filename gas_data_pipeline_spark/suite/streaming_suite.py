@@ -730,23 +730,42 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
 
-    def wide_poll(events: DataFrame) -> DataFrame:
-        """The wide per-(entity, hour) page shape a REST poll returns."""
-        return events.groupBy(
-            "user_id", F.date_trunc("hour", F.col("ts")).alias("obs_hour")
-        ).agg(
-            F.count(F.lit(1)).cast("double").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
+    # Both poll pages come out of ONE events pass: the full-data
+    # aggregates plus even-id-only conditional aggregates per
+    # (user, hour) — identical rows to aggregating each subset
+    # separately (a group with no even-id rows is excluded from the
+    # provisional page by the n_events_half filter, exactly as the
+    # subset aggregate would exclude it). Staging both pages BEFORE
+    # the stream starts leaves only an atomic file move between
+    # scheduler cycles — the harness adds no Spark work mid-lifecycle.
+    dec_val = F.col("value").cast("decimal(18,4)")
+    even = F.col("event_id") % 2 == 0
+    polls = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("obs_hour")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(dec_val).cast("double").alias("sum_value"),
+        F.count(F.when(even, F.lit(1))).cast("double").alias("n_events_half"),
+        F.sum(F.when(even, dec_val)).cast("double").alias("sum_value_half"),
+    )
+    p0 = polls.filter(F.col("n_events_half") > 0).select(
+        "user_id",
+        "obs_hour",
+        F.col("n_events_half").alias("n_events"),
+        F.col("sum_value_half").alias("sum_value"),
+    )
+    p1 = polls.select("user_id", "obs_hour", "n_events", "sum_value")
 
-    def drop_poll(df: DataFrame, name: str) -> None:
+    def stage_poll(df: DataFrame, name: str) -> str:
         stage = os.path.join(scratch, f"stage_{name}")
         df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
-        shutil.rmtree(stage)
+        return os.path.join(stage, part)
+
+    staged = {name: stage_poll(df, name) for name, df in (("p0", p0), ("p1", p1))}
+
+    def drop_poll(name: str) -> None:
+        shutil.move(staged[name], os.path.join(src, f"{name}.parquet"))
 
     done: list[int] = []
 
@@ -775,14 +794,14 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, cycle, ckpt, interval="100 milliseconds"
     )
     try:
-        # Scheduler cycle 1: provisional poll (half the data).
-        drop_poll(wide_poll(ev.filter(F.col("event_id") % 2 == 0)), "p0")
+        # Scheduler cycle 1: provisional poll (the even-id half).
+        drop_poll("p0")
         await_processed_batches(
             q, lambda: len(done) >= 1, timeout_sec=180, poll_sec=0.05
         )
         # Scheduler cycle 2: authoritative re-poll, late revisions of
         # every cycle-1 key.
-        drop_poll(wide_poll(ev), "p1")
+        drop_poll("p1")
         await_processed_batches(
             q, lambda: len(done) >= 2, timeout_sec=180, poll_sec=0.05
         )
