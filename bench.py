@@ -67,6 +67,12 @@ SCALE_PROBE_QUERIES = (
     # its claim (wire cost independent of corpus size via |alphabet|^2
     # map-side partials) should show near-linear scan-bound growth.
     "bpe_pair_counts",
+    # round-6: the forecast backtest (materialize-once rollup — the
+    # self-join must stay users x days sized) and winsorized scaling
+    # (one percentile pass + broadcast fences) each claim their
+    # exchanges are summary-sized; the probe pins that at 8x.
+    "forecast_seasonal_naive_backtest",
+    "robust_scale_winsorized",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so
