@@ -562,6 +562,47 @@ def test_ks_window_runs_on_bins_sized_summary(spark):
     assert all(k.startswith("feature") for k in keys), keys
 
 
+def test_field_discovery_is_single_pass_no_row_expansion(spark, tmp_path):
+    """The ingest hot loop's schema discovery profiles every column in
+    ONE global aggregate over the batch: no rows x columns explode, no
+    keyed exchange — the only exchange is the 1-row final-aggregate
+    SinglePartition gather. (The field_profile QUERY keeps the
+    exploded (field, cell) shape; the ingest path must not.)"""
+    import pyspark.sql.functions as F
+
+    from gas_data_pipeline_spark.engine import GasDataEngine
+    from gas_data_pipeline_spark.functions.profiling import (
+        infer_value_type,
+        inferred_type_agg,
+    )
+
+    batch = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+
+    def col_profile(c):
+        v = F.col(c).cast("string")
+        return F.struct(
+            inferred_type_agg(infer_value_type(v)).alias("inferred_type"),
+            (F.count(F.lit(1)) > F.count(v)).alias("nullable"),
+            F.substring(F.min(v), 1, 200).alias("example_value"),
+        )
+
+    one = batch.agg(*[col_profile(c).alias(f"__p_{i}") for i, c in enumerate(batch.columns)])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode of rows x columns
+    assert "hashpartitioning" not in plan.lower()  # no keyed exchange
+    assert "partial" in plan.lower()  # map-side combine before the gather
+    # End-to-end: the engine writes the same catalog rows either way.
+    eng = GasDataEngine(spark, str(tmp_path))
+    eng._discover_and_register_fields(batch, "D")
+    rows = {
+        r["field_name"]: r["inferred_type"]
+        for r in spark.read.parquet(eng.fields_path).collect()
+    }
+    assert rows == {"k": "integer", "v": "float"}
+
+
 def test_q5_broadcasts_dims_and_pushes_date(spark):
     """The 6-table Q5 join must ride broadcasts for every dimension
     (supplier/nation/region at minimum — Catalyst prunes nation keys
