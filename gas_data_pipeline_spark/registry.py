@@ -76,9 +76,9 @@ def _load_all() -> None:
 # rotated-in queries are rows-only by design, each with a pytest
 # ground-truth bound: ann_ivf / ann_pq (recall floors,
 # tests/test_northstar.py), approx_distinct_users (relative-error
-# bound vs exact COUNT(DISTINCT), tests/test_parity.py),
+# bound vs exact COUNT(DISTINCT), tests/test_plans.py),
 # approx_percentiles_tdigest (quantile-error bound vs exact
-# percentiles, tests/test_parity.py).
+# percentiles, tests/test_layout.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
