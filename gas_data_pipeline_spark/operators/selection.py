@@ -1,0 +1,306 @@
+"""Data-selection operators for training-corpus construction
+(SURVEY §2.11 extensions, round 7): hashed importance weighting in
+the style of DSIR (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling"), a Count-Min-Sketch mergeable
+frequency summary (Cormode & Muthukrishnan 2005), and a broadcast
+linear quality model — the model-based filtering stage of
+C4/RefinedWeb-style pipelines.
+
+Design rules shared with ``operators/curation.py``:
+
+- Pure native Column expressions in every per-row path; the hashed
+  n-gram feature map is embedded as a map literal (bounded by the
+  bucket count, never by the corpus), so the scoring pass is a
+  single scan with ZERO shuffles.
+- Deterministic and portable: every hash derives from md5 of
+  (salt, value) — DuckDB reproduces each bucket id, each draw, and
+  each sketch cell bit-for-bit, so all of it is value-oracle-able.
+- Shuffle discipline: fitting the importance model is ONE
+  map-side-combinable aggregate to ``n_buckets`` rows; a CMS build
+  is ONE aggregate to ``depth x width`` rows per group; sketch
+  merge is an aggregate over sketch rows (never a rescan of facts).
+
+Scale notes (100 TB): the only data-sized exchange in this module is
+the map-side-combined fit/build aggregate, whose reduce side is
+bucket- or sketch-sized (128 / 256 rows), not corpus-sized. Scoring,
+estimation, and model application are embarrassingly parallel
+scan-project stages that inherit the input's partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gas_data_pipeline_spark.functions.exprs import bind
+
+# 2^52: md5-prefix 13 hex chars = 52 bits, exact in a double — the
+# same portable-uniform construction as operators/curation.py.
+_TWO_52 = float(1 << 52)
+
+
+def portable_bucket(value: Column, salt: str, n_buckets: int) -> Column:
+    """Deterministic hash bucket in [0, n_buckets): the first 8 hex
+    chars of md5(salt ':' value) read as a 32-bit integer, mod K.
+    DuckDB twin::
+
+        CAST(concat('0x', substring(md5('<salt>:' || v), 1, 8))
+             AS BIGINT) % K
+
+    md5 (unlike Spark's xxhash64 / DuckDB's hash) is the one hash
+    both engines evaluate identically, which is what makes every
+    bucketed operator here value-oracle-able."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), value.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed importance weighting
+# ---------------------------------------------------------------------------
+
+
+def dsir_fit_log_ratios(
+    docs: DataFrame,
+    words: Column,
+    is_target: Column,
+    *,
+    salt: str = "dsir-v1",
+    n_buckets: int = 128,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Fit the hashed-unigram importance model: bucket every word of
+    every document, count bucket mass under the target slice vs the
+    rest, and return ``n_buckets`` rows of Laplace-smoothed
+    log-probability ratios ``lr = log p_target(b) - log p_raw(b)``.
+
+    One corpus scan, one map-side-combinable aggregate whose reduce
+    side is ``n_buckets`` rows — at 100 TB the shuffle payload is
+    partitions x buckets partial counts, never token-sized. ``lr`` is
+    quantized to 9 decimals so the per-document sums downstream are
+    sums of identical addends in Spark and the DuckDB oracle
+    (association order then perturbs at ~1e-13, far inside the
+    6-decimal compare)."""
+    exploded = docs.select(
+        F.explode(words).alias("word"), is_target.alias("is_target")
+    )
+    grams = exploded.select(
+        portable_bucket(F.col("word"), salt, n_buckets).alias("bucket"),
+        "is_target",
+    )
+    fit = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("r_cnt"),
+    )
+    totals = fit.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    ak = alpha * n_buckets
+    return fit.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "t_cnt",
+        "r_cnt",
+        F.round(
+            F.log((F.col("t_cnt") + alpha) / (F.col("t_tot") + ak))
+            - F.log((F.col("r_cnt") + alpha) / (F.col("r_tot") + ak)),
+            9,
+        ).alias("lr"),
+    )
+
+
+def dsir_log_ratio_map(ratios: DataFrame) -> Column:
+    """Collect the fitted ratio table into a ``map<bigint,bigint>``
+    literal of FIXED-POINT log-ratios (lr x 1e9 as integers). The
+    collect is bounded by construction (``n_buckets`` rows — a model,
+    not data), mirroring the codebook embeds in
+    ``operators/similarity.py``: the model rides the task closure to
+    every executor and the scoring join disappears entirely.
+
+    Fixed-point matters for the oracle contract: per-document weights
+    are sums of these addends, and integer sums are exact and
+    association-order-independent — a float fold can land a document
+    exactly on a round-half boundary in one engine and off it in the
+    other (observed once in 5000 docs at sf0.1)."""
+    rows = ratios.select("bucket", "lr").collect()
+    pairs: list[Column] = []
+    for r in rows:
+        pairs.append(F.lit(int(r["bucket"])))
+        pairs.append(F.lit(int(round(float(r["lr"]) * 1e9))))
+    return F.create_map(*pairs)
+
+
+def dsir_score(
+    docs: DataFrame,
+    words: Column,
+    ratio_map: Column,
+    *,
+    salt: str = "dsir-v1",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Score every document with its summed hashed log-importance
+    weight — a ZERO-shuffle scan-project pass: the fold runs JVM-side
+    over the word array (``F.aggregate``), the model is a map
+    literal, and the output stays one row per input row, so the plan
+    inherits the scan's partitioning untouched. The word array is
+    let-bound and the (n_words, logw) pair expands through
+    ``F.inline`` — a Generate node projections cannot collapse into,
+    so the split runs exactly once per row."""
+    scored = bind(
+        words,
+        lambda ws: F.struct(
+            F.size(ws).cast("bigint").alias("n_words"),
+            F.round(
+                F.aggregate(
+                    ws,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, w: acc
+                    + F.coalesce(
+                        F.element_at(
+                            ratio_map, portable_bucket(w, salt, n_buckets)
+                        ),
+                        F.lit(0).cast("bigint"),
+                    ),
+                )
+                / F.lit(1e9),
+                6,
+            ).alias("logw"),
+        ),
+    )
+    return docs.select("*", F.inline(F.array(scored)))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: build / merge / estimate
+# ---------------------------------------------------------------------------
+
+
+def cms_rows(key: Column, *, salt: str, depth: int, width: int) -> Column:
+    """The ``depth`` (row, bucket) cells a key hashes into — one
+    md5-derived bucket per sketch row, exploded by the caller. Each
+    sketch row uses an independent salt ``'<salt>:<j>'``."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row_j"),
+                portable_bucket(key, f"{salt}:{j}", width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key: Column,
+    group_cols: list[str],
+    *,
+    salt: str = "cms-v1",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Build one Count-Min sketch per group: ONE map-side-combinable
+    aggregate from facts to ``groups x depth x width`` summary rows.
+    The reduce-side exchange is sketch-sized; the fact table is
+    scanned exactly once and never again — estimation and merge work
+    on the summary."""
+    cells = df.select(
+        *group_cols,
+        F.explode(cms_rows(key, salt=salt, depth=depth, width=width)).alias(
+            "cell"
+        ),
+    ).select(*group_cols, "cell.row_j", "cell.bucket")
+    return cells.groupBy(*group_cols, "row_j", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge sketches by cell-wise sum — the defining mergeable-summary
+    property (same algebra as the HLL register merge in
+    ``operators/sketches.py``): an aggregate over sketch rows, never a
+    rescan of the facts that built them."""
+    keys = (group_cols or []) + ["row_j", "bucket"]
+    return sketches.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    merged: DataFrame,
+    key: Column,
+    *,
+    salt: str = "cms-v1",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-estimate each candidate key: min over the sketch's
+    ``depth`` cells (the classic CMS upper-bound estimator — never an
+    underestimate). The merged sketch is ``depth x width`` rows, so
+    the lookup join is a broadcast; candidates stay partitioned as
+    they arrive and the final min is a candidates-sized aggregate."""
+    probes = candidates.select(
+        "*",
+        F.explode(cms_rows(key, salt=salt, depth=depth, width=width)).alias(
+            "cell"
+        ),
+    ).select("*", "cell.row_j", "cell.bucket").drop("cell")
+    joined = probes.join(F.broadcast(merged), ["row_j", "bucket"], "left")
+    others = [c for c in candidates.columns]
+    return joined.groupBy(*others).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast linear quality model
+# ---------------------------------------------------------------------------
+
+# "Pretrained" quality weights: a fixed linear model over cheap
+# lexical features — the shape of fastText-style quality classifiers
+# in C4/RefinedWeb pipelines, with the learned weights replaced by a
+# deterministic constant vector so the whole stage value-oracles.
+QUALITY_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "for")
+QUALITY_BIAS = 4.85
+QUALITY_W_NWORDS = 0.05
+QUALITY_W_DISTINCT = 6.0
+QUALITY_W_STOP = 12.0
+QUALITY_W_WLEN = -2.5
+
+
+def quality_features(words: Column) -> dict[str, Column]:
+    """Lexical quality features over a bound word array: length,
+    lexical diversity, stopword share, mean word length. All native
+    array expressions — one pass, no shuffle, no UDF."""
+    n = F.size(words).cast("bigint")
+    nd = F.size(F.array_distinct(words)).cast("bigint")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*QUALITY_STOPWORDS))
+    ).cast("bigint")
+    total_len = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    return {
+        "n_words": n,
+        "distinct_ratio": nd / safe_n,
+        "stop_ratio": n_stop / safe_n,
+        "mean_wlen": total_len / safe_n,
+    }
+
+
+def quality_score(feats: dict[str, Column]) -> Column:
+    """Sigmoid of the fixed linear model — a [0,1] quality score."""
+    z = (
+        F.lit(QUALITY_BIAS)
+        + F.lit(QUALITY_W_NWORDS) * feats["n_words"]
+        + F.lit(QUALITY_W_DISTINCT) * feats["distinct_ratio"]
+        + F.lit(QUALITY_W_STOP) * feats["stop_ratio"]
+        + F.lit(QUALITY_W_WLEN) * feats["mean_wlen"]
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -52,6 +52,7 @@ def _load_all() -> None:
         northstar,
         analytics_suite,
         curation_suite,
+        selection_suite,
     )
 
 

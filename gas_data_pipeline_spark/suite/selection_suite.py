@@ -1,0 +1,402 @@
+"""Data-selection queries (SURVEY §2.11 extensions, round 7): the
+model-based corpus-selection passes an LLM data pipeline runs after
+cleaning and before tokenization — DSIR-style hashed importance
+weighting, Count-Min-Sketch frequency summaries, Zipf-law vocabulary
+diagnostics, and a broadcast linear quality classifier. All
+value-oracled: every hash derives from md5(salt, value), which DuckDB
+reproduces bit-for-bit; every float addend is quantized before
+summation so both engines sum identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gas_data_pipeline_spark.catalog import table
+from gas_data_pipeline_spark.functions.exprs import bind
+from gas_data_pipeline_spark.operators.selection import (
+    QUALITY_STOPWORDS,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    dsir_fit_log_ratios,
+    dsir_log_ratio_map,
+    dsir_score,
+    quality_features,
+    quality_score,
+)
+from gas_data_pipeline_spark.registry import register
+
+# Whitespace word-array twin (operators/dedup.py convention).
+_WS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+# DuckDB twin of operators/selection.portable_bucket.
+def _bucket_sql(value: str, salt: str, k: int) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5('{salt}:' || {value}), 1, 8)) "
+        f"AS BIGINT) % {k}"
+    )
+
+
+def _words(text: Column | None = None) -> Column:
+    return F.split(
+        F.lower(F.trim(text if text is not None else F.col("text"))), r"\s+"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection
+# ---------------------------------------------------------------------------
+
+_DSIR_CTES = f"""
+    w AS (
+        SELECT doc_id, lang, unnest({_WS_SQL}) AS word
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               {_bucket_sql('word', 'dsir-v1', 128)} AS bucket
+        FROM w
+    ),
+    fit AS (
+        SELECT bucket,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS r_cnt
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM fit),
+    ratio AS (
+        SELECT bucket,
+               round(ln((t_cnt + 0.5) / (t_tot + 64.0))
+                     - ln((r_cnt + 0.5) / (r_tot + 64.0)), 9) AS lr
+        FROM fit, tot
+    ),
+    score AS (
+        -- Fixed-point sum (lr x 1e9 as BIGINT): integer addition is
+        -- exact and order-independent, so Spark's per-doc array fold
+        -- and this grouped sum agree bit-for-bit at any scale.
+        SELECT b.doc_id,
+               count(*) AS n_words,
+               round(sum(CAST(round(r.lr * 1e9) AS BIGINT)) / 1e9, 6) AS logw
+        FROM b JOIN ratio r USING (bucket)
+        GROUP BY b.doc_id
+    )
+"""
+
+
+@register(
+    "dsir_importance_select",
+    oracle=f"""
+        WITH {_DSIR_CTES}
+        SELECT doc_id, n_words, logw, logw > 0.0 AS selected
+        FROM score
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): fit hashed-unigram
+    bucket distributions for the target domain (English docs) vs the
+    raw pool, then score every document with its summed
+    log-importance ratio and flag the positive-weight slice for
+    training. The fit is ONE map-side-combinable aggregate to 128
+    rows; the model is embedded as a map literal so the scoring pass
+    is a zero-shuffle scan-project (`operators/selection.py:70-160`).
+    Beyond-reference operator mandated by the build brief (training-
+    data pipeline family)."""
+    docs = table(spark, sf_dir, "documents")
+    ratios = dsir_fit_log_ratios(
+        docs, _words(), F.col("lang") == "en", n_buckets=128
+    )
+    scored = dsir_score(docs, _words(), dsir_log_ratio_map(ratios))
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "logw",
+        (F.col("logw") > 0.0).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_BUCKET = _bucket_sql(
+    "CAST(t.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)", "cms-v1", 64
+)
+
+
+@register(
+    "cms_heavy_hitters_merge",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type, t.j AS row_j, {_CMS_BUCKET} AS bucket
+            FROM events, UNNEST([0, 1, 2, 3]) t(j)
+        ),
+        sk AS (
+            SELECT event_type, row_j, bucket, count(*) AS cnt
+            FROM cells GROUP BY 1, 2, 3
+        ),
+        merged AS (
+            SELECT row_j, bucket, sum(cnt) AS cnt FROM sk GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+        ),
+        cands AS (
+            SELECT * FROM exact ORDER BY exact_cnt DESC, user_id LIMIT 20
+        ),
+        probes AS (
+            SELECT c.user_id, c.exact_cnt, t.j AS row_j,
+                   {_CMS_BUCKET} AS bucket
+            FROM cands c, UNNEST([0, 1, 2, 3]) t(j)
+        ),
+        est AS (
+            SELECT user_id, exact_cnt,
+                   CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS cms_estimate
+            FROM probes p LEFT JOIN merged m USING (row_j, bucket)
+            GROUP BY 1, 2
+        )
+        SELECT user_id, exact_cnt, cms_estimate,
+               cms_estimate - exact_cnt AS overcount
+        FROM est
+    """,
+)
+def cms_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency summaries (Cormode & Muthukrishnan
+    2005) as mergeable per-partition state: one sketch per event_type
+    (ONE map-side-combinable aggregate from facts to 4x64 cells per
+    type), cell-wise-sum merge across types WITHOUT rescanning facts,
+    then min-over-rows point estimates for the exact top-20 users —
+    the estimate is an upper bound by construction (`overcount >= 0`
+    for every row, pinned in tests/test_selection.py). Same mergeable-
+    summary algebra as the HLL rollup (`operators/sketches.py`); at
+    100 TB the facts are scanned once and all downstream algebra runs
+    on 256-row summaries."""
+    ev = table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    sketches = cms_build(ev, key, ["event_type"])
+    merged = cms_merge(sketches)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cands = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(20)
+    est = cms_estimate(cands, merged, key)
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf vocabulary diagnostics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zipf_token_slope",
+    oracle=f"""
+        WITH w AS (
+            SELECT lang, unnest({_WS_SQL}) AS word FROM documents
+        ),
+        counts AS (
+            SELECT lang, word, count(*) AS cnt FROM w GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT lang, cnt,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY cnt DESC, word
+                   ) AS rnk
+            FROM counts
+        )
+        SELECT lang,
+               count(*) AS n_terms,
+               round(regr_slope(ln(cnt), ln(rnk)), 6) AS slope,
+               round(regr_intercept(ln(cnt), ln(rnk)), 6) AS intercept,
+               round(regr_r2(ln(cnt), ln(rnk)), 6) AS r2
+        FROM ranked WHERE rnk <= 100
+        GROUP BY lang
+    """,
+)
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus diagnostic: per-language OLS fit of
+    log-frequency against log-rank over the top-100 vocabulary — the
+    standard sanity check that a scraped corpus has natural-language
+    token statistics (slope near -1) rather than boilerplate or spam.
+    The token count is a map-side-combinable aggregate to vocabulary
+    size; the rank window and regression run on vocab-sized data
+    (never corpus-sized), so the plan is scan -> vocab agg -> tiny
+    window -> 5-row regression."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select("lang", F.explode(_words()).alias("word"))
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.select(
+        "lang",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.desc("cnt"), "word"))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 100)
+    y, x = F.log("cnt"), F.log("rnk")
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast linear quality model
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+_FEAT_KEYS = ("n_words", "distinct_ratio", "stop_ratio", "mean_wlen")
+
+
+def _score_of(fs: Column) -> Column:
+    """Rounded sigmoid score from a bound feature struct."""
+    return F.round(quality_score({k: fs[k] for k in _FEAT_KEYS}), 6)
+
+_QUALITY_CTES = f"""
+    feats AS (
+        SELECT doc_id, lang,
+               len(ws) AS n_words,
+               len(list_distinct(ws)) / greatest(len(ws), 1) AS distinct_ratio,
+               len(list_filter(ws, w -> w IN ({_STOP_SQL})))
+                   / greatest(len(ws), 1) AS stop_ratio,
+               list_sum(list_transform(ws, w -> len(w)))
+                   / greatest(len(ws), 1) AS mean_wlen
+        FROM (SELECT doc_id, lang, {_WS_SQL} AS ws FROM documents)
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_words, distinct_ratio, stop_ratio, mean_wlen,
+               round(1.0 / (1.0 + exp(-(4.85 + 0.05 * n_words
+                                        + 6.0 * distinct_ratio
+                                        + 12.0 * stop_ratio
+                                        - 2.5 * mean_wlen))), 6) AS score
+        FROM feats
+    )
+"""
+
+
+@register(
+    "quality_model_score",
+    oracle=f"""
+        WITH {_QUALITY_CTES}
+        SELECT doc_id, n_words,
+               round(distinct_ratio, 6) AS distinct_ratio,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(mean_wlen, 6) AS mean_wlen,
+               score,
+               CASE WHEN score >= 0.75 THEN 'high'
+                    WHEN score >= 0.4 THEN 'medium'
+                    ELSE 'low' END AS bucket
+        FROM scored
+    """,
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier stage of
+    C4/RefinedWeb pipelines, with the learned weights replaced by a
+    fixed vector so the whole stage value-oracles): cheap lexical
+    features -> sigmoid of a broadcast linear model -> quality
+    buckets. One zero-shuffle scan: the word array is let-bound so
+    the split runs once per row, the feature struct expands through
+    `F.inline` (a Generate barrier projections cannot collapse into),
+    and every feature is a native array expression."""
+    docs = table(spark, sf_dir, "documents")
+    out_struct = bind(
+        _words(),
+        lambda ws: bind(
+            F.struct(
+                *[v.alias(k) for k, v in quality_features(ws).items()]
+            ),
+            lambda fs: F.struct(
+                fs["n_words"].alias("n_words"),
+                F.round(fs["distinct_ratio"], 6).alias("distinct_ratio"),
+                F.round(fs["stop_ratio"], 6).alias("stop_ratio"),
+                F.round(fs["mean_wlen"], 6).alias("mean_wlen"),
+                _score_of(fs).alias("score"),
+                F.when(_score_of(fs) >= 0.75, "high")
+                .when(_score_of(fs) >= 0.4, "medium")
+                .otherwise("low")
+                .alias("bucket"),
+            ),
+        ),
+    )
+    return docs.select("doc_id", F.inline(F.array(out_struct)))
+
+
+# ---------------------------------------------------------------------------
+# Composed selection pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "selection_pipeline_summary",
+    oracle=f"""
+        WITH {_DSIR_CTES},
+        {_QUALITY_CTES}
+        SELECT s.lang,
+               count(*) AS n_selected,
+               CAST(sum(d.n_words) AS BIGINT) AS total_words,
+               round(avg(s.score), 6) AS avg_quality
+        FROM score d JOIN scored s USING (doc_id)
+        WHERE d.logw > 0.0 AND s.score >= 0.4
+        GROUP BY s.lang
+    """,
+)
+def selection_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed selection pass a training run would ship: DSIR
+    importance gate AND quality-model gate, summarized per language
+    (docs kept, token mass, mean quality) — the dataset-card row for
+    the selected corpus. Both gates are zero-shuffle scan stages over
+    the same documents scan (the DSIR model is a 128-entry map
+    literal, the quality model a constant vector), so the whole
+    pipeline is scan -> project -> filter -> one langs-sized
+    aggregate."""
+    from gas_data_pipeline_spark.operators.selection import (
+        portable_bucket,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ratios = dsir_fit_log_ratios(
+        docs, _words(), F.col("lang") == "en", n_buckets=128
+    )
+    ratio_map = dsir_log_ratio_map(ratios)
+    per_doc = bind(
+        _words(),
+        lambda ws: bind(
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        ws,
+                        F.lit(0).cast("bigint"),
+                        lambda acc, w: acc
+                        + F.coalesce(
+                            F.element_at(
+                                ratio_map, portable_bucket(w, "dsir-v1", 128)
+                            ),
+                            F.lit(0).cast("bigint"),
+                        ),
+                    )
+                    / F.lit(1e9),
+                    6,
+                ).alias("logw"),
+                *[v.alias(k) for k, v in quality_features(ws).items()],
+            ),
+            lambda fs: F.struct(
+                fs["logw"].alias("logw"),
+                fs["n_words"].alias("n_words"),
+                _score_of(fs).alias("score"),
+            ),
+        ),
+    )
+    kept = docs.select("lang", F.inline(F.array(per_doc))).filter(
+        (F.col("logw") > 0.0) & (F.col("score") >= 0.4)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg("score"), 6).alias("avg_quality"),
+    )
