@@ -73,6 +73,12 @@ SCALE_PROBE_QUERIES = (
     # exchanges are summary-sized; the probe pins that at 8x.
     "forecast_seasonal_naive_backtest",
     "robust_scale_winsorized",
+    # round-7: the data-selection family's two claims — the DSIR fit
+    # is one bucket-sized aggregate + a zero-shuffle scoring scan, and
+    # the CMS exchange is 256 sketch rows whatever the fact count —
+    # should both show scan-bound (near-linear or better) growth.
+    "dsir_importance_select",
+    "cms_heavy_hitters_merge",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

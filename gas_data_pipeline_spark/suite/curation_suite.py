@@ -1022,3 +1022,92 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.crossJoin(F.broadcast(ent))
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=f"""
+        WITH w0 AS (
+            SELECT unnest({_WORDS_SQL}) AS word FROM documents
+        ),
+        words0 AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM w0 WHERE len(word) BETWEEN 2 AND 12 GROUP BY word
+        ),
+        syms0 AS (
+            SELECT word, freq, pos, substring(word, pos, 1) AS sym
+            FROM words0, unnest(range(1, len(word) + 1)) AS t(pos)
+        ),{",".join(_bpe_round_ctes(r) for r in range(1, 4))},
+        enc AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS n_syms
+            FROM syms3 GROUP BY word
+        ),
+        docw AS (
+            SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+        ),
+        per AS (
+            SELECT d.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(d.word)) AS BIGINT) AS n_chars,
+                   CAST(sum(coalesce(e.n_syms, len(d.word))) AS BIGINT)
+                       AS n_symbols
+            FROM docw d LEFT JOIN enc e USING (word)
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, n_words, n_chars, n_symbols,
+               round(n_chars / n_symbols, 6) AS compression
+        FROM per
+    """,
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained tokenizer to the WHOLE corpus — the
+    train->encode lifecycle's second half (`bpe_train_merge_rules`
+    learns the rules; this query reports what shipping them costs:
+    per-document symbol counts and the chars-per-symbol compression
+    ratio every tokenizer eval leads with). The scale design is the
+    point: the merge rules are applied ONCE PER DISTINCT WORD on the
+    vocab-sized word table (merges never cross word boundaries), and
+    documents pick up their words' symbol counts through a
+    vocab-sized broadcast join — the corpus itself is never folded
+    row-by-row. Words outside the trained [2,12]-char band fall back
+    to character-level encoding (coalesce to len(word)), so every
+    token is accounted for. Training + the checkpointed word table
+    come from the shared ``_corpus_bpe_training`` seam (once per
+    session); the oracle extends the identical unrolled-rounds SQL
+    with the encode join."""
+    from gas_data_pipeline_spark.operators.bpe import _char_split, _merge_pair
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    words, rules = _corpus_bpe_training(spark, sf_dir)
+    state = words.select("word", _char_split(F.col("word")).alias("syms"))
+    for r in rules:
+        # Checkpoint per round (see bpe_vocab_after_merges): three
+        # chained folds in one expression tree evaluate as a
+        # fold-of-fold-of-fold per row.
+        state = state.select(
+            "word", _merge_pair(F.col("syms"), r["left"], r["right"]).alias("syms")
+        ).localCheckpoint(eager=True)
+    enc = state.select("word", F.size("syms").cast("bigint").alias("n_syms"))
+    docs = table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokenize(F.col("text")), is_word)).alias("word"),
+    )
+    per = (
+        docw.join(F.broadcast(enc), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum(
+                F.coalesce(F.col("n_syms"), F.length("word").cast("bigint"))
+            ).alias("n_symbols"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_symbols",
+        F.round(F.col("n_chars") / F.col("n_symbols"), 6).alias("compression"),
+    )
