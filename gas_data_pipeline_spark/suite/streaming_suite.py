@@ -1154,3 +1154,155 @@ def stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_lang.unionByName(quarantined).select(
         F.col("batch_seq").cast("bigint"), "lang", "n_rows"
     )
+
+
+def _cms_bucket_sql(j_expr: str, key_expr: str) -> str:
+    """DuckDB twin of operators/selection.portable_bucket with the
+    per-row CMS salt 'cms-v1:<j>'."""
+    return (
+        "CAST(concat('0x', substring(md5('cms-v1:' || "
+        f"CAST({j_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+        "), 1, 8)) AS BIGINT) % 64"
+    )
+
+
+def _cms_cum_block(batch_seq: int, cum_filter: str) -> str:
+    """One cumulative-CMS SELECT for the stream_heavy_hitters_cms
+    oracle: the estimates the monitor's incrementally-merged sketch
+    yields for the watch-list after that micro-batch — recomputed
+    from scratch, so incremental maintenance must equal full
+    recompute."""
+    return f"""
+        SELECT {batch_seq} AS batch_seq, p.user_id,
+               CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS cms_estimate
+        FROM (
+            SELECT c.user_id, t.j AS row_j,
+                   {_cms_bucket_sql('t.j', 'c.user_id')} AS bucket
+            FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10) c,
+                 UNNEST([0, 1, 2, 3]) t(j)
+        ) p LEFT JOIN (
+            SELECT row_j, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT t.j AS row_j,
+                       {_cms_bucket_sql('t.j', 'user_id')} AS bucket
+                FROM events, UNNEST([0, 1, 2, 3]) t(j)
+                WHERE {cum_filter}
+            ) GROUP BY 1, 2
+        ) m USING (row_j, bucket)
+        GROUP BY 1, 2
+    """
+
+
+def cms_monitor_writer(state_dir: str, log_dir: str, tracked: list[int]):
+    """Build the foreachBatch writer for the streaming heavy-hitters
+    monitor: fold the batch's Count-Min sketch into the persisted
+    cumulative sketch and log the watch-list estimates.
+
+    Idempotent under micro-batch replay (the exactly-once contract
+    ``run_foreach_batch`` documents): state and log writes are both
+    keyed by batch_id and OVERWRITE, so a retried batch converges —
+    same discipline as ``drift_monitor_writer``, pinned in
+    tests/test_selection.py::test_cms_monitor_writer_replay_converges.
+    """
+    import os
+
+    from gas_data_pipeline_spark.operators.selection import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    def state_path(n: int) -> str:
+        return os.path.join(state_dir, f"cms_after_{n}")
+
+    def monitor(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        key = F.col("user_id").cast("string")
+        batch_sk = cms_build(bdf, key, [])
+        if batch_id == 0:
+            merged = batch_sk
+        else:
+            prev = sp.read.parquet(state_path(batch_id - 1))
+            merged = cms_merge(prev.unionByName(batch_sk))
+        merged.write.mode("overwrite").parquet(state_path(batch_id))
+        cands = sp.createDataFrame([(u,) for u in tracked], "user_id bigint")
+        est = cms_estimate(
+            cands, sp.read.parquet(state_path(batch_id)), key
+        )
+        est.select(
+            F.lit(batch_id).cast("bigint").alias("batch_seq"),
+            "user_id",
+            "cms_estimate",
+        ).write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_{batch_id}")
+        )
+
+    return monitor
+
+
+@register(
+    "stream_heavy_hitters_cms",
+    oracle=" UNION ALL ".join(
+        [
+            _cms_cum_block(0, "event_id % 2 = 0"),
+            _cms_cum_block(1, "event_id % 2 = 0 OR event_id % 2 = 1"),
+        ]
+    ),
+)
+def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency monitoring with mergeable sketch state: a
+    Count-Min sketch (`operators/selection.py`) maintained
+    INCREMENTALLY over the live stream — each micro-batch folds
+    map-side into its own 4x64-cell sketch which is cell-wise-summed
+    into the persisted cumulative sketch, then the watch-list's
+    estimates are logged. The accumulated stream is never rescanned;
+    per-cycle cost is one scan of the NEW batch plus a 256-row merge,
+    whatever the stream's age — the streaming complement of
+    `cms_heavy_hitters_merge` exactly as `stream_drift_monitor`
+    complements `drift_psi_features`. Two deterministic micro-batches
+    (even ids, then odd ids) drain through foreachBatch; the oracle
+    recomputes both cumulative sketches from scratch, so incremental
+    maintenance must equal full recompute."""
+    import os
+
+    from gas_data_pipeline_spark.catalog import table
+
+    scratch = tempfile.mkdtemp(prefix="gas_cms_mon_")
+    src = os.path.join(scratch, "incoming")
+    ckpt = os.path.join(scratch, "ckpt")
+    log_dir = os.path.join(scratch, "hh_log")
+    os.makedirs(src)
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    tracked = [
+        r["user_id"]
+        for r in ev.filter(F.col("user_id") < 10)
+        .select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .collect()
+    ]
+    monitor = cms_monitor_writer(scratch, log_dir, tracked)
+
+    def drop_batch(df: DataFrame, name: str) -> None:
+        stage = os.path.join(scratch, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(
+            os.path.join(stage, part), os.path.join(src, f"{name}.parquet")
+        )
+        shutil.rmtree(stage)
+
+    stream_schema = "event_id bigint, user_id bigint"
+    for n, part_filter in (
+        (0, F.col("event_id") % 2 == 0),
+        (1, F.col("event_id") % 2 == 1),
+    ):
+        drop_batch(ev.filter(part_filter), f"b{n}")
+        run_foreach_batch(
+            spark.readStream.schema(stream_schema).parquet(src), monitor, ckpt
+        )
+
+    return spark.read.parquet(os.path.join(log_dir, "batch_*")).select(
+        "batch_seq", "user_id", "cms_estimate"
+    )

@@ -190,3 +190,36 @@ def test_zipf_regression_runs_on_vocab_sized_data(spark):
     # token count + lang window + final agg: <= 3 exchanges, all keyed
     # on (lang[, word]) summaries, never a corpus-row shuffle.
     assert plan.count("Exchange") <= 3
+
+
+def test_cms_monitor_writer_replay_converges(spark, tmp_path):
+    """Streaming re-delivers a micro-batch after a crash between the
+    sink write and the checkpoint commit — the CMS monitor must
+    converge under replay: (batch 0, batch 0, batch 1) must leave
+    identical state and log to the clean (batch 0, batch 1) run. A
+    blind sketch append would double-count every cell."""
+    from gas_data_pipeline_spark.suite.streaming_suite import (
+        cms_monitor_writer,
+    )
+
+    b0 = spark.range(200).select((F.col("id") % 13).alias("user_id"))
+    b1 = spark.range(150).select((F.col("id") % 7).alias("user_id"))
+
+    def run(root, replay):
+        root.mkdir()
+        log = str(root / "log")
+        mon = cms_monitor_writer(str(root), log, tracked=[0, 1, 2, 3, 4])
+        mon(b0, 0)
+        if replay:
+            mon(b0, 0)  # retried micro-batch: same data, same batch_id
+        mon(b1, 1)
+        return (
+            spark.read.parquet(log + "/batch_*")
+            .orderBy("batch_seq", "user_id")
+            .collect()
+        )
+
+    clean = run(tmp_path / "clean", replay=False)
+    replayed = run(tmp_path / "replay", replay=True)
+    assert replayed == clean
+    assert len(clean) == 10  # 5 tracked keys x 2 batches
