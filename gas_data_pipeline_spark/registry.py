@@ -64,6 +64,14 @@ def _load_all() -> None:
 # still covered by the builder-side parity gate (tests/test_parity.py,
 # all queries).
 #
+# Round-7 note: the round-6 driver check never landed a
+# CORRECTNESS_r06.json in the repo, so this window is kept FROZEN for
+# round 7 — the 41 first-time queries below still need their driver
+# rows before anything rotates out. The round-7 additions
+# (selection family, bpe_encode_corpus, stream_heavy_hitters_cms)
+# register in the tail and are covered by tests/test_parity.py until
+# a later window rotation.
+#
 # Round-6 rotation (VERDICT r5 #1): finish the evidence rotation in
 # one round. The anchor block shrinks 24 -> 9 (one per macro-family,
 # each driver-green in >=2 prior rounds), freeing 41 slots — exactly
