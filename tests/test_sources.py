@@ -249,3 +249,59 @@ def test_jdbc_roundtrip_with_embedded_derby(spark, tmp_path):
     )
     assert par.rdd.getNumPartitions() == 4
     assert par.count() == 20
+
+
+def test_gas_quality_python_datasource_matches_driver_path(spark):
+    """SRC1 scale path: the Spark 4 Python DataSource fetches chunks
+    as executor tasks and must yield exactly the rows of the
+    driver-side route (RestSource.fetch_chunks + flatten_gas_quality)
+    over the same windows — one task per 2-day chunk."""
+    from gas_data_pipeline_spark.sources.pyds import (
+        GasQualityRestDataSource,
+        GasQualityRestReader,
+        fixture_transport,
+    )
+    from gas_data_pipeline_spark.sources.rest import (
+        RestSource,
+        flatten_gas_quality,
+        json_batch_to_df,
+    )
+
+    spark.dataSource.register(GasQualityRestDataSource)
+    df = (
+        spark.read.format("gas_quality_rest")
+        .option("start", "2024-01-01")
+        .option("end", "2024-01-06")
+        .option("transport", "fixture")
+        .load()
+    )
+    # 6 days / 2-day windows -> 3 chunk partitions, scheduled as tasks.
+    reader = GasQualityRestReader(
+        {"start": "2024-01-01", "end": "2024-01-06", "transport": "fixture"}
+    )
+    chunks = reader.partitions()
+    assert [c.chunk_start for c in chunks] == [
+        "2024-01-01", "2024-01-03", "2024-01-05",
+    ]
+
+    got = sorted(
+        (r.site_id, r.applicable_at, r.cv, r.wi) for r in df.collect()
+    )
+
+    src = RestSource(transport=fixture_transport, sleep=lambda s: None)
+    payloads = src.fetch_chunks(
+        "unused://",
+        [
+            {
+                "applicableForStart": c.chunk_start,
+                "applicableForEnd": c.chunk_end,
+            }
+            for c in chunks
+        ],
+    )
+    flat = flatten_gas_quality(json_batch_to_df(spark, payloads))
+    want = sorted(
+        (r.siteId, r.applicableAt, r.CV, r.WI) for r in flat.collect()
+    )
+    assert got == want
+    assert len(got) == 2 * 6  # 2 sites x 6 days, no dup across chunks
