@@ -304,3 +304,117 @@ def quality_score(feats: dict[str, Column]) -> Column:
         + F.lit(QUALITY_W_WLEN) * feats["mean_wlen"]
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection
+# ---------------------------------------------------------------------------
+
+
+def sq_dist_fp(v: Column, center: list[float], quantum: float = 1e6) -> Column:
+    """Fixed-point squared-L2 distance between a vector column and a
+    constant center: each elementwise squared difference is quantized
+    to a BIGINT (x ``quantum``) BEFORE the sum, so the total is an
+    integer sum — exact and association-order-independent, which is
+    what lets a farthest-point argmax agree bit-for-bit with a DuckDB
+    oracle (a float fold could rank two near-tied candidates
+    differently across engines). DuckDB twin::
+
+        list_sum(list_transform(range(1, len(v) + 1),
+            i -> CAST(round((v[i]-c[i]) * (v[i]-c[i]) * 1e6) AS BIGINT)))
+    """
+    carr = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(
+            v,
+            carr,
+            lambda a, b: F.round((a - b) * (a - b) * F.lit(quantum), 0).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_greedy(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+    quantum: float = 1e6,
+) -> tuple[list[dict], DataFrame]:
+    """Greedy k-center coreset selection (farthest-point traversal —
+    the 2-approximation of Gonzalez 1985, the coreset selector of
+    Sener & Savarese 2018 "Active Learning for CNNs: A Core-Set
+    Approach"): seed with the minimum id, then ``k-1`` rounds of
+    "pick the point farthest from the chosen set".
+
+    Distributed shape: the chosen set lives on the driver (k rows — a
+    model, not data); per round the ONLY cluster work is one
+    scan-stage ``least(mind, dist-to-new-center)`` update plus a
+    bounded top-1 reduce (``TakeOrderedAndProject`` of a single row),
+    so a round is O(N·d) map work with a 1-row action and the whole
+    selection is k such passes — the standard cluster formulation.
+    The running-min column compounds as an expression chain over the
+    base scan (round r re-evaluates r distances per row); at k<=32
+    that is cheaper than materializing, beyond that callers should
+    persist the state every few rounds.
+
+    Returns ``(centers, assigned)``: ``centers`` is the k-row
+    selection order (``step``, ``id``, fixed-point ``sq_fp`` distance
+    to the prior set — None for the seed, and the max-min coverage
+    radius of step j-1's set is step j's ``sq_fp``); ``assigned`` maps
+    every point to its nearest center (ties to the smallest center
+    id), computed as one zero-shuffle scan over an ``array_sort`` of
+    the k (dist, center) structs."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k=}")
+    pts = points.select(
+        F.col(id_col).alias("pid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    seed = pts.orderBy("pid").limit(1).collect()[0]
+    centers: list[dict] = [
+        {"step": 1, "id": seed["pid"], "sq_fp": None, "vec": list(seed["v"])}
+    ]
+    state = pts.select(
+        "pid", "v", sq_dist_fp(F.col("v"), centers[0]["vec"], quantum).alias("mind")
+    )
+    for step in range(2, k + 1):
+        chosen_ids = [c["id"] for c in centers]
+        far = (
+            state.filter(~F.col("pid").isin(chosen_ids))
+            .orderBy(F.desc("mind"), "pid")
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append(
+            {
+                "step": step,
+                "id": far["pid"],
+                "sq_fp": far["mind"],
+                "vec": list(far["v"]),
+            }
+        )
+        state = state.withColumn(
+            "mind",
+            F.least("mind", sq_dist_fp(F.col("v"), centers[-1]["vec"], quantum)),
+        )
+    cands = F.array(
+        *[
+            F.struct(
+                sq_dist_fp(F.col("v"), c["vec"], quantum).alias("sq_fp"),
+                F.lit(c["id"]).alias("center_id"),
+            )
+            for c in centers
+        ]
+    )
+    best = F.element_at(F.array_sort(cands), 1)
+    assigned = pts.select(
+        "pid",
+        best["center_id"].alias("center_id"),
+        best["sq_fp"].alias("sq_fp"),
+    )
+    return centers, assigned

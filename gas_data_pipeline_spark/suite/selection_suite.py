@@ -400,3 +400,221 @@ def selection_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("total_words"),
         F.round(F.avg("score"), 6).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of operators/text.tokenize + is_word (the convention of
+# text_unigram_logprob's oracle in suite/northstar.py).
+_TOKS_SQL = """
+        SELECT doc_id, lang, unnest(
+            list_filter(
+                regexp_extract_all(lower(text), '[a-z0-9]+|[^\\sa-z0-9]'),
+                t -> regexp_matches(t, '^[a-z0-9]')
+            )
+        ) AS term
+        FROM documents
+"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+        WITH toks AS ({_TOKS_SQL}),
+        vocab AS (
+            SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2
+        ),
+        tot AS (SELECT lang, sum(cnt) AS n FROM vocab GROUP BY 1),
+        lpq AS (
+            -- per-language unigram logprob, quantized to BIGINT x 1e9
+            -- once per TERM so every engine sums identical integers.
+            SELECT v.lang, v.term,
+                   CAST(round(ln(v.cnt / t.n) * 1e9) AS BIGINT) AS lp_q
+            FROM vocab v JOIN tot t USING (lang)
+        ),
+        scored AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   sum(lp_q) AS s_q
+            FROM toks t JOIN lpq USING (lang, term)
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, lang, n_tokens,
+               round(s_q / 1e9 / n_tokens, 6) AS avg_logprob,
+               round(exp(-(s_q / 1e9 / n_tokens)), 6) AS ppl_proxy,
+               CASE ntile(3) OVER (
+                   PARTITION BY lang
+                   ORDER BY s_q / n_tokens DESC, doc_id
+               ) WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+        FROM scored
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document under a per-language unigram LM
+    (the self-trained stand-in for CCNet's KenLM, as in
+    text_unigram_logprob) and split each language into head / middle /
+    tail perplexity tertiles — the shape downstream pipelines use to
+    keep head+middle and drop tail.
+
+    Exactness device: the per-term logprob is quantized to fixed-point
+    BIGINT once in the vocab table, so each document's sum is an
+    integer sum (order-free) and the tertile ordering key
+    ``s_q / n_tokens`` is the same double in both engines — the
+    bucket boundary can never disagree. Scale shape: token explode →
+    map-side-combinable vocab count → vocab-sized broadcast back onto
+    the token stream → per-doc aggregate; the tertile window is
+    per-language over doc-level rows (same window budget as
+    curation_quality_percentile; the production form swaps the exact
+    tertile for broadcast approx-quantile cutoffs, which drops the
+    window entirely)."""
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(tokenize(F.col("text")), is_word)).alias("term"),
+    )
+    vocab = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    lpq = vocab.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "term",
+        F.round(F.log(F.col("cnt") / F.col("n")) * 1e9, 0)
+        .cast("bigint")
+        .alias("lp_q"),
+    )
+    scored = (
+        toks.join(F.broadcast(lpq), ["lang", "term"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lp_q").alias("s_q"),
+        )
+    )
+    avg = F.col("s_q") / F.lit(1e9) / F.col("n_tokens")
+    tertile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(
+            (F.col("s_q") / F.col("n_tokens")).desc(), "doc_id"
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("ppl_proxy"),
+        F.when(tertile == 1, "head")
+        .when(tertile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection
+# ---------------------------------------------------------------------------
+
+_KC_DIST_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST(round(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) * 1e6) "
+    "AS BIGINT)))"
+)
+
+
+@register(
+    "coreset_kcenter_select",
+    oracle=f"""
+        WITH RECURSIVE pts AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        sel(step, vec_id, sq_fp, chosen) AS (
+            SELECT 1, min(vec_id), CAST(NULL AS BIGINT), [min(vec_id)]
+            FROM pts
+            UNION ALL
+            SELECT sel.step + 1, nxt.vec_id, nxt.mind,
+                   list_append(sel.chosen, nxt.vec_id)
+            FROM sel, LATERAL (
+                SELECT p.vec_id,
+                       (SELECT min({_KC_DIST_SQL.format(a="p.v", b="c.v")})
+                        FROM pts c
+                        WHERE list_contains(sel.chosen, c.vec_id)) AS mind
+                FROM pts p
+                WHERE NOT list_contains(sel.chosen, p.vec_id)
+                ORDER BY mind DESC, p.vec_id
+                LIMIT 1
+            ) nxt
+            WHERE sel.step < 8
+        ),
+        centers AS (
+            SELECT CAST(step AS BIGINT) AS step, vec_id AS center_id, sq_fp
+            FROM sel
+        ),
+        dists AS (
+            SELECT p.vec_id, c.center_id,
+                   {_KC_DIST_SQL.format(a="p.v", b="c.v2")} AS d
+            FROM pts p CROSS JOIN (
+                SELECT ctr.center_id, p2.v AS v2
+                FROM centers ctr JOIN pts p2 ON p2.vec_id = ctr.center_id
+            ) c
+        ),
+        assign AS (
+            SELECT vec_id, center_id, d,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d, center_id
+                   ) AS rn
+            FROM dists
+        )
+        SELECT c.step, c.center_id,
+               round(c.sq_fp / 1e6, 6) AS sq_dist,
+               count(*) AS n_assigned,
+               round(max(a.d) / 1e6, 6) AS radius
+        FROM assign a JOIN centers c USING (center_id)
+        WHERE a.rn = 1
+        GROUP BY 1, 2, 3
+    """,
+)
+def coreset_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding table
+    (Gonzalez 1985 farthest-point traversal; Sener & Savarese 2018's
+    core-set active-learning selector): pick the 8 most
+    mutually-distant vectors, then report each chosen center with its
+    selection step, its distance to the previously-chosen set at
+    selection time, and its assigned-cluster size + coverage radius.
+    The diversity-selection counterpart of the DSIR/quality gates:
+    those keep what LOOKS like the target, this keeps a spread that
+    COVERS the corpus geometry.
+
+    Per round the cluster work is one scan-stage running-min update
+    plus a top-1 bounded reduce (k bounded 1-row driver actions — a
+    model, not data); the final assignment is one zero-shuffle scan
+    over an array_sort of k (dist, center) structs. Distances are
+    per-element fixed-point BIGINT sums, so the farthest-point argmax
+    and the oracle's recursive-CTE replay agree exactly even at
+    near-ties (`operators/selection.py:sq_dist_fp`)."""
+    from gas_data_pipeline_spark.operators.selection import kcenter_greedy
+
+    emb = table(spark, sf_dir, "embeddings")
+    centers, assigned = kcenter_greedy(emb, "vec_id", "embedding", k=8)
+    centers_df = spark.createDataFrame(
+        [(c["step"], c["id"], c["sq_fp"]) for c in centers],
+        "step bigint, center_id bigint, sq_fp bigint",
+    )
+    summary = assigned.groupBy("center_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.max("sq_fp").alias("max_fp"),
+    )
+    return summary.join(F.broadcast(centers_df), "center_id").select(
+        "step",
+        "center_id",
+        F.round(F.col("sq_fp") / 1e6, 6).alias("sq_dist"),
+        "n_assigned",
+        F.round(F.col("max_fp") / 1e6, 6).alias("radius"),
+    )

@@ -223,3 +223,116 @@ def test_cms_monitor_writer_replay_converges(spark, tmp_path):
     replayed = run(tmp_path / "replay", replay=True)
     assert replayed == clean
     assert len(clean) == 10  # 5 tracked keys x 2 batches
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection
+# ---------------------------------------------------------------------------
+
+
+def _kcenter(spark, k=8):
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.selection import kcenter_greedy
+
+    emb = table(spark, SF_DIR, "embeddings")
+    return kcenter_greedy(emb, "vec_id", "embedding", k=k)
+
+
+def test_kcenter_radii_nonincreasing_and_cover(spark):
+    """Greedy farthest-point invariants: the selection distances
+    (step j's sq_fp == the coverage radius of the first j-1 centers)
+    are non-increasing, and the final assignment radius is <= the
+    last selection distance (adding centers only shrinks min-dists)."""
+    centers, assigned = _kcenter(spark)
+    seq = [c["sq_fp"] for c in centers[1:]]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
+    final_radius = assigned.agg(F.max("sq_fp")).collect()[0][0]
+    assert final_radius <= seq[-1]
+
+
+def test_kcenter_centers_assign_to_themselves(spark):
+    centers, assigned = _kcenter(spark)
+    ids = [c["id"] for c in centers]
+    own = assigned.filter(F.col("pid").isin(ids)).collect()
+    assert len(own) == len(ids)
+    for r in own:
+        assert r["center_id"] == r["pid"] and r["sq_fp"] == 0
+
+
+def test_kcenter_beats_prefix_selection(spark):
+    """The diversity claim, concretely: greedy-8's coverage radius is
+    strictly better than picking the first 8 vectors by id."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.selection import sq_dist_fp
+
+    _, greedy_assigned = _kcenter(spark)
+    greedy_radius = greedy_assigned.agg(F.max("sq_fp")).collect()[0][0]
+
+    emb = table(spark, SF_DIR, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    prefix = [list(r["v"]) for r in pts.orderBy("vec_id").limit(8).collect()]
+    mind = F.least(*[sq_dist_fp(F.col("v"), c) for c in prefix])
+    prefix_radius = pts.agg(F.max(mind)).collect()[0][0]
+    assert greedy_radius < prefix_radius
+
+
+def test_kcenter_assignment_is_zero_shuffle(spark):
+    """After selection the k centers are literals riding the task
+    closure: the assignment pass is scan -> project -> array_sort,
+    with no Exchange and no Join."""
+    _, assigned = _kcenter(spark, k=4)
+    plan = _plan_of(assigned)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_balanced_and_ordered(spark):
+    """Tertiles are balanced per language (ntile property: sizes
+    differ by at most 1) and ordered: every head doc has perplexity
+    <= every tail doc within its language."""
+    from gas_data_pipeline_spark.registry import all_queries
+
+    df = all_queries()["ccnet_perplexity_buckets"](spark, SF_DIR).cache()
+    try:
+        sizes = {
+            (r["lang"], r["bucket"]): r["n"]
+            for r in df.groupBy("lang", "bucket").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        langs = {k[0] for k in sizes}
+        for lang in langs:
+            per = [sizes.get((lang, b), 0) for b in ("head", "middle", "tail")]
+            assert max(per) - min(per) <= 1, (lang, per)
+        edges = df.groupBy("lang").agg(
+            F.max(F.when(F.col("bucket") == "head", F.col("ppl_proxy"))).alias(
+                "head_max"
+            ),
+            F.min(F.when(F.col("bucket") == "tail", F.col("ppl_proxy"))).alias(
+                "tail_min"
+            ),
+        )
+        for r in edges.collect():
+            assert r["head_max"] <= r["tail_min"], r
+    finally:
+        df.unpersist()
+
+
+def test_ccnet_lm_join_is_broadcast(spark):
+    """The unigram LM is vocab-sized: both its construction join and
+    the score join must broadcast — a sort-merge exchange of the
+    token stream would be the 100 TB bottleneck."""
+    from gas_data_pipeline_spark.registry import all_queries
+
+    df = all_queries()["ccnet_perplexity_buckets"](spark, SF_DIR)
+    plan = _plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
