@@ -36,6 +36,7 @@ from datetime import date, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -107,15 +108,11 @@ class GasQualityRestReader(DataSourceReader):
         """The reference's ``_daterange_chunks`` loop as a partition
         list: [start, end] covered in ``days``-sized windows, last
         window clamped (same semantics as functions.date_chunks)."""
-        start = date.fromisoformat(self.start)
-        end = date.fromisoformat(self.end)
-        out: list[InputPartition] = []
-        cur = start
-        while cur <= end:
-            stop = min(cur + timedelta(days=self.days - 1), end)
-            out.append(GasQualityChunk(cur.isoformat(), stop.isoformat()))
-            cur = stop + timedelta(days=1)
-        return out
+        return _chunk_list(
+            date.fromisoformat(self.start),
+            date.fromisoformat(self.end) + timedelta(days=1),
+            self.days,
+        )
 
     def read(self, partition: GasQualityChunk):
         """Runs ON AN EXECUTOR: fetch this chunk with the reference's
@@ -145,11 +142,104 @@ class GasQualityRestReader(DataSourceReader):
                 )
 
 
+def _chunk_list(start: date, end_exclusive: date, days: int) -> list[InputPartition]:
+    """[start, end_exclusive) covered in ``days``-sized windows — the
+    shared chunking of the batch reader and the stream's per-batch
+    partition planning (last window clamped, empty range -> [])."""
+    out: list[InputPartition] = []
+    cur = start
+    while cur < end_exclusive:
+        stop = min(cur + timedelta(days=days - 1), end_exclusive - timedelta(days=1))
+        out.append(GasQualityChunk(cur.isoformat(), stop.isoformat()))
+        cur = stop + timedelta(days=1)
+    return out
+
+
+class GasQualityRestStreamReader(DataSourceStreamReader):
+    """SRC1's poll loop as a REAL streaming source: the reference
+    re-runs its ingestion hourly from a scheduler
+    (app/scheduler/scheduler.py:13-17) and tracks how far it has
+    ingested implicitly via lookback re-fetch; here the "how far"
+    is an explicit checkpointed OFFSET (``{"day": iso-date}``), each
+    trigger advances the frontier by ``days`` and plans the new
+    window's chunks as executor tasks, and exactly-once comes from
+    the offset log instead of idempotent re-ingest.
+
+    ``partitions(start, end)`` + ``read`` are pure functions of the
+    offset range — a replayed micro-batch (crash between sink write
+    and offset commit) refetches the identical window, which is the
+    whole recovery contract. The driver-side frontier pointer only
+    ever BOUNDS what latestOffset offers; committed progress lives in
+    Spark's offset log, so a restart resumes from the checkpoint no
+    matter where the pointer was."""
+
+    def __init__(self, options: dict):
+        self.start = date.fromisoformat(options["start"])
+        # bounded fixture windows end at `end` (inclusive); an open
+        # live tail would instead derive end_exclusive from the clock.
+        self.end_exclusive = date.fromisoformat(options["end"]) + timedelta(days=1)
+        self.days = int(options.get("days", "2"))
+        self.transport_name = options.get("transport", "http")
+        if self.transport_name not in TRANSPORT_FACTORIES:
+            raise ValueError(
+                f"unknown transport {self.transport_name!r}; "
+                f"one of {sorted(TRANSPORT_FACTORIES)}"
+            )
+        self._frontier = self.start
+
+    def initialOffset(self) -> dict:
+        return {"day": self.start.isoformat()}
+
+    def latestOffset(self) -> dict:
+        nxt = min(self._frontier + timedelta(days=self.days), self.end_exclusive)
+        self._frontier = nxt
+        return {"day": nxt.isoformat()}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        return _chunk_list(
+            date.fromisoformat(start["day"]),
+            date.fromisoformat(end["day"]),
+            self.days,
+        )
+
+    def read(self, partition: GasQualityChunk):
+        """Runs ON AN EXECUTOR — same fetch+flatten as the batch
+        reader, so stream and backfill produce identical rows for
+        identical windows (pinned in tests/test_sources.py)."""
+        transport = TRANSPORT_FACTORIES[self.transport_name]()
+        src = RestSource(transport=transport)
+        payload = src.fetch(
+            GAS_QUALITY_URL,
+            {
+                "applicableForStart": partition.chunk_start,
+                "applicableForEnd": partition.chunk_end,
+            },
+        )
+        for site in payload.get("sites", []):
+            for d in site.get("siteGasQualityDetail", []):
+                yield (
+                    partition.chunk_start,
+                    site.get("siteId"),
+                    site.get("siteName"),
+                    site.get("areaName"),
+                    d.get("applicableAt"),
+                    d.get("CV"),
+                    d.get("WI"),
+                )
+
+    def commit(self, end: dict) -> None:
+        """Offsets <= ``end`` are durably processed; the REST source
+        holds no server-side state to release, so this is a no-op."""
+
+
 class GasQualityRestDataSource(DataSource):
     """``spark.read.format("gas_quality_rest")`` — SRC1 as a native
     scan. Spark plans this like any other source: the chunk list is
     the partitioning, so a month backfill fans out as 15 parallel
-    tasks instead of the reference's 15 serial throttled fetches."""
+    tasks instead of the reference's 15 serial throttled fetches.
+    ``spark.readStream`` on the same format tails the feed
+    incrementally with checkpointed day offsets
+    (:class:`GasQualityRestStreamReader`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -163,3 +253,6 @@ class GasQualityRestDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return GasQualityRestReader(dict(self.options))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return GasQualityRestStreamReader(dict(self.options))

@@ -305,3 +305,70 @@ def test_gas_quality_python_datasource_matches_driver_path(spark):
     )
     assert got == want
     assert len(got) == 2 * 6  # 2 sites x 6 days, no dup across chunks
+
+
+def test_gas_quality_stream_datasource_tails_the_window(spark, tmp_path):
+    """SRC1 as a checkpointed streaming source: each trigger advances
+    the day-offset frontier by one chunk, plans that window's chunks
+    as executor tasks, and the union of all micro-batches equals the
+    batch backfill over the same window — same rows, either route."""
+    from gas_data_pipeline_spark.sources.pyds import (
+        GasQualityRestDataSource,
+        GasQualityRestStreamReader,
+    )
+    from gas_data_pipeline_spark.streaming.incremental import (
+        await_processed_batches,
+    )
+
+    spark.dataSource.register(GasQualityRestDataSource)
+    opts = {
+        "start": "2024-01-01",
+        "end": "2024-01-06",
+        "days": "2",
+        "transport": "fixture",
+    }
+    sdf = spark.readStream.format("gas_quality_rest").options(**opts).load()
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("gq_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        await_processed_batches(
+            q,
+            lambda: spark.table("gq_stream").count() >= 12,
+            timeout_sec=120.0,
+        )
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.chunk_start, r.site_id, r.applicable_at, r.cv, r.wi)
+        for r in spark.table("gq_stream").collect()
+    )
+    want = sorted(
+        (r.chunk_start, r.site_id, r.applicable_at, r.cv, r.wi)
+        for r in spark.read.format("gas_quality_rest").options(**opts).load().collect()
+    )
+    assert got == want and len(got) == 2 * 6
+
+    # The frontier is bounded: offered offsets never pass end+1, and
+    # batch planning is a pure function of the offset range (replay of
+    # the same range refetches identical chunks; empty range -> []).
+    r = GasQualityRestStreamReader(opts)
+    assert r.initialOffset() == {"day": "2024-01-01"}
+    offered = [r.latestOffset()["day"] for _ in range(5)]
+    assert offered == [
+        "2024-01-03", "2024-01-05", "2024-01-07", "2024-01-07", "2024-01-07",
+    ]
+    a, b = {"day": "2024-01-01"}, {"day": "2024-01-03"}
+    p1 = [(c.chunk_start, c.chunk_end) for c in r.partitions(a, b)]
+    p2 = [(c.chunk_start, c.chunk_end) for c in r.partitions(a, b)]
+    assert p1 == p2 == [("2024-01-01", "2024-01-02")]
+    assert r.partitions(a, a) == []
+    rows = sorted(r.read(r.partitions(a, b)[0]))
+    assert rows == sorted(r.read(r.partitions(a, b)[0]))
+    assert len(rows) == 2 * 2  # 2 sites x 2 days in the chunk
