@@ -68,7 +68,9 @@ def _load_all() -> None:
 # CORRECTNESS_r06.json in the repo, so this window is kept FROZEN for
 # round 7 — the 41 first-time queries below still need their driver
 # rows before anything rotates out. The round-7 additions
-# (selection family, bpe_encode_corpus, stream_heavy_hitters_cms)
+# (selection family incl. CCNet buckets + k-center coreset,
+# bpe_encode_corpus, stream_heavy_hitters_cms, the streamed REST
+# DataSource ingest)
 # register in the tail and are covered by tests/test_parity.py until
 # a later window rotation.
 #

@@ -84,6 +84,25 @@ TRANSPORT_FACTORIES = {
 }
 
 
+def register_gas_quality_source(spark) -> None:
+    """Register the DataSource with the session, pickling this module
+    and its ``rest`` dependency BY VALUE: Spark ships the reader class
+    to Python workers via cloudpickle, which by default serializes a
+    class as a module-name reference — that breaks the moment a worker
+    process cannot import the repo package (different cwd, no
+    PYTHONPATH). By-value registration makes the source self-contained
+    in the pickle, so it runs on any executor with only pyspark
+    installed — the deployment posture of a real cluster."""
+    from pyspark import cloudpickle
+
+    import gas_data_pipeline_spark.sources.pyds as _pyds
+    import gas_data_pipeline_spark.sources.rest as _rest
+
+    for mod in (_rest, _pyds):
+        cloudpickle.register_pickle_by_value(mod)
+    spark.dataSource.register(GasQualityRestDataSource)
+
+
 class GasQualityChunk(InputPartition):
     """One 2-day fetch window == one Spark scan task."""
 

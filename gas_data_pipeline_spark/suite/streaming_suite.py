@@ -1306,3 +1306,96 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(log_dir, "batch_*")).select(
         "batch_seq", "user_id", "cms_estimate"
     )
+
+
+# ---------------------------------------------------------------------------
+# SRC1 streamed through the Python DataSource (round 7)
+# ---------------------------------------------------------------------------
+
+_REST_STREAM_OPTS = {
+    "start": "2024-03-01",
+    "end": "2024-03-06",
+    "days": "2",
+    "transport": "fixture",
+}
+
+
+@register(
+    "stream_rest_datasource_ingest",
+    oracle="""
+        WITH days AS (
+            SELECT unnest(generate_series(
+                DATE '2024-03-01', DATE '2024-03-06', INTERVAL 1 DAY
+            ))::DATE AS d
+        ),
+        sites(site_id, site_name, area_name) AS (
+            VALUES (1, 'St Fergus', 'North'), (2, 'Bacton', 'East')
+        ),
+        calc AS (
+            SELECT strftime(DATE '2024-03-01'
+                       + (datediff('day', DATE '2024-03-01', d) // 2) * 2
+                         * INTERVAL 1 DAY, '%Y-%m-%d') AS chunk_start,
+                   CAST(site_id AS BIGINT) AS site_id,
+                   site_name, area_name,
+                   strftime(d, '%Y-%m-%d') || 'T00:00:00Z' AS applicable_at,
+                   -- datediff from 0000-12-31 == Python date.toordinal()
+                   datediff('day', DATE '0000-12-31', d) AS ord
+            FROM days CROSS JOIN sites
+        )
+        SELECT chunk_start, site_id, site_name, area_name, applicable_at,
+               round(38.0 + site_id + 0.1 * (ord % 7), 4) AS cv,
+               round(50.0 + site_id + 0.05 * (ord % 11), 4) AS wi
+        FROM calc
+    """,
+)
+def stream_rest_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC1's scheduler-driven ingestion as a REAL streaming source:
+    ``spark.readStream`` on the ``gas_quality_rest`` Python DataSource
+    (`sources/pyds.py`) tails the feed with a checkpointed day-offset
+    frontier — each trigger advances one 2-day chunk and fetches that
+    window's pages as executor tasks, replacing the reference's
+    hourly re-run + lookback re-ingest with offset-log exactly-once.
+    The bounded fixture window (6 days, 3 micro-batches) drains to a
+    memory sink; the oracle replays the deterministic fixture payload
+    (a pure function of the date) entirely in SQL, so the WHOLE
+    source path — offset planning, chunk fan-out, flatten — is
+    value-checked, not just row-counted."""
+    import uuid
+
+    from gas_data_pipeline_spark.sources.pyds import (
+        register_gas_quality_source,
+    )
+    from gas_data_pipeline_spark.streaming.incremental import (
+        await_processed_batches,
+    )
+
+    register_gas_quality_source(spark)
+    scratch = tempfile.mkdtemp(prefix="gas_rest_stream_")
+    name = f"rest_stream_{uuid.uuid4().hex[:8]}"
+    sdf = (
+        spark.readStream.format("gas_quality_rest")
+        .options(**_REST_STREAM_OPTS)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", scratch + "/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        await_processed_batches(
+            q, lambda: spark.table(name).count() >= 12, timeout_sec=120.0
+        )
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "chunk_start",
+        "site_id",
+        "site_name",
+        "area_name",
+        "applicable_at",
+        "cv",
+        "wi",
+    )

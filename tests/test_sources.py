@@ -257,9 +257,9 @@ def test_gas_quality_python_datasource_matches_driver_path(spark):
     driver-side route (RestSource.fetch_chunks + flatten_gas_quality)
     over the same windows — one task per 2-day chunk."""
     from gas_data_pipeline_spark.sources.pyds import (
-        GasQualityRestDataSource,
         GasQualityRestReader,
         fixture_transport,
+        register_gas_quality_source,
     )
     from gas_data_pipeline_spark.sources.rest import (
         RestSource,
@@ -267,7 +267,7 @@ def test_gas_quality_python_datasource_matches_driver_path(spark):
         json_batch_to_df,
     )
 
-    spark.dataSource.register(GasQualityRestDataSource)
+    register_gas_quality_source(spark)
     df = (
         spark.read.format("gas_quality_rest")
         .option("start", "2024-01-01")
@@ -313,14 +313,14 @@ def test_gas_quality_stream_datasource_tails_the_window(spark, tmp_path):
     as executor tasks, and the union of all micro-batches equals the
     batch backfill over the same window — same rows, either route."""
     from gas_data_pipeline_spark.sources.pyds import (
-        GasQualityRestDataSource,
         GasQualityRestStreamReader,
+        register_gas_quality_source,
     )
     from gas_data_pipeline_spark.streaming.incremental import (
         await_processed_batches,
     )
 
-    spark.dataSource.register(GasQualityRestDataSource)
+    register_gas_quality_source(spark)
     opts = {
         "start": "2024-01-01",
         "end": "2024-01-06",
