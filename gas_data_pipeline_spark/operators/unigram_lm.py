@@ -1,0 +1,257 @@
+"""Distributed unigram-LM tokenizer training (SentencePiece's unigram
+model, Kudo 2018 "Subword Regularization") — the EM counterpart of
+``operators/bpe.py``: where BPE greedily merges, the unigram model
+starts from an over-complete substring vocabulary and re-estimates
+piece probabilities by Viterbi-EM, so the final vocabulary is the one
+the corpus itself scores highest.
+
+Same scale trick as BPE: train on the DISTINCT-WORD frequency table
+(segmentations never cross word boundaries, so piece statistics over
+the word table weighted by frequency equal corpus statistics), which
+keeps every stage vocab-sized while the corpus is 100 TB.
+
+Per EM round the engine does exactly two bounded things:
+
+- **E-step (Viterbi segmentation)**: each word's best segmentation
+  under the current model — a PER-ROW dynamic program expressed as a
+  higher-order-function fold over character positions (JVM codegen,
+  zero shuffle, no Python): the model is a ~vocab-sized map literal
+  riding the task closure, so the scan never joins or shuffles.
+- **M-step**: explode the chosen pieces weighted by word frequency,
+  one map-side-combinable sum to piece-count rows, then a bounded
+  collect of the piece table (a model, not data) to rebuild the map.
+
+Exactness devices (the oracle replays the identical DP in SQL):
+
+- Piece log-probs are quantized to BIGINT fixed point (x 1e9) ONCE
+  per piece in the model table, so every Viterbi cost is an integer
+  sum — exact, association-order-free, and tie-behavior identical in
+  both engines. The quantizing ``ln`` runs in the DRIVER's Python
+  (libm), the same library DuckDB's ``ln`` binds, so even the 1-ulp
+  fringe agrees.
+- Argmax tie-break is (cost, piece_len) lexicographic max: on equal
+  cost the LONGER piece wins — one rule, both engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gas_data_pipeline_spark.functions.exprs import bind
+
+
+def unigram_seed_counts(
+    words: DataFrame, *, max_piece: int = 4
+) -> DataFrame:
+    """Seed statistics: every substring of length 1..max_piece of
+    every distinct word, weighted by word frequency — the tractable
+    stand-in for SentencePiece's suffix-array seed. One bounded row
+    expansion (<= len x max_piece rows per word) over the vocab-sized
+    word table, then a map-side-combinable sum."""
+    pieces = words.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda pos: F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(max_piece)),
+                            lambda ln: F.when(
+                                pos + ln - 1 <= F.length("word"),
+                                F.col("word").substr(pos, ln),
+                            ),
+                        ),
+                        lambda p: p.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    return pieces.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+
+
+def seed_vocabulary(
+    seed_counts: DataFrame, *, n_multi: int = 96
+) -> list[tuple[str, int]]:
+    """Bounded seed vocabulary: ALL single characters (so every word
+    stays segmentable) plus the top ``n_multi`` multi-character
+    substrings by (count desc, piece asc). The two top-k pulls are
+    bounded summaries — a model, not data."""
+    chars = (
+        seed_counts.filter(F.length("piece") == 1)
+        .orderBy("piece")
+        .collect()
+    )
+    multis = (
+        seed_counts.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(n_multi)
+        .collect()
+    )
+    return [(r["piece"], int(r["cnt"])) for r in chars + multis]
+
+
+def lp_fixed_point(vocab: list[tuple[str, int]]) -> dict[str, int]:
+    """Quantized log-probabilities ``round(ln(cnt/total) * 1e9)`` for
+    a (piece, cnt) vocabulary. Computed with PYTHON's ``math.log``
+    (glibc libm — the same binding DuckDB's ``ln`` resolves to), so
+    the oracle's quantization is bit-identical, which a JVM-side
+    ``F.log`` could miss by one ulp."""
+    total = sum(c for _, c in vocab)
+    return {p: round(math.log(c / total) * 1e9) for p, c in vocab}
+
+
+def _lp_map(lps: dict[str, int]) -> Column:
+    pairs: list[Column] = []
+    for piece, lp in sorted(lps.items()):
+        pairs.append(F.lit(piece))
+        pairs.append(F.lit(lp).cast("bigint"))
+    return F.create_map(*pairs)
+
+
+def viterbi_segment(
+    words: DataFrame, lps: dict[str, int], *, max_piece: int = 4
+) -> DataFrame:
+    """E-step: per-word Viterbi segmentation under the model — one
+    ZERO-SHUFFLE scan. The DP fold carries ``best[0..i]`` costs
+    (fixed-point BIGINT, NULL = unreachable) plus backpointers, then a
+    second fold backtraces the chosen pieces. Unreachable prefixes
+    propagate as NULL and vanish at the next reachable boundary; the
+    word itself is always segmentable because the vocabulary keeps
+    every piece of its previous segmentation (round 1: every single
+    character).
+
+    Returns word, freq, pieces (the segmentation), n_pieces, and the
+    word's total fixed-point log-prob ``lp_fp``."""
+    word = F.col("word")
+    n = F.length(word)
+    model = _lp_map(lps)
+
+    def dp_step(acc, i):
+        cands = []
+        for j in range(1, max_piece + 1):
+            piece = word.substr(i - F.lit(j) + 1, F.lit(j))
+            prev = F.get(acc["costs"], i - j)  # 0-based: best[i-j]
+            lp = F.element_at(model, piece)
+            cands.append(
+                F.when(
+                    (F.lit(j) <= i) & prev.isNotNull() & lp.isNotNull(),
+                    F.struct(
+                        (prev + lp).alias("cost"), F.lit(j).alias("j")
+                    ),
+                )
+            )
+        best = F.array_max(
+            F.filter(F.array(*cands), lambda c: c.isNotNull())
+        )
+        return F.struct(
+            F.concat(acc["costs"], F.array(best["cost"])).alias("costs"),
+            F.concat(acc["bps"], F.array(best["j"])).alias("bps"),
+        )
+
+    dp_init = F.struct(
+        F.array(F.lit(0).cast("bigint")).alias("costs"),
+        F.array().cast("array<int>").alias("bps"),
+    )
+    dp = F.aggregate(F.sequence(F.lit(1), n), dp_init, dp_step)
+
+    def bt_step(acc, _):
+        pos = acc["pos"]
+        j = F.get(acc["bps"], pos - 1)  # 0-based: bps for position pos
+        piece = word.substr(pos - j + 1, j)
+        return F.when(
+            pos > 0,
+            F.struct(
+                (pos - j).alias("pos"),
+                acc["bps"].alias("bps"),
+                F.concat(F.array(piece), acc["pieces"]).alias("pieces"),
+            ),
+        ).otherwise(acc)
+
+    def bt_init(d):
+        return F.struct(
+            n.alias("pos"),
+            d["bps"].alias("bps"),
+            F.array().cast("array<string>").alias("pieces"),
+        )
+
+    # the DP fold feeds both the backtrace and lp_fp — let-bind it so
+    # the quadratic-ish per-row work runs once, not twice.
+    out = bind(
+        dp,
+        lambda d: bind(
+            F.aggregate(
+                F.sequence(F.lit(1), n),
+                bt_init(d),
+                bt_step,
+                lambda acc: acc["pieces"],
+            ),
+            lambda pieces: F.struct(
+                pieces.alias("pieces"),
+                F.size(pieces).cast("bigint").alias("n_pieces"),
+                F.element_at(d["costs"], n + 1).alias("lp_fp"),
+            ),
+        ),
+    )
+    # ``sequence(1, 0)`` is the DESCENDING [1, 0] in Spark — an empty
+    # word would run phantom fold steps (the BPE empty-word bug class);
+    # it has the empty segmentation with probability 1 by definition.
+    empty = F.struct(
+        F.array().cast("array<string>").alias("pieces"),
+        F.lit(0).cast("bigint").alias("n_pieces"),
+        F.lit(0).cast("bigint").alias("lp_fp"),
+    )
+    return words.select(
+        "word", "freq", F.inline(F.array(F.when(n < 1, empty).otherwise(out)))
+    )
+
+
+def piece_counts(segmented: DataFrame) -> DataFrame:
+    """M-step statistics: frequency-weighted piece counts from the
+    chosen segmentations — one map-side-combinable sum to vocab-sized
+    rows."""
+    return (
+        segmented.select(
+            "freq", F.explode("pieces").alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def unigram_train(
+    words: DataFrame,
+    *,
+    em_rounds: int = 2,
+    max_piece: int = 4,
+    n_multi: int = 96,
+) -> tuple[list[tuple[str, int]], DataFrame]:
+    """Full training loop: seed vocabulary -> ``em_rounds`` of
+    (Viterbi E-step, count M-step). Pieces whose expected count drops
+    to zero leave the vocabulary (the hard-EM analogue of
+    SentencePiece's pruning schedule); every surviving word keeps its
+    previous segmentation available, so the corpus stays segmentable
+    and the Viterbi objective is non-decreasing round over round
+    (pinned in tests/test_unigram.py).
+
+    Returns ``(vocab, segmented)``: the final (piece, count) list and
+    the final segmentation DataFrame."""
+    if em_rounds < 1:
+        raise ValueError("em_rounds must be >= 1")
+    vocab = seed_vocabulary(
+        unigram_seed_counts(words, max_piece=max_piece), n_multi=n_multi
+    )
+    segmented: DataFrame | None = None
+    for _ in range(em_rounds):
+        lps = lp_fixed_point(vocab)
+        segmented = viterbi_segment(
+            words, lps, max_piece=max_piece
+        ).localCheckpoint(eager=True)
+        counts = piece_counts(segmented).collect()
+        vocab = sorted((r["piece"], int(r["cnt"])) for r in counts)
+    assert segmented is not None
+    return vocab, segmented

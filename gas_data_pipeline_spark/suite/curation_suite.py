@@ -1111,3 +1111,178 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_symbols",
         F.round(F.col("n_chars") / F.col("n_symbols"), 6).alias("compression"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (X8 continued, round 7)
+# ---------------------------------------------------------------------------
+
+# Compute-once seam (same discipline as _corpus_bpe_training): both
+# unigram queries train the same 2 EM rounds on the shared BPE word
+# table; cache the final vocabulary and segmentation per
+# (application, sf_dir). A production deployment persists the model.
+_UNIGRAM_CACHE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
+def _corpus_unigram_training(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, DataFrame]:
+    from gas_data_pipeline_spark.operators.unigram_lm import unigram_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _UNIGRAM_CACHE.get(key)
+    if hit is None:
+        words, _ = _corpus_bpe_training(spark, sf_dir)
+        hit = unigram_train(words, em_rounds=2, max_piece=4, n_multi=96)
+        _UNIGRAM_CACHE[key] = hit
+    return hit
+
+
+def _unigram_round_ctes(r: int) -> str:
+    """One unrolled Viterbi-EM round for the oracle: the E-step DP as
+    a recursive CTE over character positions (costs/backpointer lists
+    grow one position per iteration; LEFT JOIN LATERAL keeps
+    unreachable positions as NULLs exactly like the engine's fold),
+    the backtrace as a second recursion walking the backpointers, and
+    the M-step as a piece-count aggregate + fixed-point ln requantize."""
+    p = r - 1
+    return f"""
+        vit{r}(word, freq, i, costs, bps) AS (
+            SELECT word, freq, 0, [CAST(0 AS BIGINT)], CAST([] AS INT[])
+            FROM words0
+            UNION ALL
+            SELECT v.word, v.freq, v.i + 1,
+                   list_append(v.costs, best.cost),
+                   list_append(v.bps, best.j)
+            FROM vit{r} v LEFT JOIN LATERAL (
+                SELECT v.costs[v.i - j + 2] + m.lp_fp AS cost,
+                       CAST(j AS INT) AS j
+                FROM unnest([1, 2, 3, 4]) u(j)
+                JOIN umodel{p} m
+                  ON j <= v.i + 1
+                 AND m.piece = substring(v.word, v.i - j + 2, j)
+                 AND v.costs[v.i - j + 2] IS NOT NULL
+                ORDER BY cost DESC, j DESC
+                LIMIT 1
+            ) best ON TRUE
+            WHERE v.i < len(v.word)
+        ),
+        fin{r} AS (
+            SELECT word, freq, costs[len(word) + 1] AS lp_fp, bps
+            FROM vit{r} WHERE i = len(word)
+        ),
+        bt{r}(word, freq, bps, pos, pieces) AS (
+            SELECT word, freq, bps, len(word), CAST([] AS VARCHAR[])
+            FROM fin{r}
+            UNION ALL
+            SELECT word, freq, bps, pos - bps[pos],
+                   list_prepend(
+                       substring(word, pos - bps[pos] + 1, bps[pos]), pieces)
+            FROM bt{r} WHERE pos > 0
+        ),
+        useg{r} AS (SELECT word, freq, pieces FROM bt{r} WHERE pos = 0),
+        ucounts{r} AS (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq, unnest(pieces) AS piece FROM useg{r})
+            GROUP BY piece
+        ),
+        umodel{r} AS (
+            SELECT piece,
+                   CAST(round(ln(cnt / t.total) * 1e9) AS BIGINT) AS lp_fp
+            FROM ucounts{r}, (SELECT sum(cnt) AS total FROM ucounts{r}) t
+        )"""
+
+
+_UNIGRAM_PREFIX = f"""
+    WITH RECURSIVE w0 AS (
+        SELECT unnest({_WORDS_SQL}) AS word FROM documents
+    ),
+    words0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM w0 WHERE len(word) BETWEEN 2 AND 12 GROUP BY word
+    ),
+    seedpieces AS (
+        SELECT substring(word, pos, l) AS piece, sum(freq) AS cnt
+        FROM words0,
+             unnest(range(1, len(word) + 1)) t(pos),
+             unnest(range(1, 5)) u(l)
+        WHERE pos + l - 1 <= len(word)
+        GROUP BY 1
+    ),
+    uvocab0 AS (
+        SELECT piece, cnt FROM seedpieces WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM seedpieces WHERE len(piece) >= 2
+            ORDER BY cnt DESC, piece ASC LIMIT 96)
+    ),
+    umodel0 AS (
+        SELECT piece, CAST(round(ln(cnt / t.total) * 1e9) AS BIGINT) AS lp_fp
+        FROM uvocab0, (SELECT sum(cnt) AS total FROM uvocab0) t
+    ),{_unigram_round_ctes(1)},{_unigram_round_ctes(2)}
+"""
+
+
+@register(
+    "unigram_lm_train_vocab",
+    oracle=_UNIGRAM_PREFIX
+    + """
+        SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, cnt,
+               round(cnt / t.total, 6) AS prob
+        FROM ucounts2, (SELECT sum(cnt) AS total FROM ucounts2) t
+    """,
+)
+def unigram_lm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, the EM way: a SentencePiece-style unigram
+    LM (Kudo 2018) trained with 2 Viterbi-EM rounds over the same
+    distinct-word frequency table the BPE trainer uses — seed with
+    every <=4-char substring (all chars + top-96 multis), segment
+    every word by a per-row HOF dynamic program under the broadcast
+    model, re-estimate piece probabilities from the chosen
+    segmentations, repeat. Returns the final vocabulary with expected
+    counts and probabilities. Per round: one ZERO-SHUFFLE scan for the
+    E-step (the model is a map literal) and one map-side-combinable
+    piece-count aggregate for the M-step — vocab-sized everything, the
+    100 TB-safe shape (`operators/unigram_lm.py`). The oracle replays
+    both EM rounds exactly: the Viterbi DP as a recursive CTE with
+    fixed-point integer costs, so argmax ties and unreachable
+    positions agree bit-for-bit."""
+    vocab, _ = _corpus_unigram_training(spark, sf_dir)
+    total = sum(c for _, c in vocab)
+    return spark.createDataFrame(
+        [(p, len(p), c, round(c / total, 6)) for p, c in vocab],
+        "piece string, piece_len bigint, cnt bigint, prob double",
+    )
+
+
+@register(
+    "unigram_lm_segment_words",
+    oracle=_UNIGRAM_PREFIX
+    + """
+        SELECT s.word, s.freq,
+               array_to_string(s.pieces, ' ') AS segmentation,
+               CAST(len(s.pieces) AS BIGINT) AS n_pieces,
+               round(f.lp_fp / 1e9, 6) AS logprob
+        FROM useg2 s JOIN fin2 f USING (word)
+        ORDER BY s.freq DESC, s.word LIMIT 20
+    """,
+)
+def unigram_lm_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram model applied: Viterbi segmentations and
+    total log-probs of the corpus's top-20 words — the encode-side
+    complement of `unigram_lm_train_vocab` exactly as
+    `bpe_encode_corpus` complements `bpe_train_merge_rules`. Shares
+    the session-cached training via `_corpus_unigram_training`; the
+    top-20 pull is a bounded TakeOrdered summary."""
+    _, seg = _corpus_unigram_training(spark, sf_dir)
+    return (
+        seg.orderBy(F.desc("freq"), "word")
+        .limit(20)
+        .select(
+            "word",
+            "freq",
+            F.array_join("pieces", " ").alias("segmentation"),
+            "n_pieces",
+            F.round(F.col("lp_fp") / 1e9, 6).alias("logprob"),
+        )
+    )
