@@ -79,6 +79,15 @@ SCALE_PROBE_QUERIES = (
     # should both show scan-bound (near-linear or better) growth.
     "dsir_importance_select",
     "cms_heavy_hitters_merge",
+    # round-7 continuation: the unigram trainer's claim — only the
+    # word-count aggregate is corpus-sized; every EM stage is
+    # vocab-sized with a zero-shuffle E-step — should show strongly
+    # sublinear growth (8x the corpus, the same distinct-word table).
+    # CCNet's vocab-broadcast LM join should stay scan-bound, and the
+    # k-center loop is k linear passes + bounded top-1 reduces.
+    "unigram_lm_train_vocab",
+    "ccnet_perplexity_buckets",
+    "coreset_kcenter_select",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

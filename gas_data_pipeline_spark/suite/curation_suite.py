@@ -1286,3 +1286,118 @@ def unigram_lm_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("lp_fp") / 1e9, 6).alias("logprob"),
         )
     )
+
+
+# Source-scoped gram twin of _GRAMS5_SQL (same split + distinct).
+_SRC_GRAMS5_SQL = """
+        SELECT source, unnest(list_distinct([
+                   words[x] || ' ' || words[x+1] || ' ' || words[x+2]
+                           || ' ' || words[x+3] || ' ' || words[x+4]
+                   FOR x IN range(1, greatest(len(words) - 3, 1))
+               ])) AS gram
+        FROM (SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+              FROM documents)
+"""
+
+
+@register(
+    "contamination_source_matrix",
+    oracle=f"""
+        WITH grams AS ({_SRC_GRAMS5_SQL}),
+        sg AS (SELECT DISTINCT source, gram FROM grams),
+        sizes AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_common
+            FROM sg a JOIN sg b
+              ON a.gram = b.gram AND a.source <> b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+               round(n_common / sa.n, 6) AS containment,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.source = source_a
+        JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def contamination_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-DATASET contamination matrix: word-5-gram containment and
+    Jaccard between every pair of sources — the corpus-granularity
+    leakage audit that decides whether two feeds are near-copies
+    before any doc-level dedup runs (the dataset-card "overlap with"
+    row; `curation_contamination` is the doc-vs-benchmark sibling).
+
+    Shuffle discipline: ONE corpus-sized exchange (gram-keyed
+    ``collect_set(source)`` with map-side partials); each gram's
+    <=|sources|-sized set then emits its ordered pairs AND its size
+    singletons in the SAME pass (never a gram self-join, which would
+    scan and shuffle the corpus twice — and a naive
+    pairs-plus-separate-sizes formulation re-runs the gram aggregate
+    three times, which is what this shape exists to avoid), aggregating
+    straight to a sources^2-sized summary. That summary is
+    checkpointed, so deriving the matrix never re-touches the
+    corpus."""
+    from gas_data_pipeline_spark.operators.dedup import word_shingles
+
+    docs = spread_scan(table(spark, sf_dir, "documents").select("source", "text"))
+    grams = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 5)).alias("gram")
+    )
+    per_gram = grams.groupBy("gram").agg(F.collect_set("source").alias("srcs"))
+    # per gram: singleton (a, NULL) per member + every ordered pair —
+    # sizes and intersections come out of one corpus pass.
+    cells = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda a: F.concat(
+                        F.array(
+                            F.struct(
+                                a.alias("a"),
+                                F.lit(None).cast("string").alias("b"),
+                            )
+                        ),
+                        F.transform(
+                            F.filter(F.col("srcs"), lambda b: b != a),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    stats = (
+        cells.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # sources^2 rows — a summary
+    )
+    sizes = stats.filter(F.col("b").isNull()).select("a", F.col("cnt").alias("n"))
+    pairs = stats.filter(F.col("b").isNotNull()).select(
+        F.col("a").alias("source_a"),
+        F.col("b").alias("source_b"),
+        F.col("cnt").alias("n_common"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("a").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("a").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(F.col("n_common") / n_a, 6).alias("containment"),
+            F.round(F.col("n_common") / (n_a + n_b - F.col("n_common")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -612,3 +612,15 @@ def test_q5_broadcasts_dims_and_pushes_date(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_contamination_matrix_never_rescans_corpus(spark):
+    """contamination_source_matrix's one corpus pass happens inside the
+    checkpointed sources^2 summary: the returned plan must derive the
+    matrix from that summary alone — no parquet FileScan (a naive
+    pairs + separate-sizes formulation re-runs the gram aggregate
+    three times), and the size lookups broadcast."""
+    plan = _plan(spark, "contamination_source_matrix")
+    assert "FileScan" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
