@@ -525,3 +525,66 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.coalesce(F.col("from_v2"), F.lit(False)).alias("from_v2"),
     )
+
+
+@register(
+    "observe_ingest_metrics",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_props,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+               CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+                   AS value_fp_sum,
+               CAST(count(*) AS BIGINT) AS landed_rows
+        FROM events WHERE event_id % 4 = 0
+    """,
+)
+def observe_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass ingest observability (``df.observe``): data-quality
+    metrics — row count, null-payload count, event-time bounds, a
+    fixed-point value checksum — ride the bronze WRITE action itself
+    as Spark observed metrics, so the batch is scanned exactly ONCE
+    for landing + metrics (the reference logs per-run counts from a
+    second query; at 100 TB a metrics re-scan is a second pass over
+    the feed). ``landed_rows`` re-counts the written bronze partition
+    (count-only columnless scan) to close the zero-loss loop:
+    landed == observed. The oracle recomputes every metric from the
+    source slice — the observed values must match a full SQL
+    recomputation exactly."""
+    from pyspark.sql import Observation
+
+    src = table(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
+    obs = Observation("ingest_metrics")
+    watched = src.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("props").isNull(), 1).otherwise(0)
+        ).alias("n_null_props"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.sum(F.round(F.col("value") * 1e6, 0).cast("bigint")).alias(
+            "value_fp_sum"
+        ),
+    )
+    root = _scratch()
+    bronze = f"{root}/bronze"
+    bronze_append(watched, "ds_observe", "events_feed", bronze)
+    m = obs.get
+    landed = read_bronze(spark, bronze, "ds_observe").count()
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_props"],
+                m["min_ts"],
+                m["max_ts"],
+                m["value_fp_sum"],
+                landed,
+            )
+        ],
+        "n_rows bigint, n_null_props bigint, min_ts string, "
+        "max_ts string, value_fp_sum bigint, landed_rows bigint",
+    )
