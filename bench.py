@@ -120,7 +120,7 @@ def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
     out_dir = os.path.join(
         os.environ.get("TMPDIR", "/tmp"),
-        f"spark_graft_scale_probe_{base}_x{factor}",
+        f"spark_graft_scale_probe_{base}_x{factor}v2",
     )
     marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
@@ -153,13 +153,21 @@ def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
             # disjoint from every other copy while preserving
             # within-copy near-dup structure: factor independent
             # corpora of the same shape, which is the probe's premise.
+            # The prefix is ONE digit, not two letters: per-word DP /
+            # shingle / split work is O(word length), and on this
+            # corpus's 4.5-char average a 2-char prefix inflates every
+            # copy's per-row work by ~44% — enough to push a perfectly
+            # linear vocab trainer over the 1.5 per-copy flag line.
+            # A digit is collision-free here (the corpus has no
+            # digit-leading tokens, so copy i's words can't alias copy
+            # 0's or copy j's).
             if t == "documents" and i > 0:
                 c = c.withColumn(
                     "text",
                     F.array_join(
                         F.transform(
                             F.split(F.col("text"), " "),
-                            lambda w: F.concat(F.lit(f"c{i}"), w),
+                            lambda w: F.concat(F.lit(str(i)), w),
                         ),
                         " ",
                     ),

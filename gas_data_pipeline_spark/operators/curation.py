@@ -412,3 +412,70 @@ def domain_cap(
         .withColumn("n_in_domain", F.count(F.lit(1)).over(wd).cast("bigint"))
         .filter(F.col("domain_rank") <= k)
     )
+
+
+def shard_pack(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = (),
+    *,
+    shard_size: int = 64,
+    seed: str = "shard-v1",
+) -> DataFrame:
+    """Pack the corpus into fixed-size training shards in seeded
+    shuffle order — the webdataset/TFRecord sharding step that turns
+    a curated corpus into the unit a data loader streams. Shard ``s``
+    holds global shuffle ranks ``[s*size+1, (s+1)*size]``, so the
+    assignment is deterministic, resumable, and independent of
+    cluster layout.
+
+    Same two-level rank as :func:`seeded_shuffle_rank` (the md5 key's
+    first byte partitions the global order into 256 contiguous
+    ranges; counts are a 256-row broadcast; within-range ranks are
+    ordinary partitioned windows) with the payload columns carried
+    through, so no corpus-sized self-join is needed to reunite ranks
+    with rows. At 100 TB the only full-data exchange is the 256-way
+    bucket hash partition; every sort touches 1/256th of the corpus.
+
+    Returns ``id_col``, the payload columns, ``shuffle_rank``, and
+    ``shard_id``.
+    """
+    from pyspark.sql.window import Window
+
+    key = shuffle_key(F.col(id_col), seed)
+    keyed = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in payload_cols],
+        key.alias("skey"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bucket"),
+    )
+    counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "_bucket",
+        (
+            F.sum("n").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("n")
+        ).alias("_offset"),
+    )
+    ranked = keyed.withColumn(
+        "_bucket_rank",
+        F.row_number().over(
+            Window.partitionBy("_bucket").orderBy("skey", id_col)
+        ),
+    )
+    rank = (F.col("_offset") + F.col("_bucket_rank")).cast("bigint")
+    return (
+        ranked.join(F.broadcast(offsets), "_bucket")
+        .select(
+            id_col,
+            *payload_cols,
+            rank.alias("shuffle_rank"),
+            F.floor((rank - 1) / F.lit(float(shard_size)))
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )

@@ -1401,3 +1401,72 @@ def contamination_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size training shards (webdataset/TFRecord packing)
+# ---------------------------------------------------------------------------
+
+_SHARD_SIZE = 64
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"""
+        WITH k AS (
+            SELECT doc_id,
+                   md5('shard-v1:' || CAST(doc_id AS VARCHAR)) AS skey,
+                   len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS n_tokens
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY skey, doc_id) AS rnk
+            FROM k
+        )
+        SELECT CAST(floor((rnk - 1) / {_SHARD_SIZE}.0) AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               min(rnk) AS first_rank,
+               max(rnk) AS last_rank,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+        FROM r GROUP BY 1
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-packing manifest: assign every curated document to a
+    fixed-size training shard in seeded shuffle order and emit the
+    shard catalog a data loader consumes — doc/token counts, the
+    global-rank boundaries proving shards are contiguous and
+    gap-free, and two id checksums that pin the exact membership of
+    every shard (sum + xor: any swapped, dropped, or duplicated doc
+    moves at least one of them). The packing step between curation
+    and the training loop in webdataset/TFRecord pipelines.
+
+    Scale shape: the global permutation comes from the two-level
+    md5-prefix rank (256 contiguous key ranges, 256-row broadcast
+    offsets, per-range window sorts — never a single-partition global
+    sort), the payload rides the rank pipeline so there is NO
+    corpus-sized self-join, and the manifest aggregate exchanges
+    shard-sized rows (`operators/curation.py:shard_pack`)."""
+    from gas_data_pipeline_spark.operators.curation import shard_pack
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "n_tokens"
+        ),
+    )
+    packed = shard_pack(
+        docs, "doc_id", ("n_tokens",), shard_size=_SHARD_SIZE
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("shuffle_rank").alias("first_rank"),
+        F.max("shuffle_rank").alias("last_rank"),
+        F.sum("doc_id").alias("id_sum"),
+        F.bit_xor("doc_id").alias("id_xor"),
+    )

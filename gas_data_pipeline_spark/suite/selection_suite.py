@@ -618,3 +618,190 @@ def coreset_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_assigned",
         F.round(F.col("max_fp") / 1e6, 6).alias("radius"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (full-batch GD, hashing trick)
+# ---------------------------------------------------------------------------
+
+
+def _qc_iter(i: int) -> str:
+    """One unrolled GD iteration as DuckDB CTEs: score every doc under
+    the previous snapshot (hard sigmoid of the fixed-point margin),
+    aggregate the error-weighted bucket counts into the gradient, and
+    step the weights — the exact integer/IEEE arithmetic of
+    operators/classifier.py, so the whole trajectory replays
+    bit-for-bit."""
+    prev = f"qc_w{i - 1}"
+    return f"""
+    qc_e{i} AS (
+        SELECT d.doc_id, d.y_fp,
+               least(greatest(CAST(floor((
+                   (SELECT w FROM {prev} WHERE bucket = -1)
+                   + coalesce(s.zz, 0)) / 4.0) AS BIGINT) + 500000,
+                   0), 1000000) - d.y_fp AS e
+        FROM qc_docs d
+        LEFT JOIN (
+            SELECT x.doc_id, sum(x.x * w.w) AS zz
+            FROM qc_x x JOIN {prev} w USING (bucket) GROUP BY 1
+        ) s USING (doc_id)
+    ),
+    qc_g{i} AS (
+        SELECT x.bucket, sum(e.e * x.x) AS g
+        FROM qc_x x JOIN qc_e{i} e USING (doc_id) GROUP BY 1
+        UNION ALL SELECT -1, sum(e) FROM qc_e{i}
+    ),
+    qc_w{i} AS (
+        SELECT w.bucket, w.w - CAST(floor(g.g * 0.0625 / n) AS BIGINT) AS w
+        FROM {prev} w JOIN qc_g{i} g USING (bucket), qc_n
+    )"""
+
+
+_QC_CTES = f"""
+    qc_wd AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y_fp,
+               unnest({_WS_SQL}) AS word
+        FROM documents
+    ),
+    qc_x AS (
+        SELECT doc_id, y_fp,
+               {_bucket_sql('word', 'qclf-v1', 64)} AS bucket,
+               count(*) AS x
+        FROM qc_wd GROUP BY 1, 2, 3
+    ),
+    qc_docs AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y_fp
+        FROM documents
+    ),
+    qc_n AS (SELECT count(*) AS n FROM qc_docs),
+    qc_w0 AS (
+        SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM qc_x
+        UNION ALL SELECT -1, CAST(0 AS BIGINT)
+    ),{_qc_iter(1)},{_qc_iter(2)},{_qc_iter(3)}
+"""
+
+
+@register(
+    "quality_classifier_train",
+    oracle=f"""
+        WITH {_QC_CTES}
+        SELECT w1.bucket, w1.w AS w1_fp, w2.w AS w2_fp, w3.w AS w3_fp
+        FROM qc_w1 w1
+        JOIN qc_w2 w2 USING (bucket)
+        JOIN qc_w3 w3 USING (bucket)
+    """,
+)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of the GPT-3-style quality discriminator
+    (Brown et al. 2020 §A: classify reference-corpus vs crawl, here
+    English docs vs the rest): hashing-trick features (64 md5
+    buckets), hard-sigmoid activation, THREE full-batch gradient
+    steps, every quantity fixed-point BIGINT so DuckDB replays the
+    entire trajectory exactly. Returns the weight snapshot after each
+    iteration — the oracle checks the whole optimization path, not
+    just the final model.
+
+    Scale shape: per iteration ONE map-side-combinable aggregate from
+    the corpus to 65 gradient rows (the reduce-side exchange is
+    partitions x 65 partial sums at any corpus size); the margin is a
+    zero-shuffle JVM fold against the weight map embedded in the task
+    closure, so no join ever touches the docs
+    (`operators/classifier.py:train_quality_classifier`)."""
+    from gas_data_pipeline_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    s1, s2, s3 = train_quality_classifier(
+        docs, _words(), F.col("lang") == "en", dim=64, iters=3
+    )
+    rows = [(b, s1[b], s2[b], s3[b]) for b in sorted(s3)]
+    return spark.createDataFrame(
+        rows, "bucket bigint, w1_fp bigint, w2_fp bigint, w3_fp bigint"
+    )
+
+
+@register(
+    "quality_classifier_filter",
+    oracle=f"""
+        WITH {_QC_CTES},
+        qc_p AS (
+            SELECT d.doc_id, d.lang, d.y_fp,
+                   least(greatest(CAST(floor((
+                       (SELECT w FROM qc_w3 WHERE bucket = -1)
+                       + coalesce(s.zz, 0)) / 4.0) AS BIGINT) + 500000,
+                       0), 1000000) AS p_fp
+            FROM qc_docs d
+            LEFT JOIN (
+                SELECT x.doc_id, sum(x.x * w.w) AS zz
+                FROM qc_x x JOIN qc_w3 w USING (bucket) GROUP BY 1
+            ) s USING (doc_id)
+        ),
+        qc_keep AS (
+            SELECT *,
+                   CAST(floor(
+                       CAST(concat('0x', substring(md5(
+                           'qcf-draw:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                           AS BIGINT) / 4503599627370496.0 * 1000000.0)
+                       AS BIGINT) AS u_fp
+            FROM qc_p
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN p_fp > u_fp THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN (p_fp >= 500000) = (y_fp = 1000000)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(sum(p_fp) / (count(*) * 1000000.0), 6) AS mean_score
+        FROM qc_keep
+        GROUP BY lang
+    """,
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of the trained discriminator — GPT-3's
+    stochastic acceptance rule (keep a document when its classifier
+    score beats a deterministic per-doc uniform draw, so high-score
+    docs are kept with probability ~score instead of a hard cutoff
+    that would collapse the tail). Reports per-language admission
+    counts, train-label agreement, and mean score.
+
+    Scale shape: training reuses the 3-iteration trainer (one 65-row
+    aggregate per iteration); scoring embeds the final snapshot as a
+    map literal and runs as ONE zero-shuffle scan over the corpus
+    (fold + hard sigmoid + md5 draw are all native expressions); the
+    only data-sized exchange is the final 5-row language rollup."""
+    from gas_data_pipeline_spark.operators.classifier import (
+        score_fp,
+        train_quality_classifier,
+    )
+    from gas_data_pipeline_spark.operators.curation import uniform_draw
+
+    docs = table(spark, sf_dir, "documents")
+    snaps = train_quality_classifier(
+        docs, _words(), F.col("lang") == "en", dim=64, iters=3
+    )
+    p = score_fp(docs, _words(), snaps[-1], dim=64)
+    u = (
+        F.floor(uniform_draw(F.col("doc_id"), "qcf-draw") * F.lit(1e6))
+        .cast("bigint")
+    )
+    scored = docs.select(
+        "lang",
+        (F.col("lang") == "en").alias("is_en"),
+        p.alias("p_fp"),
+        u.alias("u_fp"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("p_fp") > F.col("u_fp"), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.sum(
+            F.when((F.col("p_fp") >= 500000) == F.col("is_en"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.round(F.sum("p_fp") / (F.count(F.lit(1)) * F.lit(1e6)), 6).alias(
+            "mean_score"
+        ),
+    )

@@ -276,3 +276,54 @@ def test_token_budget_no_full_data_global_window(spark):
     # The only unpartitioned window is the <=n_buckets-row offsets
     # prefix sum, which orders by the slab id.
     assert len(unpart) == 1 and unpart[0].startswith("_bkt")
+
+
+def test_shard_pack_contiguous_gapfree_and_complete(spark, tmp_path):
+    """Shard packing invariants: every doc lands in exactly one shard,
+    shards hold contiguous rank ranges [s*size+1, (s+1)*size] with no
+    gaps, only the last shard is partial — and the packed frame
+    round-trips through a partitioned parquet write (the actual shard
+    layout a loader reads) with membership intact."""
+    from gas_data_pipeline_spark.operators.curation import shard_pack
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n_chars2")
+    )
+    n = docs.count()
+    size = 16
+    packed = shard_pack(docs, "doc_id", ("n_chars2",), shard_size=size)
+    pdf = packed.toPandas().sort_values("shuffle_rank")
+    assert sorted(pdf.shuffle_rank) == list(range(1, n + 1))
+    assert len(pdf) == pdf.doc_id.nunique()
+    n_shards = -(-n // size)
+    assert sorted(pdf.shard_id.unique()) == list(range(n_shards))
+    for s, grp in pdf.groupby("shard_id"):
+        lo, hi = int(grp.shuffle_rank.min()), int(grp.shuffle_rank.max())
+        assert lo == s * size + 1
+        assert hi - lo + 1 == len(grp)
+        expect = size if s < n_shards - 1 else n - size * (n_shards - 1)
+        assert len(grp) == expect
+    out = str(tmp_path / "shards")
+    packed.write.partitionBy("shard_id").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.select("shard_id").distinct().count() == n_shards
+    assert (
+        back.agg(F.sum("doc_id")).collect()[0][0]
+        == pdf.doc_id.astype("int64").sum()
+    )
+
+
+def test_shard_pack_no_global_sort_partition(spark):
+    """The corpus-sized rank window is PARTITIONED by the md5-prefix
+    bucket (256 ranges) and offsets arrive via a broadcast join — the
+    only single-partition window in the plan is the 256-row offsets
+    prefix sum, never a corpus-wide sort."""
+    from gas_data_pipeline_spark.operators.curation import shard_pack
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id")
+    packed = shard_pack(docs, "doc_id", (), shard_size=16)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # row_number runs under a windowspec partitioned on the bucket.
+    assert "windowspecdefinition(_bucket" in plan

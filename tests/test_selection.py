@@ -336,3 +336,146 @@ def test_ccnet_lm_join_is_broadcast(spark):
     plan = _plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (full-batch GD)
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_gradient_step_matches_hand_computation(spark):
+    """First GD step on a 3-doc toy corpus, checked against the exact
+    arithmetic by hand: at w0 = 0 every doc scores p = FP/2, so
+    e_d = FP/2 - y_d and g_j = sum(e_d * x_dj) with the bias counting
+    each doc once."""
+    import math
+
+    from gas_data_pipeline_spark.operators.classifier import (
+        BIAS_BUCKET,
+        FP,
+        train_quality_classifier,
+    )
+    from gas_data_pipeline_spark.operators.selection import portable_bucket
+
+    rows = [(1, "alpha beta", 1), (2, "alpha", 0), (3, "gamma gamma", 0)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, y int")
+    words = F.split(F.col("text"), r"\s+")
+    (w1,) = train_quality_classifier(
+        df, words, F.col("y") == 1, dim=8, iters=1, eta=0.5
+    )
+    buckets = {
+        r["word"]: r["b"]
+        for r in df.select(F.explode(words).alias("word"))
+        .select("word", portable_bucket(F.col("word"), "qclf-v1", 8).alias("b"))
+        .distinct()
+        .collect()
+    }
+    # e: doc1 = -FP/2 (target), docs 2,3 = +FP/2 — one addend per
+    # word OCCURRENCE, accumulated by bucket (collision-safe).
+    expected: dict[int, int] = {BIAS_BUCKET: (-FP // 2) + (FP // 2) * 2}
+    occurrences = [
+        ("alpha", -FP // 2),  # doc 1
+        ("beta", -FP // 2),  # doc 1
+        ("alpha", FP // 2),  # doc 2
+        ("gamma", FP // 2),  # doc 3
+        ("gamma", FP // 2),  # doc 3
+    ]
+    for word, e in occurrences:
+        expected[buckets[word]] = expected.get(buckets[word], 0) + e
+    for b, g in expected.items():
+        assert w1[b] == -math.floor(g * 0.5 / 3), (b, g, w1)
+    # Buckets no word hashed into never enter the model.
+    assert set(w1) == set(expected)
+
+
+def test_classifier_training_is_partitioning_invariant(spark):
+    """Weight snapshots are integer sums + driver-side IEEE steps, so
+    the layout of the corpus across partitions cannot move a single
+    fixed-point unit in any iteration."""
+    from gas_data_pipeline_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark)
+    base = train_quality_classifier(
+        docs, _words(), F.col("lang") == "en", iters=3
+    )
+    shuffled = train_quality_classifier(
+        docs.repartition(7), _words(), F.col("lang") == "en", iters=3
+    )
+    assert base == shuffled
+
+
+def test_classifier_training_improves_train_accuracy(spark):
+    """Three GD steps must beat the iteration-0 model (w = 0 predicts
+    p = 1/2 everywhere, i.e. 'everything is target') on the training
+    labels — the descent direction is doing real work."""
+    from gas_data_pipeline_spark.operators.classifier import (
+        FP,
+        score_fp,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark)
+    is_en = F.col("lang") == "en"
+    snaps = train_quality_classifier(docs, _words(), is_en, iters=3)
+    scored = docs.select(
+        is_en.alias("is_en"), score_fp(docs, _words(), snaps[-1]).alias("p")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("p") >= FP // 2) == F.col("is_en"), 1).otherwise(0)
+        ).alias("ok"),
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("n_en"),
+    ).collect()[0]
+    baseline = agg["n_en"] / agg["n"]  # iteration-0 accuracy
+    assert agg["ok"] / agg["n"] > baseline
+
+
+def test_classifier_scoring_is_zero_shuffle(spark):
+    """The apply side embeds the trained snapshot as a map literal:
+    the scoring scan must contain no Join and no Exchange — the model
+    rides the task closure, the corpus never moves."""
+    from gas_data_pipeline_spark.operators.classifier import (
+        score_fp,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark)
+    snaps = train_quality_classifier(
+        docs, _words(), F.col("lang") == "en", iters=1
+    )
+    scored = docs.select(score_fp(docs, _words(), snaps[-1]).alias("p"))
+    plan = _plan_of(scored)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_classifier_gradient_aggregate_is_partial(spark):
+    """The per-iteration gradient exchange is model-sized: the plan
+    partial-aggregates before the shuffle (HashAggregate below the
+    Exchange), so 100 TB of docs send partitions x 65 partial sums,
+    never word occurrences."""
+    from gas_data_pipeline_spark.operators.classifier import (
+        BIAS_BUCKET,
+        hashed_buckets,
+    )
+
+    docs = _docs(spark)
+    grad = (
+        docs.select(
+            F.lit(1).cast("bigint").alias("e_fp"),
+            F.explode(
+                F.array_append(
+                    hashed_buckets(_words(), salt="qclf-v1", dim=64),
+                    F.lit(BIAS_BUCKET).cast("bigint"),
+                )
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("e_fp").alias("g"))
+    )
+    plan = _plan_of(grad)
+    before_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in before_exchange
