@@ -479,3 +479,41 @@ def shard_pack(
             .alias("shard_id"),
         )
     )
+
+
+def shard_append(
+    delta: DataFrame,
+    n_base: int,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = (),
+    *,
+    shard_size: int = 64,
+    seed: str = "shard-v1",
+) -> DataFrame:
+    """Append-only shard maintenance: place NEW documents into the
+    shard sequence AFTER the ``n_base`` already-sharded ones — the
+    daily-increment counterpart of :func:`shard_pack`. Delta docs are
+    ranked among themselves in seeded shuffle order and take global
+    ranks ``n_base+1 ...``, so they first top up the partial frontier
+    shard and then open fresh shards; every historical shard keeps
+    its exact membership (training runs that already consumed those
+    shards never see them change — the same append-only discipline as
+    the bronze zero-loss sink, reference app/db/repository.py's
+    insert-only path).
+
+    Scale shape: only the DELTA is ranked (same two-level md5-prefix
+    rank, 256-row broadcast offsets); the base corpus is represented
+    by the single integer ``n_base`` — incremental cost is
+    O(|delta|), independent of history size."""
+    ranked = shard_pack(
+        delta, id_col, payload_cols, shard_size=shard_size, seed=seed
+    )
+    rank = F.col("shuffle_rank") + F.lit(int(n_base))
+    return ranked.select(
+        id_col,
+        *payload_cols,
+        rank.alias("shuffle_rank"),
+        F.floor((rank - 1) / F.lit(float(shard_size)))
+        .cast("bigint")
+        .alias("shard_id"),
+    )

@@ -1470,3 +1470,90 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.bit_xor("doc_id").alias("id_xor"),
     )
+
+
+@register(
+    "training_shard_incremental",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id FROM documents WHERE doc_id % 10 != 0
+        ),
+        delta AS (
+            SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+        ),
+        rb AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5('shard-v1:' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rnk
+            FROM base
+        ),
+        nb AS (SELECT count(*) AS n FROM base),
+        rd AS (
+            SELECT doc_id,
+                   (SELECT n FROM nb) + row_number() OVER (
+                       ORDER BY md5('shard-v1:' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rnk
+            FROM delta
+        ),
+        u AS (
+            SELECT doc_id, rnk, 0 AS is_delta FROM rb
+            UNION ALL
+            SELECT doc_id, rnk, 1 AS is_delta FROM rd
+        )
+        SELECT CAST(floor((rnk - 1) / {_SHARD_SIZE}.0) AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(1 - is_delta) AS BIGINT) AS n_base_docs,
+               CAST(sum(is_delta) AS BIGINT) AS n_delta_docs,
+               min(rnk) AS first_rank,
+               max(rnk) AS last_rank,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM u GROUP BY 1
+    """,
+)
+def training_shard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only shard maintenance: yesterday's corpus (doc_id % 10
+    != 0) is already packed into shards a training run may have
+    consumed; today's delta (doc_id % 10 = 0) must join the shard
+    sequence WITHOUT moving a single historical document. Delta docs
+    rank among themselves in seeded shuffle order, take global ranks
+    after the base, top up the partial frontier shard, and open
+    fresh shards; the manifest's base/delta split proves every
+    pre-existing shard kept its exact membership while only the
+    frontier shard gained rows.
+
+    Scale shape: incremental cost is O(|delta|) — only the delta is
+    ranked (two-level md5-prefix rank, 256-row broadcast offsets)
+    and the entire base corpus enters as ONE integer (its count);
+    at 100 TB of history, a 100 GB daily increment repacks in
+    increment time (`operators/curation.py:shard_append`)."""
+    from gas_data_pipeline_spark.operators.curation import (
+        shard_append,
+        shard_pack,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    n_base = base.count()
+    packed_base = shard_pack(base, "doc_id", shard_size=_SHARD_SIZE)
+    packed_delta = shard_append(
+        delta, n_base, "doc_id", shard_size=_SHARD_SIZE
+    )
+    u = packed_base.select(
+        "doc_id", "shuffle_rank", "shard_id", F.lit(0).alias("is_delta")
+    ).unionByName(
+        packed_delta.select(
+            "doc_id", "shuffle_rank", "shard_id", F.lit(1).alias("is_delta")
+        )
+    )
+    return u.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(1 - F.col("is_delta")).alias("n_base_docs"),
+        F.sum("is_delta").alias("n_delta_docs"),
+        F.min("shuffle_rank").alias("first_rank"),
+        F.max("shuffle_rank").alias("last_rank"),
+        F.sum("doc_id").alias("id_sum"),
+    )

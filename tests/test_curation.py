@@ -327,3 +327,43 @@ def test_shard_pack_no_global_sort_partition(spark):
     assert "BroadcastHashJoin" in plan
     # row_number runs under a windowspec partitioned on the bucket.
     assert "windowspecdefinition(_bucket" in plan
+
+
+def test_shard_append_never_moves_history(spark):
+    """The append-only contract: packing base+delta incrementally
+    leaves every base doc in exactly the shard a base-only pack gave
+    it; delta fills the frontier shard to capacity before opening new
+    ones and never touches an interior shard."""
+    from gas_data_pipeline_spark.operators.curation import (
+        shard_append,
+        shard_pack,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    size = 16
+    n_base = base.count()
+    solo = shard_pack(base, "doc_id", shard_size=size).toPandas()
+    both_base = shard_pack(base, "doc_id", shard_size=size).toPandas()
+    assert solo.sort_values("doc_id").reset_index(drop=True).equals(
+        both_base.sort_values("doc_id").reset_index(drop=True)
+    )
+    appended = shard_append(delta, n_base, "doc_id", shard_size=size).toPandas()
+    frontier = (n_base - 1) // size  # last base shard
+    assert int(appended.shard_id.min()) >= frontier
+    # Global ranks continue the base sequence with no gap or overlap.
+    assert sorted(appended.shuffle_rank) == list(
+        range(n_base + 1, n_base + 1 + len(appended))
+    )
+    # Frontier shard tops up to exactly `size` before a new one opens.
+    n_total = n_base + len(appended)
+    import pandas as pd
+
+    allrows = pd.concat(
+        [solo[["doc_id", "shuffle_rank", "shard_id"]], appended]
+    )
+    per = allrows.groupby("shard_id").size()
+    for s, cnt in per.items():
+        if s < (n_total - 1) // size:
+            assert cnt == size, (s, cnt)
