@@ -88,6 +88,12 @@ SCALE_PROBE_QUERIES = (
     "unigram_lm_train_vocab",
     "ccnet_perplexity_buckets",
     "coreset_kcenter_select",
+    # round-7 continuation: the trained discriminator's claim — three
+    # 65-row gradient aggregates + a zero-shuffle scoring scan — and
+    # the shard packer's claim — per-bucket window sorts with a
+    # 256-row broadcast, no global sort — should both stay scan-bound.
+    "quality_classifier_filter",
+    "training_shard_manifest",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

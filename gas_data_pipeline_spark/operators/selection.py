@@ -402,6 +402,25 @@ def kcenter_greedy(
             "mind",
             F.least("mind", sq_dist_fp(F.col("v"), centers[-1]["vec"], quantum)),
         )
+    assigned = assign_to_centers(pts, centers, quantum=quantum)
+    return centers, assigned
+
+
+def assign_to_centers(
+    pts: DataFrame,
+    centers: list[dict],
+    *,
+    quantum: float = 1e6,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Nearest-center assignment against a FROZEN center list (the
+    apply side of k-center selection, and the coarse-quantizer routing
+    step of an IVF-style vector index): one zero-shuffle scan over an
+    ``array_sort`` of the k broadcast (dist, center) structs — ties to
+    the smallest center id, distances fixed-point so the argmin is
+    engine-exact. ``pts`` must carry ``pid`` and ``v`` columns (the
+    shape :func:`kcenter_greedy` builds); extra ``payload_cols`` ride
+    through so callers never need a corpus-sized re-join."""
     cands = F.array(
         *[
             F.struct(
@@ -412,9 +431,9 @@ def kcenter_greedy(
         ]
     )
     best = F.element_at(F.array_sort(cands), 1)
-    assigned = pts.select(
+    return pts.select(
         "pid",
+        *payload_cols,
         best["center_id"].alias("center_id"),
         best["sq_fp"].alias("sq_fp"),
     )
-    return centers, assigned

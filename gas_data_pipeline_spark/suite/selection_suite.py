@@ -805,3 +805,137 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental vector-index maintenance (frozen coarse quantizer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_index_incremental",
+    oracle=f"""
+        WITH RECURSIVE pts AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   (vec_id % 10 = 0) AS is_delta
+            FROM embeddings
+        ),
+        bpts AS (SELECT vec_id, v FROM pts WHERE NOT is_delta),
+        sel(step, vec_id, sq_fp, chosen) AS (
+            SELECT 1, min(vec_id), CAST(NULL AS BIGINT), [min(vec_id)]
+            FROM bpts
+            UNION ALL
+            SELECT sel.step + 1, nxt.vec_id, nxt.mind,
+                   list_append(sel.chosen, nxt.vec_id)
+            FROM sel, LATERAL (
+                SELECT p.vec_id,
+                       (SELECT min({_KC_DIST_SQL.format(a="p.v", b="c.v")})
+                        FROM bpts c
+                        WHERE list_contains(sel.chosen, c.vec_id)) AS mind
+                FROM bpts p
+                WHERE NOT list_contains(sel.chosen, p.vec_id)
+                ORDER BY mind DESC, p.vec_id
+                LIMIT 1
+            ) nxt
+            WHERE sel.step < 8
+        ),
+        centers AS (
+            SELECT CAST(step AS BIGINT) AS step, vec_id AS center_id
+            FROM sel
+        ),
+        dists AS (
+            SELECT p.vec_id, p.is_delta, c.center_id,
+                   {_KC_DIST_SQL.format(a="p.v", b="c.v2")} AS d
+            FROM pts p CROSS JOIN (
+                SELECT ctr.center_id, b.v AS v2
+                FROM centers ctr JOIN bpts b ON b.vec_id = ctr.center_id
+            ) c
+        ),
+        assign AS (
+            SELECT vec_id, is_delta, center_id, d,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d, center_id
+                   ) AS rn
+            FROM dists
+        ),
+        cellstats AS (
+            SELECT c.step, c.center_id,
+                   CAST(sum(CASE WHEN a.is_delta THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_base,
+                   CAST(sum(CASE WHEN a.is_delta THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_delta,
+                   round(max(CASE WHEN NOT a.is_delta THEN a.d END) / 1e6,
+                         6) AS base_radius,
+                   round(coalesce(max(CASE WHEN a.is_delta THEN a.d END),
+                                  -1000000) / 1e6, 6) AS delta_radius
+            FROM assign a JOIN centers c USING (center_id)
+            WHERE a.rn = 1
+            GROUP BY 1, 2
+        )
+        SELECT step, center_id, n_base, n_delta, base_radius,
+               delta_radius, delta_radius > base_radius AS expand
+        FROM cellstats
+    """,
+)
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector-index maintenance with a FROZEN coarse
+    quantizer: the base corpus (vec_id % 10 != 0) trains the 8-cell
+    k-center quantizer (the deterministic, exact-replayable
+    counterpart of IVF's k-means — same routing role); newly arrived
+    vectors (vec_id % 10 = 0) are routed to their nearest frozen cell
+    WITHOUT retraining, exactly how production ANN indexes absorb a
+    daily embedding delta. Per cell the report shows base/delta
+    occupancy and the coverage radius before vs after the delta —
+    ``expand = true`` marks cells whose new points fall outside the
+    trained radius, the standard "this cell needs retraining" signal.
+
+    Scale shape: training touches only the base (k bounded top-1
+    reduces); the delta route is the zero-shuffle
+    ``assign_to_centers`` scan (k broadcast structs, fixed-point
+    argmin), so absorbing a delta costs O(|delta| · k · d) map work
+    plus one cells-sized rollup — history is never rescanned
+    (`operators/selection.py:assign_to_centers`)."""
+    from gas_data_pipeline_spark.operators.selection import (
+        assign_to_centers,
+        kcenter_greedy,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    centers, _ = kcenter_greedy(base, "vec_id", "embedding", k=8)
+    pts = emb.select(
+        F.col("vec_id").alias("pid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+        (F.col("vec_id") % 10 == 0).alias("is_delta"),
+    )
+    assigned = assign_to_centers(pts, centers, payload_cols=("is_delta",))
+    centers_df = spark.createDataFrame(
+        [(c["step"], c["id"]) for c in centers], "step bigint, center_id bigint"
+    )
+    stats = assigned.groupBy("center_id").agg(
+        F.sum(F.when(F.col("is_delta"), 0).otherwise(1)).alias("n_base"),
+        F.sum(F.when(F.col("is_delta"), 1).otherwise(0)).alias("n_delta"),
+        F.round(
+            F.max(F.when(~F.col("is_delta"), F.col("sq_fp"))) / 1e6, 6
+        ).alias("base_radius"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("is_delta"), F.col("sq_fp"))),
+                F.lit(-1000000),
+            )
+            / 1e6,
+            6,
+        ).alias("delta_radius"),
+    )
+    return stats.join(F.broadcast(centers_df), "center_id").select(
+        "step",
+        "center_id",
+        "n_base",
+        "n_delta",
+        "base_radius",
+        "delta_radius",
+        (F.col("delta_radius") > F.col("base_radius")).alias("expand"),
+    )

@@ -479,3 +479,38 @@ def test_classifier_gradient_aggregate_is_partial(spark):
     plan = _plan_of(grad)
     before_exchange = plan.split("Exchange")[-1]
     assert "HashAggregate" in before_exchange
+
+
+def test_ann_index_incremental_frozen_quantizer(spark):
+    """Index-maintenance contract: the delta NEVER changes the
+    quantizer (centers trained on base only, bit-identical with or
+    without the delta present) and routing the full corpus against
+    the frozen centers is a zero-shuffle scan."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.selection import (
+        assign_to_centers,
+        kcenter_greedy,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    c1, _ = kcenter_greedy(base, "vec_id", "embedding", k=4)
+    c2, _ = kcenter_greedy(base.repartition(5), "vec_id", "embedding", k=4)
+    assert [(c["step"], c["id"], c["sq_fp"]) for c in c1] == [
+        (c["step"], c["id"], c["sq_fp"]) for c in c2
+    ]
+    pts = emb.select(
+        F.col("vec_id").alias("pid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        (F.col("vec_id") % 10 == 0).alias("is_delta"),
+    )
+    routed = assign_to_centers(pts, c1, payload_cols=("is_delta",))
+    plan = _plan_of(routed)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    # Every center routes to itself at distance 0.
+    selfies = routed.filter(
+        F.col("pid").isin([c["id"] for c in c1])
+    ).collect()
+    for r in selfies:
+        assert r["center_id"] == r["pid"] and r["sq_fp"] == 0
