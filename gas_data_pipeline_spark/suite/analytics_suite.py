@@ -2186,3 +2186,74 @@ def robust_scale_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("cv"), 6).alias("std_winsorized"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy QA: k-anonymity / l-diversity audit (X7 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kanonymity_audit",
+    oracle="""
+        WITH qi AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) AS day,
+                   CAST(floor(value / 10.0) AS BIGINT) AS vb,
+                   user_id
+            FROM events
+        ),
+        grp AS (
+            SELECT event_type, day, vb,
+                   count(*) AS sz,
+                   count(DISTINCT user_id) AS l
+            FROM qi GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               CAST(sum(sz) AS BIGINT) AS n_rows,
+               count(*) AS n_groups,
+               CAST(min(sz) AS BIGINT) AS k_anon,
+               CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(min(l) AS BIGINT) AS l_diversity,
+               round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                     / (sum(sz) * 1.0), 6) AS risk_frac
+        FROM grp GROUP BY 1
+    """,
+)
+def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy QA before a corpus ships: k-anonymity and l-diversity
+    over the quasi-identifier (event_type, day, value decade) —
+    ``k_anon`` is the smallest group a re-identifier could isolate,
+    ``rows_at_risk`` counts rows living in groups below the k=5
+    release bar (Sweeney 2002), and ``l_diversity`` is the minimum
+    number of distinct sensitive values (user_id) inside any one
+    quasi-identifier group (Machanavajjhala et al. 2007 — a group of
+    size 50 that is all ONE user still leaks). The audit the
+    reference's expectations layer would run before its CSV export
+    leaves the building (app/api/v2/exports.py's public surface).
+
+    Scale shape: ONE map-side-combinable aggregate from facts to
+    quasi-identifier groups (count + count-distinct partials), then a
+    groups-sized rollup per event_type — facts shuffle once, keyed by
+    the QI; no row ever shuffles twice."""
+    ev = table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / F.lit(10.0)).cast("bigint").alias("vb"),
+        "user_id",
+    )
+    grp = qi.groupBy("event_type", "day", "vb").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("user_id").alias("l"),
+    )
+    risk = F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+    return grp.groupBy("event_type").agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_anon"),
+        risk.cast("bigint").alias("rows_at_risk"),
+        F.min("l").cast("bigint").alias("l_diversity"),
+        F.round(risk / (F.sum("sz") * F.lit(1.0)), 6).alias("risk_frac"),
+    )
