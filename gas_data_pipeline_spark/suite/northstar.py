@@ -900,29 +900,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   (b.j * px.side) // 8 + 1)
             GROUP BY px.doc_id, b.i, b.j
         )
-        SELECT doc_id, CAST(8 AS INT) AS height, CAST(8 AS INT) AS width,
-               list(round(v, 6) ORDER BY i, j) AS pixels
-        FROM cell GROUP BY doc_id
+        SELECT doc_id, i, j, round(v, 6) AS v
+        FROM cell
     """,
 )
 def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 resize: variable-size payloads pooled to a fixed 8x8 grid
     (block-mean; decode faked as bytes-are-pixels, batch shape real).
     Pixel values re-derived with numpy in tests/test_northstar.py —
-    and now ALSO value-oracled: the fake decode is deterministic
+    and ALSO value-oracled: the fake decode is deterministic
     integer arithmetic (pixel p = byte[p mod n], cyclic np.resize
     fill; the ASCII corpus makes ord(char) == byte), and block means
     of integer-valued doubles are exact in both engines, so the
     oracle replays the full decode -> block-mean -> round pipeline,
-    including the degenerate side<8 overlapping-block guard."""
+    including the degenerate side<8 overlapping-block guard.
+
+    Output shape is one ROW per grid cell ``(doc_id, i, j, v)``, not a
+    pixels array: the driver's compare canonicalizes by sorting raw
+    columns (pandas ``factorize``), which cannot hash a Python list —
+    the r7 driver red. The engine still materializes the fixed 8x8
+    tensor per doc inside ``resize_media`` (the real batch shape);
+    only the REPORTED surface is exploded, a zero-cost posexplode."""
     from gas_data_pipeline_spark.operators.multimodal import resize_media
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     binary = attach_binary(docs, "doc_id", "text")
     out = resize_media(binary, height=8, width=8)
-    return out.select(
-        "doc_id", "height", "width",
-        F.transform("pixels", lambda p: F.round(p, 6)).alias("pixels"),
+    px = out.select("doc_id", F.posexplode("pixels").alias("pos", "v"))
+    return px.select(
+        "doc_id",
+        F.floor(F.col("pos") / 8).cast("bigint").alias("i"),
+        (F.col("pos") % 8).cast("bigint").alias("j"),
+        F.round("v", 6).alias("v"),
     )
 
 

@@ -208,14 +208,44 @@ def cms_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                        PARTITION BY lang ORDER BY cnt DESC, word
                    ) AS rnk
             FROM counts
+        ),
+        q AS (
+            -- ln(cnt)/ln(rnk) quantized to BIGINT x 1e6 PER ROW, so
+            -- both engines sum identical integers (the repo's
+            -- fixed-point convention; float regr_* aggregates sum in
+            -- engine-dependent order). 1e6 keeps every moment inside
+            -- BIGINT: |yq| <= 2e7, |xq| <= 5e6, 100 rows per lang.
+            SELECT lang,
+                   CAST(round(ln(cnt) * 1e6) AS BIGINT) AS yq,
+                   CAST(round(ln(rnk) * 1e6) AS BIGINT) AS xq
+            FROM ranked WHERE rnk <= 100
+        ),
+        m AS (
+            SELECT lang,
+                   count(*) AS n,
+                   sum(xq) AS sx, sum(yq) AS sy,
+                   sum(xq * yq) AS sxy,
+                   sum(xq * xq) AS sxx,
+                   sum(yq * yq) AS syy
+            FROM q GROUP BY lang
+        ),
+        fit AS (
+            SELECT lang, n,
+                   n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS denx,
+                   n * syy - sy * sy AS deny,
+                   sx, sy
+            FROM m
         )
         SELECT lang,
-               count(*) AS n_terms,
-               round(regr_slope(ln(cnt), ln(rnk)), 6) AS slope,
-               round(regr_intercept(ln(cnt), ln(rnk)), 6) AS intercept,
-               round(regr_r2(ln(cnt), ln(rnk)), 6) AS r2
-        FROM ranked WHERE rnk <= 100
-        GROUP BY lang
+               n AS n_terms,
+               round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / (n * 1e6), 6) AS intercept,
+               round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                     / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2
+        FROM fit
     """,
 )
 def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +256,15 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     The token count is a map-side-combinable aggregate to vocabulary
     size; the rank window and regression run on vocab-sized data
     (never corpus-sized), so the plan is scan -> vocab agg -> tiny
-    window -> 5-row regression."""
+    window -> 5-row regression.
+
+    Exactness device: ln(cnt)/ln(rnk) are quantized to fixed-point
+    BIGINT (x 1e6) PER ROW, and slope/intercept/r2 derive from the
+    exact integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — float
+    regr_* aggregates sum products in engine- and partition-dependent
+    order, the association class behind the round-6 hash flips. The
+    final divisions run on int64→double casts, which round identically
+    in both engines."""
     docs = table(spark, sf_dir, "documents")
     words = docs.select("lang", F.explode(_words()).alias("word"))
     counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -237,12 +275,33 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("lang").orderBy(F.desc("cnt"), "word"))
         .alias("rnk"),
     ).filter(F.col("rnk") <= 100)
-    y, x = F.log("cnt"), F.log("rnk")
-    return ranked.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    q = ranked.select(
+        "lang",
+        F.round(F.log("cnt") * 1e6, 0).cast("bigint").alias("yq"),
+        F.round(F.log("rnk") * 1e6, 0).cast("bigint").alias("xq"),
+    )
+    m = q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    denx = (n * F.col("sxx") - sx * sx).cast("double")
+    deny = (n * F.col("syy") - sy * sy).cast("double")
+    slope_raw = num / denx
+    return m.select(
+        "lang",
+        n.alias("n_terms"),
+        F.round(slope_raw, 6).alias("slope"),
+        F.round(
+            (sy.cast("double") - slope_raw * sx.cast("double")) / (n * F.lit(1e6)),
+            6,
+        ).alias("intercept"),
+        F.round((num * num) / (denx * deny), 6).alias("r2"),
     )
 
 

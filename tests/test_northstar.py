@@ -368,11 +368,13 @@ def test_resize_grid_matches_numpy_reference(spark):
 
     from tests.conftest import SF_SMALL
 
-    out = (
-        all_queries()["multimodal_resize_grid"](spark, SF_SMALL)
-        .toPandas()
-        .set_index("doc_id")
-    )
+    out = all_queries()["multimodal_resize_grid"](spark, SF_SMALL).toPandas()
+    # The driver-facing surface is one row per grid cell — scalar
+    # columns only (r7's driver compare cannot canonicalize arrays).
+    grids = {
+        doc_id: g.sort_values(["i", "j"])["v"].to_numpy()
+        for doc_id, g in out.groupby("doc_id")
+    }
     docs = (
         spark.read.parquet(f"{SF_SMALL}/documents.parquet")
         .filter("doc_id < 50")
@@ -390,7 +392,8 @@ def test_resize_grid_matches_numpy_reference(spark):
             rows = img[ys[i]: max(ys[i + 1], ys[i] + 1)]
             for j in range(8):
                 ref[i, j] = rows[:, xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
-        got = np.array(out.loc[row["doc_id"], "pixels"])
+        got = grids[row["doc_id"]]
+        assert got.size == 64
         assert np.allclose(got, np.round(ref.ravel(), 6), atol=1e-4)
 
 
