@@ -103,22 +103,44 @@ def _weight_map(weights: dict[int, int]) -> Column:
     return F.create_map(*pairs)
 
 
-def train_quality_classifier(
+def featurize(
     docs: DataFrame,
     words: Column,
     is_target: Column,
     *,
     salt: str = "qclf-v1",
     dim: int = 64,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The shared featurization scan: per doc the hashed bucket array
+    ``bs`` plus the fixed-point label ``y_fp`` (and any passthrough
+    ``extra_cols`` the caller needs downstream). Training replays this
+    frame once per GD iteration and scoring once more — callers should
+    ``persist()`` it so the word split + md5 hashing run ONCE, not 4-5
+    times (the r7 scale probe flagged the unpersisted replay at
+    per-copy 1.65)."""
+    return docs.select(
+        *extra_cols,
+        hashed_buckets(words, salt=salt, dim=dim).alias("bs"),
+        F.when(is_target, F.lit(FP)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("y_fp"),
+    )
+
+
+def train_on_features(
+    feats: DataFrame,
+    *,
     iters: int = 3,
     eta: float = 0.0625,
 ) -> list[dict[int, int]]:
     """Full-batch gradient descent on the hard-sigmoid squared-error
-    surrogate. Returns the weight snapshot AFTER each iteration (a
-    list of ``{bucket: w_fp}`` dicts including the bias at bucket −1)
-    so callers can expose the whole trajectory to an oracle.
+    surrogate, over a pre-featurized (``bs``, ``y_fp``) frame. Returns
+    the weight snapshot AFTER each iteration (a list of
+    ``{bucket: w_fp}`` dicts including the bias at bucket −1) so
+    callers can expose the whole trajectory to an oracle.
 
-    Per iteration exactly ONE distributed action: scan docs, fold the
+    Per iteration exactly ONE distributed action: scan feats, fold the
     margin per row against the embedded weight map, explode the
     bucket array (bias sentinel appended) carrying the doc error, and
     partial-aggregate ``sum(e_d)`` per bucket — ``g_j = Σ_d e_d x_dj``
@@ -135,12 +157,6 @@ def train_quality_classifier(
     keeps first-step margins inside the hard sigmoid's linear band
     (|z| < 2e6) instead of slamming every doc to a saturated 0/1
     where gradients stop being informative."""
-    feats = docs.select(
-        hashed_buckets(words, salt=salt, dim=dim).alias("bs"),
-        F.when(is_target, F.lit(FP)).otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("y_fp"),
-    )
     weights: dict[int, int] = {}
     snapshots: list[dict[int, int]] = []
     n_docs: int | None = None
@@ -180,6 +196,41 @@ def train_quality_classifier(
     return snapshots
 
 
+def train_quality_classifier(
+    docs: DataFrame,
+    words: Column,
+    is_target: Column,
+    *,
+    salt: str = "qclf-v1",
+    dim: int = 64,
+    iters: int = 3,
+    eta: float = 0.0625,
+) -> list[dict[int, int]]:
+    """Featurize-then-train convenience wrapper: persists the
+    featurized frame for the GD loop (the word split + hashing scan
+    runs once, every iteration reads the cache) and releases it when
+    the trajectory is collected. Callers that also SCORE afterwards
+    should instead :func:`featurize` + persist themselves and pass the
+    same frame to :func:`train_on_features` and
+    :func:`score_from_buckets`, so scoring shares the cache too."""
+    feats = featurize(docs, words, is_target, salt=salt, dim=dim).persist()
+    try:
+        return train_on_features(feats, iters=iters, eta=eta)
+    finally:
+        feats.unpersist()
+
+
+def score_from_buckets(buckets: Column, weights: dict[int, int]) -> Column:
+    """Fixed-point classifier score from an existing bucket-array
+    column under a trained snapshot — the zero-shuffle apply side
+    (model as map literal, margin as array fold, hard sigmoid). Use
+    this over a persisted :func:`featurize` frame so scoring reuses
+    the cached featurization instead of re-splitting the corpus."""
+    w_map = _weight_map(weights)
+    bias = weights.get(BIAS_BUCKET, 0)
+    return hard_sigmoid_fp(margin_fp(buckets, w_map, bias))
+
+
 def score_fp(
     docs: DataFrame,
     words: Column,
@@ -188,11 +239,8 @@ def score_fp(
     salt: str = "qclf-v1",
     dim: int = 64,
 ) -> Column:
-    """Fixed-point classifier score for each doc under a trained
-    snapshot — the zero-shuffle apply side (model as map literal,
-    margin as array fold, hard sigmoid)."""
-    w_map = _weight_map(weights)
-    bias = weights.get(BIAS_BUCKET, 0)
-    return hard_sigmoid_fp(
-        margin_fp(hashed_buckets(words, salt=salt, dim=dim), w_map, bias)
+    """:func:`score_from_buckets` with the featurization inline — for
+    one-shot scoring where nothing else reuses the bucket arrays."""
+    return score_from_buckets(
+        hashed_buckets(words, salt=salt, dim=dim), weights
     )

@@ -95,14 +95,26 @@ def seed_vocabulary(
     return [(r["piece"], int(r["cnt"])) for r in chars + multis]
 
 
+def _round_half_away(x: float) -> int:
+    """Round-half-away-from-zero — DuckDB's ``round()`` mode. Python's
+    built-in ``round`` is round-half-to-even, so a value landing
+    exactly on a .5 boundary would quantize differently in the two
+    engines and cascade through Viterbi tie-breaks. ln outputs are
+    irrational so the boundary never arises in practice, but the
+    helper removes the mode mismatch outright (pinned against a
+    DuckDB probe in tests/test_unigram.py)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 def lp_fixed_point(vocab: list[tuple[str, int]]) -> dict[str, int]:
     """Quantized log-probabilities ``round(ln(cnt/total) * 1e9)`` for
     a (piece, cnt) vocabulary. Computed with PYTHON's ``math.log``
     (glibc libm — the same binding DuckDB's ``ln`` resolves to), so
     the oracle's quantization is bit-identical, which a JVM-side
-    ``F.log`` could miss by one ulp."""
+    ``F.log`` could miss by one ulp; rounding is explicitly
+    half-away-from-zero to match DuckDB's ``round``."""
     total = sum(c for _, c in vocab)
-    return {p: round(math.log(c / total) * 1e9) for p, c in vocab}
+    return {p: _round_half_away(math.log(c / total) * 1e9) for p, c in vocab}
 
 
 def _lp_map(lps: dict[str, int]) -> Column:
@@ -117,13 +129,18 @@ def viterbi_segment(
     words: DataFrame, lps: dict[str, int], *, max_piece: int = 4
 ) -> DataFrame:
     """E-step: per-word Viterbi segmentation under the model — one
-    ZERO-SHUFFLE scan. The DP fold carries ``best[0..i]`` costs
-    (fixed-point BIGINT, NULL = unreachable) plus backpointers, then a
-    second fold backtraces the chosen pieces. Unreachable prefixes
-    propagate as NULL and vanish at the next reachable boundary; the
-    word itself is always segmentable because the vocabulary keeps
-    every piece of its previous segmentation (round 1: every single
-    character).
+    ZERO-SHUFFLE scan. The DP fold carries a FIXED-SIZE window of the
+    last ``max_piece`` best-prefix costs (fixed-point BIGINT, NULL =
+    unreachable) plus the full backpointer list, then a second fold
+    backtraces the chosen pieces. The DP never looks back further than
+    ``max_piece`` positions, so the cost accumulator needs only that
+    window — growing it per position via ``F.concat`` copied the whole
+    array each step, an O(len²) hidden term the 8x scale probe flagged
+    (r7 per-copy 2.21); the window copy is O(max_piece) per step.
+    Unreachable prefixes propagate as NULL and vanish at the next
+    reachable boundary; the word itself is always segmentable because
+    the vocabulary keeps every piece of its previous segmentation
+    (round 1: every single character).
 
     Returns word, freq, pieces (the segmentation), n_pieces, and the
     word's total fixed-point log-prob ``lp_fp``."""
@@ -131,11 +148,14 @@ def viterbi_segment(
     n = F.length(word)
     model = _lp_map(lps)
 
+    # win[w] (1-based) == best[i - max_piece + w] after step i: the
+    # last element is best[i], earlier slots the prior positions,
+    # NULL-padded below position 0.
     def dp_step(acc, i):
         cands = []
         for j in range(1, max_piece + 1):
             piece = word.substr(i - F.lit(j) + 1, F.lit(j))
-            prev = F.get(acc["costs"], i - j)  # 0-based: best[i-j]
+            prev = F.element_at(acc["win"], max_piece - j + 1)  # best[i-j]
             lp = F.element_at(model, piece)
             cands.append(
                 F.when(
@@ -149,12 +169,17 @@ def viterbi_segment(
             F.filter(F.array(*cands), lambda c: c.isNotNull())
         )
         return F.struct(
-            F.concat(acc["costs"], F.array(best["cost"])).alias("costs"),
+            F.concat(
+                F.slice(acc["win"], 2, max_piece - 1), F.array(best["cost"])
+            ).alias("win"),
             F.concat(acc["bps"], F.array(best["j"])).alias("bps"),
         )
 
     dp_init = F.struct(
-        F.array(F.lit(0).cast("bigint")).alias("costs"),
+        F.array(
+            *([F.lit(None).cast("bigint")] * (max_piece - 1)),
+            F.lit(0).cast("bigint"),
+        ).alias("win"),
         F.array().cast("array<int>").alias("bps"),
     )
     dp = F.aggregate(F.sequence(F.lit(1), n), dp_init, dp_step)
@@ -193,7 +218,8 @@ def viterbi_segment(
             lambda pieces: F.struct(
                 pieces.alias("pieces"),
                 F.size(pieces).cast("bigint").alias("n_pieces"),
-                F.element_at(d["costs"], n + 1).alias("lp_fp"),
+                # the window's last slot is best[n] — the word's total.
+                F.element_at(d["win"], max_piece).alias("lp_fp"),
             ),
         ),
     )

@@ -826,27 +826,36 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     that would collapse the tail). Reports per-language admission
     counts, train-label agreement, and mean score.
 
-    Scale shape: training reuses the 3-iteration trainer (one 65-row
-    aggregate per iteration); scoring embeds the final snapshot as a
-    map literal and runs as ONE zero-shuffle scan over the corpus
-    (fold + hard sigmoid + md5 draw are all native expressions); the
-    only data-sized exchange is the final 5-row language rollup."""
+    Scale shape: ONE featurization scan (word split + md5 hashing),
+    persisted: the 3 GD iterations and the scoring pass all read the
+    cache instead of replaying the split 5x (the r7 probe's 1.65
+    per-copy flag). Each iteration is one 65-row aggregate; scoring
+    embeds the final snapshot as a map literal and runs as a
+    zero-shuffle scan over the cached features (fold + hard sigmoid +
+    md5 draw are all native expressions); the only data-sized exchange
+    is the final 5-row language rollup."""
     from gas_data_pipeline_spark.operators.classifier import (
-        score_fp,
-        train_quality_classifier,
+        featurize,
+        score_from_buckets,
+        train_on_features,
     )
     from gas_data_pipeline_spark.operators.curation import uniform_draw
 
     docs = table(spark, sf_dir, "documents")
-    snaps = train_quality_classifier(
-        docs, _words(), F.col("lang") == "en", dim=64, iters=3
-    )
-    p = score_fp(docs, _words(), snaps[-1], dim=64)
+    feats = featurize(
+        docs,
+        _words(),
+        F.col("lang") == "en",
+        dim=64,
+        extra_cols=("doc_id", "lang"),
+    ).persist()
+    snaps = train_on_features(feats, iters=3)
+    p = score_from_buckets(F.col("bs"), snaps[-1])
     u = (
         F.floor(uniform_draw(F.col("doc_id"), "qcf-draw") * F.lit(1e6))
         .cast("bigint")
     )
-    scored = docs.select(
+    scored = feats.select(
         "lang",
         (F.col("lang") == "en").alias("is_en"),
         p.alias("p_fp"),

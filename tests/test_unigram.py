@@ -161,3 +161,32 @@ def test_estep_is_zero_shuffle(spark, corpus_words):
     plan = _plan_of(seg)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_lp_quantization_matches_duckdb_round():
+    """The fixed-point quantizer must reproduce DuckDB's
+    round-half-away-from-zero on ln-derived values: sweep (cnt, total)
+    pairs and compare Python's helper against a DuckDB ln/round probe
+    (ADVICE r7 — Python's built-in round is half-to-even)."""
+    import duckdb
+
+    from gas_data_pipeline_spark.operators.unigram_lm import (
+        _round_half_away,
+        lp_fixed_point,
+    )
+
+    # Exact-boundary sanity: away-from-zero on both signs.
+    assert _round_half_away(2.5) == 3
+    assert _round_half_away(-2.5) == -3
+    assert _round_half_away(0.5) == 1
+    assert _round_half_away(-0.5) == -1
+
+    con = duckdb.connect()
+    cases = [(c, t) for t in (7, 97, 1234, 99991) for c in range(1, 60)]
+    vocab = [(f"p{c}_{t}", c) for c, t in cases]
+    for (c, t), (piece, _) in zip(cases, vocab):
+        got = _round_half_away(__import__("math").log(c / t) * 1e9)
+        want = con.sql(
+            f"SELECT CAST(round(ln({c} / {t}.0) * 1e9) AS BIGINT) AS v"
+        ).fetchone()[0]
+        assert got == want, (c, t, got, want)
