@@ -124,14 +124,40 @@ def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     from gas_data_pipeline_spark.catalog import table as read_table
 
     base = os.path.basename(sf_dir.rstrip("/"))
+    tmp_root = os.environ.get("TMPDIR", "/tmp")
     out_dir = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"),
-        f"spark_graft_scale_probe_{base}_x{factor}v2",
+        tmp_root, f"spark_graft_scale_probe_{base}_x{factor}v2"
     )
     marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
         return out_dir
+    # Reclaim superseded probe caches (earlier factors, the pre-v2
+    # naming): multi-GB scaled corpora otherwise pile up in TMPDIR.
+    import glob
+    import shutil
+
+    for stale in glob.glob(os.path.join(tmp_root, "spark_graft_scale_probe_*")):
+        if os.path.abspath(stale) != os.path.abspath(out_dir):
+            shutil.rmtree(stale, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
+    # The one-digit word prefix below is collision-free ONLY if the
+    # base corpus has no digit-leading tokens — check, don't assume.
+    docs_src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs_src):
+        n_digit_led = (
+            read_table(spark, sf_dir, "documents")
+            .where(
+                F.exists(
+                    F.split(F.col("text"), " "),
+                    lambda w: w.rlike("^[0-9]"),
+                )
+            )
+            .count()
+        )
+        assert n_digit_led == 0, (
+            f"{n_digit_led} documents have digit-leading words; the "
+            "scale probe's copy prefix would alias across copies"
+        )
     for t, keys in _SALT_COLS.items():
         src = os.path.join(sf_dir, f"{t}.parquet")
         if not os.path.exists(src):
@@ -193,8 +219,6 @@ def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
         os.replace(
             os.path.join(stage, part), os.path.join(out_dir, f"{t}.parquet")
         )
-        import shutil
-
         shutil.rmtree(stage)
     with open(marker, "w") as fh:
         fh.write(str(factor))
@@ -329,9 +353,12 @@ def main() -> None:
     # round-over-round deltas pure noise (VERDICT r2 #4). Run >= 3
     # passes and report the per-query MEDIAN — the steady-state cost
     # of the plan — degrading to fewer passes only if the suite is so
-    # slow that extra passes would risk the harness window.
+    # slow that extra passes would risk the harness window. The
+    # first-pass budget is sized so the 177-query suite (~210 s) still
+    # gets its medians (VERDICT r7 #5: the old 200 s guard could never
+    # pass once the suite outgrew it, silently disabling the medians).
     passes = [run_pass()]
-    while len(passes) < 3 and sum(passes[0].values()) < 200:
+    while len(passes) < 3 and sum(passes[0].values()) < 600:
         passes.append(run_pass())
 
     def median(xs: list[float]) -> float:
@@ -363,7 +390,12 @@ def main() -> None:
     }
     probe = None
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
-        probe = run_scale_probe(spark, queries, sf_dir, timings)
+        # Denominators come from PASS 1, not the medians: several
+        # suite queries train through session-scoped compute-once
+        # seams (BPE, unigram, k-center, classifier), so passes 2-3
+        # hit warm model caches while the probe's scaled dir is a
+        # fresh cache key — cold-vs-cold is the honest per-copy ratio.
+        probe = run_scale_probe(spark, queries, sf_dir, passes[0])
         payload["scale_probe"] = probe
     payload["queries"] = dict(sorted(timings.items(), key=lambda kv: kv[1]))
     print(json.dumps(payload))

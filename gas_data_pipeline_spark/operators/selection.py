@@ -344,6 +344,7 @@ def kcenter_greedy(
     *,
     k: int = 8,
     quantum: float = 1e6,
+    persist_every: int = 4,
 ) -> tuple[list[dict], DataFrame]:
     """Greedy k-center coreset selection (farthest-point traversal —
     the 2-approximation of Gonzalez 1985, the coreset selector of
@@ -358,19 +359,27 @@ def kcenter_greedy(
     so a round is O(N·d) map work with a 1-row action and the whole
     selection is k such passes — the standard cluster formulation.
     The running-min column compounds as an expression chain over the
-    base scan (round r re-evaluates r distances per row); at k<=32
-    that is cheaper than materializing, beyond that callers should
-    persist the state every few rounds.
+    base scan (round r re-evaluates r distances per row AND re-plans
+    an r-deep codegen tree); every ``persist_every`` rounds the state
+    is localCheckpointed lazily, capping both the per-row re-eval and
+    the plan depth at a constant while keeping per-round cluster work
+    O(N·d).
 
-    Returns ``(centers, assigned)``: ``centers`` is the k-row
-    selection order (``step``, ``id``, fixed-point ``sq_fp`` distance
-    to the prior set — None for the seed, and the max-min coverage
-    radius of step j-1's set is step j's ``sq_fp``); ``assigned`` maps
-    every point to its nearest center (ties to the smallest center
-    id), computed as one zero-shuffle scan over an ``array_sort`` of
-    the k (dist, center) structs."""
+    Fewer than ``k`` distinct points is not an error: selection stops
+    early when no unchosen point remains (matching the oracle's
+    recursive-CTE early termination) and returns the centers found.
+
+    Returns ``(centers, assigned)``: ``centers`` is the selection
+    order (``step``, ``id``, fixed-point ``sq_fp`` distance to the
+    prior set — None for the seed, and the max-min coverage radius of
+    step j-1's set is step j's ``sq_fp``); ``assigned`` maps every
+    point to its nearest center (ties to the smallest center id),
+    computed as one zero-shuffle scan over an ``array_sort`` of the
+    k (dist, center) structs."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k=}")
+    if persist_every < 1:
+        raise ValueError(f"need persist_every >= 1, got {persist_every=}")
     pts = points.select(
         F.col(id_col).alias("pid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -388,8 +397,11 @@ def kcenter_greedy(
             state.filter(~F.col("pid").isin(chosen_ids))
             .orderBy(F.desc("mind"), "pid")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not far:  # fewer than k distinct points: stop like the oracle
+            break
+        far = far[0]
         centers.append(
             {
                 "step": step,
@@ -402,6 +414,11 @@ def kcenter_greedy(
             "mind",
             F.least("mind", sq_dist_fp(F.col("v"), centers[-1]["vec"], quantum)),
         )
+        if (step - 1) % persist_every == 0:
+            # lazy: materializes with the NEXT round's top-1 action,
+            # then every later round reads the checkpoint instead of
+            # re-evaluating the compounded distance chain.
+            state = state.localCheckpoint(eager=False)
     assigned = assign_to_centers(pts, centers, quantum=quantum)
     return centers, assigned
 

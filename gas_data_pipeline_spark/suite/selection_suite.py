@@ -579,6 +579,31 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Greedy k-center coreset selection
 # ---------------------------------------------------------------------------
 
+# Compute-once seam (same discipline as _corpus_bpe_training /
+# _planted_components): the greedy k-center loop is k sequential
+# scan+top-1 passes, and two queries train it — coreset_kcenter_select
+# on the full embedding table and ann_index_incremental on the base
+# slice. The trained centers are a k-row Python list (a model, not
+# data), so caching them per (application, sf_dir, corpus-tag, k)
+# costs nothing and guarantees the loop never runs twice for the same
+# corpus in one session; assignment stays a fresh zero-shuffle scan
+# per caller.
+_KCENTER_CACHE: dict[tuple[str, str, str, int], list[dict]] = {}
+
+
+def _corpus_kcenter(
+    spark: SparkSession, sf_dir: str, tag: str, points: DataFrame, *, k: int = 8
+) -> list[dict]:
+    from gas_data_pipeline_spark.operators.selection import kcenter_greedy
+
+    key = (spark.sparkContext.applicationId, sf_dir, tag, k)
+    centers = _KCENTER_CACHE.get(key)
+    if centers is None:
+        centers, _ = kcenter_greedy(points, "vec_id", "embedding", k=k)
+        _KCENTER_CACHE[key] = centers
+    return centers
+
+
 _KC_DIST_SQL = (
     "list_sum(list_transform(range(1, len({a}) + 1), "
     "i -> CAST(round(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) * 1e6) "
@@ -657,11 +682,20 @@ def coreset_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     over an array_sort of k (dist, center) structs. Distances are
     per-element fixed-point BIGINT sums, so the farthest-point argmax
     and the oracle's recursive-CTE replay agree exactly even at
-    near-ties (`operators/selection.py:sq_dist_fp`)."""
-    from gas_data_pipeline_spark.operators.selection import kcenter_greedy
+    near-ties (`operators/selection.py:sq_dist_fp`). Training goes
+    through the session-scoped `_corpus_kcenter` seam so the k passes
+    run once per corpus per session."""
+    from gas_data_pipeline_spark.operators.selection import (
+        assign_to_centers,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
-    centers, assigned = kcenter_greedy(emb, "vec_id", "embedding", k=8)
+    centers = _corpus_kcenter(spark, sf_dir, "full", emb, k=8)
+    pts = emb.select(
+        F.col("vec_id").alias("pid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    assigned = assign_to_centers(pts, centers)
     centers_df = spark.createDataFrame(
         [(c["step"], c["id"], c["sq_fp"]) for c in centers],
         "step bigint, center_id bigint, sq_fp bigint",
@@ -682,6 +716,32 @@ def coreset_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Trained quality classifier (full-batch GD, hashing trick)
 # ---------------------------------------------------------------------------
+
+# Compute-once seam: the 3-iteration GD trajectory is a list of 65-int
+# dicts (a model, not data) consumed by BOTH quality_classifier_train
+# and quality_classifier_filter — cache it per (application, sf_dir)
+# so the featurize+train scans run once per session. Training persists
+# the featurized frame for the loop and releases it immediately; the
+# filter's scoring pass featurizes inline (one scan, nothing held).
+_QCLF_CACHE: dict[tuple[str, str], list[dict[int, int]]] = {}
+
+
+def _corpus_classifier_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> list[dict[int, int]]:
+    from gas_data_pipeline_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    snaps = _QCLF_CACHE.get(key)
+    if snaps is None:
+        docs = table(spark, sf_dir, "documents")
+        snaps = train_quality_classifier(
+            docs, _words(), F.col("lang") == "en", dim=64, iters=3
+        )
+        _QCLF_CACHE[key] = snaps
+    return snaps
 
 
 def _qc_iter(i: int) -> str:
@@ -766,16 +826,12 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus to 65 gradient rows (the reduce-side exchange is
     partitions x 65 partial sums at any corpus size); the margin is a
     zero-shuffle JVM fold against the weight map embedded in the task
-    closure, so no join ever touches the docs
-    (`operators/classifier.py:train_quality_classifier`)."""
-    from gas_data_pipeline_spark.operators.classifier import (
-        train_quality_classifier,
-    )
-
-    docs = table(spark, sf_dir, "documents")
-    s1, s2, s3 = train_quality_classifier(
-        docs, _words(), F.col("lang") == "en", dim=64, iters=3
-    )
+    closure, so no join ever touches the docs, and the featurized
+    frame is persisted across the loop so the word split + hashing
+    scan runs once (`operators/classifier.py`). Training goes through
+    the session-scoped `_corpus_classifier_snapshots` seam shared with
+    the filter query."""
+    s1, s2, s3 = _corpus_classifier_snapshots(spark, sf_dir)
     rows = [(b, s1[b], s2[b], s3[b]) for b in sorted(s3)]
     return spark.createDataFrame(
         rows, "bucket bigint, w1_fp bigint, w2_fp bigint, w3_fp bigint"
@@ -826,36 +882,25 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     that would collapse the tail). Reports per-language admission
     counts, train-label agreement, and mean score.
 
-    Scale shape: ONE featurization scan (word split + md5 hashing),
-    persisted: the 3 GD iterations and the scoring pass all read the
-    cache instead of replaying the split 5x (the r7 probe's 1.65
-    per-copy flag). Each iteration is one 65-row aggregate; scoring
-    embeds the final snapshot as a map literal and runs as a
-    zero-shuffle scan over the cached features (fold + hard sigmoid +
-    md5 draw are all native expressions); the only data-sized exchange
-    is the final 5-row language rollup."""
-    from gas_data_pipeline_spark.operators.classifier import (
-        featurize,
-        score_from_buckets,
-        train_on_features,
-    )
+    Scale shape: training comes from the session-scoped
+    `_corpus_classifier_snapshots` seam (ONE persisted featurization
+    scan feeding all 3 GD iterations — the r7 probe's 1.65 per-copy
+    flag was the unpersisted 5x replay); scoring embeds the final
+    snapshot as a map literal and runs as ONE zero-shuffle scan over
+    the corpus (fold + hard sigmoid + md5 draw are all native
+    expressions); the only data-sized exchange is the final 5-row
+    language rollup."""
+    from gas_data_pipeline_spark.operators.classifier import score_fp
     from gas_data_pipeline_spark.operators.curation import uniform_draw
 
     docs = table(spark, sf_dir, "documents")
-    feats = featurize(
-        docs,
-        _words(),
-        F.col("lang") == "en",
-        dim=64,
-        extra_cols=("doc_id", "lang"),
-    ).persist()
-    snaps = train_on_features(feats, iters=3)
-    p = score_from_buckets(F.col("bs"), snaps[-1])
+    snaps = _corpus_classifier_snapshots(spark, sf_dir)
+    p = score_fp(docs, _words(), snaps[-1], dim=64)
     u = (
         F.floor(uniform_draw(F.col("doc_id"), "qcf-draw") * F.lit(1e6))
         .cast("bigint")
     )
-    scored = feats.select(
+    scored = docs.select(
         "lang",
         (F.col("lang") == "en").alias("is_en"),
         p.alias("p_fp"),
@@ -963,15 +1008,17 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``assign_to_centers`` scan (k broadcast structs, fixed-point
     argmin), so absorbing a delta costs O(|delta| · k · d) map work
     plus one cells-sized rollup — history is never rescanned
-    (`operators/selection.py:assign_to_centers`)."""
+    (`operators/selection.py:assign_to_centers`). Training goes
+    through the session-scoped `_corpus_kcenter` seam (its own
+    cache slot — the base slice is a different corpus from
+    coreset_kcenter_select's full table)."""
     from gas_data_pipeline_spark.operators.selection import (
         assign_to_centers,
-        kcenter_greedy,
     )
 
     emb = table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 10 != 0)
-    centers, _ = kcenter_greedy(base, "vec_id", "embedding", k=8)
+    centers = _corpus_kcenter(spark, sf_dir, "base", base, k=8)
     pts = emb.select(
         F.col("vec_id").alias("pid"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(

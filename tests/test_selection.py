@@ -514,3 +514,20 @@ def test_ann_index_incremental_frozen_quantizer(spark):
     ).collect()
     for r in selfies:
         assert r["center_id"] == r["pid"] and r["sq_fp"] == 0
+
+
+def test_kcenter_stops_early_on_small_inputs(spark):
+    """Fewer distinct points than k must return the points found (the
+    oracle's recursive CTE stops early), not crash on an empty top-1
+    collect (ADVICE r7)."""
+    from gas_data_pipeline_spark.operators.selection import kcenter_greedy
+
+    pts = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [6.0, 8.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    centers, assigned = kcenter_greedy(pts, "vec_id", "embedding", k=8)
+    assert [c["id"] for c in centers] == [1, 3, 2]  # seed, farthest, rest
+    assert [c["step"] for c in centers] == [1, 2, 3]
+    rows = {r["pid"]: r["center_id"] for r in assigned.collect()}
+    assert rows == {1: 1, 2: 2, 3: 3}  # every point is its own center
