@@ -672,6 +672,82 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_topk_ivf_kcenter(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centers: list[dict],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """X2 IVF ANN with a DETERMINISTIC coarse quantizer: the inverted
+    lists come from a greedy k-center codebook (``centers`` as built by
+    ``operators/selection.kcenter_greedy`` — same Voronoi routing role
+    as IVF's k-means, but exactly replayable in SQL), so the WHOLE
+    index pipeline — train, assign, probe, candidate join, exact
+    rescoring — is value-oracle-able, the ``dedup_semantic_buckets``
+    device applied to the IVF family (the k-means path stays in
+    ``cosine_topk_ivf`` / ``cosine_topk_ivfpq``).
+
+    Scale shape identical to the k-means IVF: corpus assignment is a
+    zero-shuffle scan against the broadcast center structs
+    (fixed-point argmin — engine-exact ties), each query explodes to
+    its ``n_probe`` nearest cells by the same fixed-point distance,
+    and a cells-keyed equi-join with the broadcast probe set replaces
+    the cross product (~n_probe/n_clusters of the corpus scanned per
+    query). Candidate cosine is the sequential-fold :func:`cosine` —
+    bit-deterministic, matching DuckDB's ``list_dot_product``."""
+    from gas_data_pipeline_spark.operators.selection import (
+        assign_to_centers,
+        sq_dist_fp,
+    )
+
+    pts = corpus.select(
+        F.col(id_col).alias("pid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    assigned = assign_to_centers(pts, centers, payload_cols=("v",))
+    probe_structs = F.array(
+        *[
+            F.struct(
+                sq_dist_fp(F.col("qv"), c["vec"]).alias("sq_fp"),
+                F.lit(c["id"]).alias("center_id"),
+            )
+            for c in centers
+        ]
+    )
+    qprobe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    ).select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, n_probe),
+                lambda s: s["center_id"],
+            )
+        ).alias("center_id"),
+    )
+    pairs = assigned.join(F.broadcast(qprobe), "center_id").filter(
+        F.col("pid") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("pid").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def train_pq_codebooks(
     sample: np.ndarray, m: int = 8, n_codes: int = 32, n_iters: int = 15, seed: int = 42
 ) -> np.ndarray:

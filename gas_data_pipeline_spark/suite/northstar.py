@@ -449,18 +449,110 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.45)
 
 
-@register("ann_ivf")  # rows-only: k-means partitions are engine-derived
+# Fixed-point squared-L2 — the DuckDB twin of selection.sq_dist_fp.
+_IVF_DIST_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST(round(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) * 1e6) "
+    "AS BIGINT)))"
+)
+
+
+@register(
+    "ann_ivf",
+    oracle=f"""
+        WITH RECURSIVE pts AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        sel(step, vec_id, chosen) AS (
+            SELECT 1, min(vec_id), [min(vec_id)] FROM pts
+            UNION ALL
+            SELECT sel.step + 1, nxt.vec_id,
+                   list_append(sel.chosen, nxt.vec_id)
+            FROM sel, LATERAL (
+                SELECT p.vec_id,
+                       (SELECT min({_IVF_DIST_SQL.format(a="p.v", b="c.v")})
+                        FROM pts c
+                        WHERE list_contains(sel.chosen, c.vec_id)) AS mind
+                FROM pts p
+                WHERE NOT list_contains(sel.chosen, p.vec_id)
+                ORDER BY mind DESC, p.vec_id
+                LIMIT 1
+            ) nxt
+            WHERE sel.step < 16
+        ),
+        cvecs AS (
+            SELECT s.vec_id AS center_id, p.v
+            FROM sel s JOIN pts p USING (vec_id)
+        ),
+        assign AS (
+            SELECT vec_id, center_id FROM (
+                SELECT p.vec_id, c.center_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY {_IVF_DIST_SQL.format(a="p.v", b="c.v")},
+                                    c.center_id
+                       ) AS rn
+                FROM pts p CROSS JOIN cvecs c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < 8),
+        qprobe AS (
+            SELECT query_id, center_id FROM (
+                SELECT q.query_id, c.center_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_IVF_DIST_SQL.format(a="q.qv", b="c.v")},
+                                    c.center_id
+                       ) AS rn
+                FROM q CROSS JOIN cvecs c
+            ) WHERE rn <= 4
+        ),
+        cand AS (
+            SELECT qp.query_id, a.vec_id AS neighbor_id
+            FROM qprobe qp JOIN assign a USING (center_id)
+            WHERE a.vec_id <> qp.query_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_dot_product(q.qv, pn.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(pn.v, pn.v))) AS cos_sim
+            FROM cand
+            JOIN q USING (query_id)
+            JOIN pts pn ON pn.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id
+                   ) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 IVF scale path: k-means inverted lists (seeded, trained on a
-    bounded sample), queries probe their 4 nearest of 16 centroids —
-    ~25% corpus scan per query instead of 100%. Complementary to LSH
-    (data-adapted vs oblivious partitions); recall asserted vs exact
-    top-k in tests/test_northstar.py."""
-    from gas_data_pipeline_spark.operators.similarity import cosine_topk_ivf
+    """X2 IVF scale path, now VALUE-ORACLED end to end: inverted lists
+    from a deterministic greedy k-center codebook (16 cells — the
+    exact-replayable counterpart of k-means, same Voronoi routing
+    role; the r5-r7 rows-only k-means variant lives on in ann_ivfpq),
+    queries probe their 4 nearest of 16 centers — ~25% corpus scan per
+    query instead of 100%. Assignment and probing argmins are
+    fixed-point BIGINT (engine-exact ties); candidate cosine is the
+    sequential fold, bit-matching DuckDB's list_dot_product. Training
+    goes through the session-scoped k-center seam; recall vs the exact
+    top-k stays asserted in tests/test_northstar.py."""
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivf_kcenter,
+    )
+    from gas_data_pipeline_spark.suite.selection_suite import _corpus_kcenter
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk_ivf(emb, queries, k=10, n_clusters=16, n_probe=4)
+    centers = _corpus_kcenter(spark, sf_dir, "full", emb, k=16)
+    return cosine_topk_ivf_kcenter(emb, queries, centers, k=10, n_probe=4)
 
 
 @register("ann_pq")  # rows-only: quantized scores; recall + soundness in pytest

@@ -881,3 +881,40 @@ def test_bloom_filter_new_exact_under_nondeterministic_lineage(spark):
     assert len(texts) == 150
     assert len(set(texts)) == 150
     assert set(texts) == {f"doc-{i}" for i in list(range(100)) + list(range(150, 200))}
+
+
+def test_ivf_kcenter_scores_exact_and_recall(spark, emb_pdf):
+    """The value-oracled IVF (deterministic k-center codebook) must
+    keep the IVF contract: candidate scores are the exact cosine and
+    probing 4/16 cells beats the ~25% scan fraction on recall."""
+    import numpy as np
+    import pytest
+
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.selection import kcenter_greedy
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf_kcenter,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    centers, _ = kcenter_greedy(emb, "vec_id", "embedding", k=16)
+    ivf = cosine_topk_ivf_kcenter(
+        emb, queries, centers, k=10, n_probe=4
+    ).toPandas()
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb_pdf.itertuples()}
+    for row in ivf.itertuples():
+        a, b = vecs[row.query_id], vecs[row.neighbor_id]
+        expect = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert row.cos_sim == pytest.approx(expect, abs=1e-9)
+    for qid, grp in ivf.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    i = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(e & i) / len(e)
+    print("kcenter-ivf recall:", recall)
+    assert recall >= 0.3, recall
