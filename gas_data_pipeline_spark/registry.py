@@ -64,32 +64,42 @@ def _load_all() -> None:
 # still covered by the builder-side parity gate (tests/test_parity.py,
 # all queries).
 #
-# Round-7 note: the round-6 driver check never landed a
-# CORRECTNESS_r06.json in the repo, so this window is kept FROZEN for
-# round 7 — the 41 first-time queries below still need their driver
-# rows before anything rotates out. The round-7 additions
-# (selection family incl. CCNet buckets + k-center coreset,
-# bpe_encode_corpus, stream_heavy_hitters_cms, the streamed REST
-# DataSource ingest)
-# register in the tail and are covered by tests/test_parity.py until
-# a later window rotation.
-#
-# Round-6 rotation (VERDICT r5 #1): finish the evidence rotation in
-# one round. The anchor block shrinks 24 -> 9 (one per macro-family,
-# each driver-green in >=2 prior rounds), freeing 41 slots — exactly
-# the number of registered queries that have never earned a
-# driver-side CORRECTNESS row (union of CORRECTNESS_r01..r05 keys =
-# 116 of 157; the remaining 41 all rotate in below, including the
-# whole drift/X7 and BPE/X8 families). After this round,
-# union(r1..r6 driver rows) == all 157 registered names. Every
-# rotated-OUT query keeps its exact DuckDB oracle in
-# tests/test_parity.py, so nothing loses correctness coverage. Four
-# rotated-in queries are rows-only by design, each with a pytest
-# ground-truth bound: ann_ivf / ann_pq (recall floors,
-# tests/test_northstar.py), approx_distinct_users (relative-error
-# bound vs exact COUNT(DISTINCT), tests/test_plans.py),
-# approx_percentiles_tdigest (quantile-error bound vs exact
-# percentiles, tests/test_layout.py).
+# Round-8 rotation (VERDICT r7 #1): CORRECTNESS_r07.json landed
+# (49/50 green, 1 harness-compat red), so the window rotates. The 9
+# anchors stay; the 41 r7-greened entries rotate OUT (their exact
+# DuckDB oracles remain in tests/test_parity.py); rotating IN:
+#   - all 20 queries that have never had a driver-side CORRECTNESS
+#     row — the full X9 data-selection and X10 corpus-selection
+#     families (ann_index_incremental, bpe_encode_corpus,
+#     ccnet_perplexity_buckets, cms_heavy_hitters_merge,
+#     contamination_source_matrix, coreset_kcenter_select,
+#     dsir_importance_select, kanonymity_audit,
+#     observe_ingest_metrics, quality_classifier_filter,
+#     quality_classifier_train, quality_model_score,
+#     selection_pipeline_summary, stream_heavy_hitters_cms,
+#     stream_rest_datasource_ingest, training_shard_incremental,
+#     training_shard_manifest, unigram_lm_segment_words,
+#     unigram_lm_train_vocab, zipf_token_slope);
+#   - multimodal_resize_grid, re-shaped to scalar (doc_id, i, j, v)
+#     rows after its r7 driver-compare crash on a raw array<double>
+#     column (no windowed query may output array/struct/map columns
+#     — enforced by tests/test_registry.py);
+#   - the four vs-r6 bench-regression watch queries not already
+#     anchored (dedup_semantic_buckets, dedup_cluster_stats,
+#     approx_distinct_portable_hll, bloom_pruned_join_revenue), so
+#     their r8 rows double as still-green evidence;
+#   - ann_ivf, which gained an exact DuckDB oracle this round
+#     (deterministic k-center coarse quantizer — VERDICT r7 #9);
+#   - 15 re-verification slots for r1-r5-era greens across the
+#     macro-families (hourly_pipeline_e2e per VERDICT r7 #7, plus
+#     pivot_long_to_wide, graph_pagerank, tfidf_top_terms and the
+#     relational/pipeline tail below).
+# Every windowed query this round has an exact DuckDB oracle — the
+# rows-only set (ann_pq, ann_ivfpq, ann_lsh_bucketed,
+# approx_distinct_users, approx_percentiles_tdigest — all with pytest
+# ground-truth bounds) sits entirely outside the window, and each of
+# those earned its driver rows-only row in r1-r7. After this round,
+# union(r1..r8 driver rows) == all 177 registered names.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
@@ -101,55 +111,52 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_gie_delete_reload",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # -- first-time driver-checked this round (all 41 remaining) --
-    # drift / dataset-QA family (X7)
-    "drift_psi_features",
-    "drift_ks_statistic",
-    "schema_drift_audit",
-    "split_leakage_audit",
-    "join_skew_profile",
-    "embedding_centroid_drift",
-    "stream_drift_monitor",
-    "sample_k_per_group",
-    # distributed BPE tokenizer training (X8)
-    "bpe_pair_counts",
-    "bpe_train_merge_rules",
-    "bpe_vocab_after_merges",
-    # analytics / SQL showcase tail
-    "sql_q5_local_supplier_volume",
-    "entity_resolution_e2e",
-    "forecast_seasonal_naive_backtest",
-    "robust_scale_winsorized",
-    "event_day_streaks",
-    "value_histogram_bins",
-    "fuzzy_part_name_pairs",
-    "zorder_bucket_stats",
-    "order_basket_hof_profile",
-    "stats_corr_by_brand",
-    "rolling_weekly_active_users",
-    # sketches / approximate family
-    "approx_distinct_rollup_merge",
-    "kmv_segment_overlap",
-    "approx_distinct_users",
-    "approx_percentiles_tdigest",
-    # dedup / similarity tail
-    "dedup_prefix_jaccard",
-    "dedup_cluster_stats",
-    "dedup_semantic_buckets",
-    "ann_ivf",
-    "ann_pq",
-    # text / multimodal tail
-    "multimodal_frame_sample",
+    # -- X9 data selection + X10 corpus selection (first driver rows) --
+    "dsir_importance_select",
+    "cms_heavy_hitters_merge",
+    "zipf_token_slope",
+    "quality_model_score",
+    "selection_pipeline_summary",
+    "ccnet_perplexity_buckets",
+    "coreset_kcenter_select",
+    "quality_classifier_train",
+    "quality_classifier_filter",
+    "ann_index_incremental",
+    "bpe_encode_corpus",
+    "unigram_lm_train_vocab",
+    "unigram_lm_segment_words",
+    "contamination_source_matrix",
+    "training_shard_manifest",
+    "training_shard_incremental",
+    "stream_heavy_hitters_cms",
+    "stream_rest_datasource_ingest",
+    "observe_ingest_metrics",
+    "kanonymity_audit",
+    # -- r7 driver red, re-shaped to scalar rows --
     "multimodal_resize_grid",
-    "text_chunk_sliding",
-    "text_repetition_topgram",
-    "embedding_norm_stats",
-    "vocab_top_terms",
-    "curation_quality_percentile",
-    "corpus_stats_card",
-    # pipeline / streaming tail
-    "schema_evolution_merge_read",
-    "stream_quarantine_split",
+    # -- vs-r6 bench-regression watch: re-green under the r8 driver --
+    "dedup_semantic_buckets",
+    "dedup_cluster_stats",
+    "approx_distinct_portable_hll",
+    "bloom_pruned_join_revenue",
+    # -- newly exact-oracled this round --
+    "ann_ivf",
+    # -- re-verification of r1-r5-era greens --
+    "hourly_pipeline_e2e",
+    "pivot_long_to_wide",
+    "graph_pagerank",
+    "tfidf_top_terms",
+    "stream_lookback_upsert",
+    "dedup_last_write_wins",
+    "group_to_nested",
+    "quality_expectations",
+    "json_field_predicate",
+    "limit_offset_pagination",
+    "series_id_slug",
+    "range_scan_history",
+    "anti_join_delete",
+    "json_roundtrip",
+    "projection_computed",
 )
 
 

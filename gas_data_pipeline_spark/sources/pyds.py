@@ -188,9 +188,17 @@ class GasQualityRestStreamReader(DataSourceStreamReader):
     offset range — a replayed micro-batch (crash between sink write
     and offset commit) refetches the identical window, which is the
     whole recovery contract. The driver-side frontier pointer only
-    ever BOUNDS what latestOffset offers; committed progress lives in
-    Spark's offset log, so a restart resumes from the checkpoint no
-    matter where the pointer was."""
+    PACES what latestOffset offers; committed progress lives in
+    Spark's offset log, and the pointer RATCHETS FORWARD from every
+    engine-supplied offset (``partitions(start, end)``,
+    ``commit(end)``). A restarted reader begins with the pointer at
+    ``start``, but the engine replays/commits the checkpointed batch
+    range before asking for new offsets, which syncs the pointer —
+    without the ratchet, latestOffset after a restart offered offsets
+    BEHIND the committed frontier and Spark (which compares offsets by
+    JSON equality only) re-planned and re-emitted already-committed
+    windows (duplicate rows — pinned by the stop/resume test in
+    tests/test_sources.py)."""
 
     def __init__(self, options: dict):
         self.start = date.fromisoformat(options["start"])
@@ -206,6 +214,15 @@ class GasQualityRestStreamReader(DataSourceStreamReader):
             )
         self._frontier = self.start
 
+    def _ratchet(self, *offsets: dict) -> None:
+        """Sync the pacing pointer forward to the engine's view — it
+        must never fall behind an offset the engine has planned or
+        committed, or latestOffset would offer backward offsets."""
+        for off in offsets:
+            day = date.fromisoformat(off["day"])
+            if day > self._frontier:
+                self._frontier = day
+
     def initialOffset(self) -> dict:
         return {"day": self.start.isoformat()}
 
@@ -215,6 +232,7 @@ class GasQualityRestStreamReader(DataSourceStreamReader):
         return {"day": nxt.isoformat()}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._ratchet(start, end)
         return _chunk_list(
             date.fromisoformat(start["day"]),
             date.fromisoformat(end["day"]),
@@ -247,8 +265,11 @@ class GasQualityRestStreamReader(DataSourceStreamReader):
                 )
 
     def commit(self, end: dict) -> None:
-        """Offsets <= ``end`` are durably processed; the REST source
-        holds no server-side state to release, so this is a no-op."""
+        """Offsets <= ``end`` are durably processed: ratchet the
+        pacing pointer (the restart-resync path — Spark re-commits the
+        checkpointed batch to the source before planning new ones);
+        the REST source holds no server-side state to release."""
+        self._ratchet(end)
 
 
 class GasQualityRestDataSource(DataSource):

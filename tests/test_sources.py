@@ -372,3 +372,70 @@ def test_gas_quality_stream_datasource_tails_the_window(spark, tmp_path):
     rows = sorted(r.read(r.partitions(a, b)[0]))
     assert rows == sorted(r.read(r.partitions(a, b)[0]))
     assert len(rows) == 2 * 2  # 2 sites x 2 days in the chunk
+
+
+def test_gas_quality_stream_restart_resumes_without_duplicates(spark, tmp_path):
+    """Stop a checkpointed stream mid-window and resume it: the
+    restarted reader's pacing pointer starts at `start`, so without
+    the engine-offset ratchet (ADVICE r7) latestOffset offered offsets
+    BEHIND the committed frontier and Spark re-planned + re-emitted
+    already-committed windows. The resumed run must add ONLY new days
+    — zero duplicate (site, timestamp) rows across both runs."""
+    from gas_data_pipeline_spark.sources.pyds import (
+        GasQualityRestStreamReader,
+        register_gas_quality_source,
+    )
+    from gas_data_pipeline_spark.streaming.incremental import (
+        await_processed_batches,
+    )
+
+    register_gas_quality_source(spark)
+    opts = {
+        "start": "2024-02-01",
+        "end": "2024-02-12",
+        "days": "2",
+        "transport": "fixture",
+    }
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def n_out() -> int:
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:  # sink path absent until the first commit
+            return 0
+
+    def run_until(n_rows):
+        sdf = spark.readStream.format("gas_quality_rest").options(**opts).load()
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            await_processed_batches(
+                q, lambda: n_out() >= n_rows, timeout_sec=120.0
+            )
+        finally:
+            q.stop()
+        q.awaitTermination()
+
+    run_until(2 * 4)  # first run: at least 2 chunks (2 sites x 4 days)
+    first = n_out()
+    run_until(first + 2 * 2)  # resumed run: at least one NEW chunk
+
+    got = spark.read.parquet(out).select(
+        "site_id", "applicable_at"
+    ).toPandas()
+    assert len(got) > first  # the stream made progress after restart
+    assert len(got) == len(got.drop_duplicates())  # and re-emitted nothing
+
+    # Unit-level: engine-supplied offsets ratchet the pointer, so a
+    # reader that saw a committed range never offers behind it.
+    r = GasQualityRestStreamReader(opts)
+    r.commit({"day": "2024-02-07"})  # restart resync path
+    assert r.latestOffset() == {"day": "2024-02-09"}
+    r2 = GasQualityRestStreamReader(opts)
+    r2.partitions({"day": "2024-02-05"}, {"day": "2024-02-07"})
+    assert r2.latestOffset() == {"day": "2024-02-09"}
