@@ -748,6 +748,185 @@ def cosine_topk_ivf_kcenter(
     )
 
 
+def pq_kcenter_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    m: int = 8,
+    n_codes: int = 8,
+    quantum: float = 1e6,
+) -> list[list[list[float]]]:
+    """DETERMINISTIC product-quantization codebooks: per subspace, a
+    greedy k-center codebook over the L2-NORMALIZED subvectors — the
+    ``dedup_semantic_buckets`` / ``cosine_topk_ivf_kcenter`` device
+    applied to PQ, so the codebooks (and therefore the codes and every
+    ADC score) are exactly replayable as SQL (the k-means trainer
+    stays in :func:`train_pq_codebooks` for the throughput path).
+
+    Distributed shape: all ``m`` subspaces train SIMULTANEOUSLY — per
+    round ONE job computes every subspace's farthest point (an
+    m-expression aggregate of (mind, -pid, subvec) structs, max
+    ignoring already-chosen rows via when()), so the whole training is
+    ``n_codes - 1`` scan+aggregate passes regardless of m; the
+    returned books are m x n_codes x (dim/m) Python floats — a model,
+    not data. Selection ties break (mind DESC, pid ASC), the oracle's
+    ORDER BY mind DESC, vec_id."""
+    from gas_data_pipeline_spark.functions.exprs import bind
+    from gas_data_pipeline_spark.operators.selection import sq_dist_fp
+
+    dim = len(corpus.select(vec_col).first()[0])
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subvectors"
+    dsub = dim // m
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nv = bind(v, lambda vv: F.transform(vv, lambda x: x / F.sqrt(dot(vv, vv))))
+    pts = corpus.select(F.col(id_col).alias("pid"), nv.alias("nv"))
+
+    def sub(j: int) -> Column:
+        return F.slice(F.col("nv"), j * dsub + 1, dsub)
+
+    seed = pts.orderBy("pid").limit(1).collect()[0]
+    seed_nv = [float(x) for x in seed["nv"]]
+    books: list[list[list[float]]] = [
+        [seed_nv[j * dsub : (j + 1) * dsub]] for j in range(m)
+    ]
+    chosen: list[list] = [[seed["pid"]] for _ in range(m)]
+    state = pts.select(
+        "pid",
+        "nv",
+        *[
+            sq_dist_fp(sub(j), books[j][0], quantum).alias(f"mind_{j}")
+            for j in range(m)
+        ],
+    )
+    for step in range(1, n_codes):
+        far = state.select(
+            *[
+                F.max(
+                    F.when(
+                        ~F.col("pid").isin(chosen[j]),
+                        F.struct(
+                            F.col(f"mind_{j}").alias("mind"),
+                            (-F.col("pid")).alias("negpid"),
+                            sub(j).alias("sv"),
+                        ),
+                    )
+                ).alias(f"far_{j}")
+                for j in range(m)
+            ]
+        ).collect()[0]
+        for j in range(m):
+            fj = far[f"far_{j}"]
+            if fj is None:  # fewer distinct points than codes
+                continue
+            chosen[j].append(-fj["negpid"])
+            books[j].append([float(x) for x in fj["sv"]])
+        state = state.select(
+            "pid",
+            "nv",
+            *[
+                F.least(
+                    F.col(f"mind_{j}"),
+                    sq_dist_fp(sub(j), books[j][-1], quantum),
+                ).alias(f"mind_{j}")
+                for j in range(m)
+            ],
+        )
+        if step % 4 == 0:
+            state = state.localCheckpoint(eager=False)
+    return books
+
+
+def cosine_topk_pq_kcenter(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    quantum: float = 1e6,
+) -> DataFrame:
+    """X2 PQ ANN with asymmetric distance over DETERMINISTIC codebooks
+    (:func:`pq_kcenter_codebooks`) — fully native expressions, fully
+    value-oracle-able: corpus rows encode per subspace by fixed-point
+    argmin over the codeword literals (ties to the earlier-selected
+    code), each (query, row) ADC score is the integer sum of the m
+    per-subspace quantized dot products ``round(<q_sub, codeword>
+    * 1e6)``, and ranking orders by that integer (quantized PQ scores
+    collide OFTEN — integer ties break by neighbor_id identically in
+    both engines, where a float rank could not be trusted).
+
+    Scale shape: encoding is a zero-shuffle scan against codeword
+    literals (the 100 TB compression pass); scoring joins the
+    broadcast query set against the encoded scan — the classic PQ
+    full-scan, composable with IVF pruning; the window sees only
+    corpus x queries candidate rows."""
+    from gas_data_pipeline_spark.functions.exprs import bind
+    from gas_data_pipeline_spark.operators.selection import sq_dist_fp
+
+    m = len(books)
+    dsub = len(books[0][0])
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nv = bind(v, lambda vv: F.transform(vv, lambda x: x / F.sqrt(dot(vv, vv))))
+
+    def sub_of(col: Column, j: int) -> Column:
+        return F.slice(col, j * dsub + 1, dsub)
+
+    def code_of(col: Column, j: int) -> Column:
+        cands = F.array(
+            *[
+                F.struct(
+                    sq_dist_fp(sub_of(col, j), cw, quantum).alias("sq_fp"),
+                    F.lit(c).alias("code"),
+                )
+                for c, cw in enumerate(books[j])
+            ]
+        )
+        return F.element_at(F.array_sort(cands), 1)["code"]
+
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        bind(
+            nv,
+            lambda n: F.array(*[code_of(n, j) for j in range(m)]),
+        ).alias("codes"),
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"), nv.alias("qv")
+    )
+
+    def adc_term(j: int) -> Column:
+        # codeword picked at runtime by the row's j-th code id.
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[j]]
+        )
+        cw = F.element_at(book_lit, F.element_at(F.col("codes"), j + 1) + 1)
+        return F.round(
+            dot(sub_of(F.col("qv"), j), cw) * F.lit(quantum), 0
+        ).cast("bigint")
+
+    s_fp = sum((adc_term(j) for j in range(1, m)), adc_term(0))
+    pairs = encoded.crossJoin(F.broadcast(qdf)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select("query_id", "neighbor_id", s_fp.alias("s_fp"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s_fp").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("s_fp") / F.lit(quantum), 6).alias("approx_cos"),
+        )
+    )
+
+
 def train_pq_codebooks(
     sample: np.ndarray, m: int = 8, n_codes: int = 32, n_iters: int = 15, seed: int = 42
 ) -> np.ndarray:

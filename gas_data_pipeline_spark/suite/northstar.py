@@ -555,20 +555,133 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf_kcenter(emb, queries, centers, k=10, n_probe=4)
 
 
-@register("ann_pq")  # rows-only: quantized scores; recall + soundness in pytest
+# Deterministic PQ geometry: 8 subspaces x 8 codes over the 64-dim
+# normalized vectors. Codebook cache (a model — m x n_codes x 8
+# floats) per session, like the k-center seam.
+_PQ_M, _PQ_CODES, _PQ_DSUB = 8, 8, 8
+_PQ_BOOK_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _corpus_pq_books(spark: SparkSession, sf_dir: str) -> list:
+    from gas_data_pipeline_spark.operators.similarity import (
+        pq_kcenter_codebooks,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    books = _PQ_BOOK_CACHE.get(key)
+    if books is None:
+        emb = table(spark, sf_dir, "embeddings")
+        books = pq_kcenter_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+        _PQ_BOOK_CACHE[key] = books
+    return books
+
+
+def _pq_sub_ctes(j: int) -> str:
+    """Per-subspace oracle CTEs: greedy k-center codebook over the
+    normalized subvectors (recursive CTE, the coreset/IVF replay
+    pattern), codes in selection order, fixed-point argmin encoding."""
+    lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+    d = _IVF_DIST_SQL
+    return f"""
+        sub{j} AS (SELECT vec_id, nv[{lo}:{hi}] AS sv FROM npts),
+        sel{j}(step, vec_id, chosen) AS (
+            SELECT 1, min(vec_id), [min(vec_id)] FROM sub{j}
+            UNION ALL
+            SELECT sel{j}.step + 1, nxt.vec_id,
+                   list_append(sel{j}.chosen, nxt.vec_id)
+            FROM sel{j}, LATERAL (
+                SELECT p.vec_id,
+                       (SELECT min({d.format(a="p.sv", b="c.sv")})
+                        FROM sub{j} c
+                        WHERE list_contains(sel{j}.chosen, c.vec_id)) AS mind
+                FROM sub{j} p
+                WHERE NOT list_contains(sel{j}.chosen, p.vec_id)
+                ORDER BY mind DESC, p.vec_id LIMIT 1
+            ) nxt
+            WHERE sel{j}.step < {_PQ_CODES}
+        ),
+        book{j} AS (
+            SELECT s.step - 1 AS code, b.sv
+            FROM sel{j} s JOIN sub{j} b USING (vec_id)
+        ),
+        enc{j} AS (
+            SELECT vec_id, code FROM (
+                SELECT p.vec_id, b.code,
+                       row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY {d.format(a="p.sv", b="b.sv")}, b.code
+                       ) AS rn
+                FROM sub{j} p CROSS JOIN book{j} b
+            ) WHERE rn = 1
+        )"""
+
+
+_PQ_SCORE_TERMS = " + ".join(
+    f"CAST(round(list_dot_product(q.qv[{j * _PQ_DSUB + 1}:{(j + 1) * _PQ_DSUB}], "
+    f"b{j}.sv) * 1e6) AS BIGINT)"
+    for j in range(_PQ_M)
+)
+_PQ_SCORE_JOINS = " ".join(
+    (
+        f"JOIN enc{j} e{j} ON e{j}.vec_id = e0.vec_id "
+        if j else "CROSS JOIN enc0 e0 "
+    )
+    + f"JOIN book{j} b{j} ON b{j}.code = e{j}.code"
+    for j in range(_PQ_M)
+)
+
+
+@register(
+    "ann_pq",
+    oracle=f"""
+        WITH RECURSIVE pts AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        npts AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS nv
+            FROM pts
+        ),{",".join(_pq_sub_ctes(j) for j in range(_PQ_M))},
+        q AS (SELECT vec_id AS query_id, nv AS qv FROM npts
+              WHERE vec_id < 8),
+        scored AS (
+            SELECT q.query_id, e0.vec_id AS neighbor_id,
+                   {_PQ_SCORE_TERMS} AS s_fp
+            FROM q {_PQ_SCORE_JOINS}
+            WHERE e0.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, approx_cos FROM (
+            SELECT query_id, neighbor_id,
+                   round(s_fp / 1e6, 6) AS approx_cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY s_fp DESC, neighbor_id
+                   ) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+)
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 product-quantization ANN (ADC): corpus vectors stored as 16
-    byte-sized subspace codes; each query scores the whole corpus with
-    m table lookups per row instead of a d-dim dot product — the
-    compressed-storage scale path (PQ shrinks scan cost 32x; IVF/LSH
-    prune scan scope; production composes them). Codebooks are seeded
-    k-means on a bounded sample; recall vs the exact scan asserted in
-    tests/test_northstar.py."""
-    from gas_data_pipeline_spark.operators.similarity import cosine_topk_pq
+    """X2 product-quantization ANN (ADC), now VALUE-ORACLED end to
+    end: corpus vectors stored as 8 subspace codes from DETERMINISTIC
+    greedy k-center codebooks (`pq_kcenter_codebooks` — all 8
+    subspaces train simultaneously, one job per round); each query
+    scores the corpus by summing the m quantized subspace dot products
+    — integer sums, so the heavy code collisions PQ produces rank
+    identically in both engines. The compressed-storage scale path (PQ
+    shrinks what a scan COSTS; IVF/LSH prune scan SCOPE; production
+    composes them — the k-means/Arrow throughput variant lives on in
+    ann_ivfpq and `cosine_topk_pq`). Recall vs the exact scan stays
+    asserted in tests/test_northstar.py."""
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk_pq_kcenter,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk_pq(emb, queries, k=10, m=16, n_codes=32)
+    books = _corpus_pq_books(spark, sf_dir)
+    return cosine_topk_pq_kcenter(emb, queries, books, k=10)
 
 
 # rows-only: doubly-approximate — no SQL oracle can reproduce quantized

@@ -918,3 +918,62 @@ def test_ivf_kcenter_scores_exact_and_recall(spark, emb_pdf):
     recall = len(e & i) / len(e)
     print("kcenter-ivf recall:", recall)
     assert recall >= 0.3, recall
+
+
+def test_pq_kcenter_recall_and_determinism(spark, emb_pdf):
+    """The value-oracled PQ (deterministic k-center codebooks, native
+    ADC) must keep a recall floor vs the exact scan, score within the
+    quantization error of the reconstruction cosine, and be run-to-run
+    identical (it is a pure function of the corpus)."""
+    import numpy as np
+
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pq_kcenter,
+        pq_kcenter_codebooks,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    books = pq_kcenter_codebooks(emb, m=8, n_codes=8)
+    assert len(books) == 8 and all(len(b) == 8 for b in books)
+    pq = cosine_topk_pq_kcenter(emb, queries, books, k=10).toPandas()
+
+    # Soundness: scores equal the numpy ADC reconstruction cosine.
+    B = np.asarray(books)  # (8, 8, 8)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=float)
+        for r in emb_pdf.itertuples()
+    }
+
+    def codes_of(v):
+        nv = v / np.linalg.norm(v)
+        return [
+            int(np.argmin(((nv[j * 8 : (j + 1) * 8] - B[j]) ** 2).sum(1)))
+            for j in range(8)
+        ]
+
+    for row in pq.itertuples():
+        nq = vecs[row.query_id] / np.linalg.norm(vecs[row.query_id])
+        cs = codes_of(vecs[row.neighbor_id])
+        want = sum(
+            float(np.dot(nq[j * 8 : (j + 1) * 8], B[j][cs[j]]))
+            for j in range(8)
+        )
+        assert abs(row.approx_cos - want) < 1e-5, (row, want)
+
+    for qid, grp in pq.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    p = set(zip(pq.query_id, pq.neighbor_id))
+    recall = len(e & p) / len(e)
+    print("kcenter-pq recall:", recall)
+    assert recall >= 0.15, recall  # 8x8 codes is a coarse quantizer
+
+    again = cosine_topk_pq_kcenter(emb, queries, books, k=10).toPandas()
+    assert pq.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )

@@ -17,10 +17,10 @@ def test_every_window_entry_carries_an_exact_oracle():
     from gas_data_pipeline_spark.registry import _DRIVER_WINDOW, all_oracles
 
     # Round 8: the whole window is value-oracled. The rows-only
-    # registrations (ann_pq, ann_ivfpq, ann_lsh_bucketed,
-    # approx_distinct_users, approx_percentiles_tdigest — each with a
-    # pytest ground-truth bound) all earned their driver rows in
-    # r1-r7 and now sit outside the window.
+    # registrations (ann_ivfpq, ann_lsh_bucketed, approx_distinct_users,
+    # approx_percentiles_tdigest — each with a pytest ground-truth
+    # bound) all earned their driver rows in r1-r7 and sit outside
+    # the window.
     oracles = all_oracles()
     missing = {n for n in _DRIVER_WINDOW if n not in oracles}
     assert missing == set()
