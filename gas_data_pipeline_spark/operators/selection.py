@@ -423,6 +423,242 @@ def kcenter_greedy(
     return centers, assigned
 
 
+def dlit(x: float) -> str:
+    """Shortest-roundtrip double literal for generated SQL: Python
+    ``repr`` round-trips the exact double and Spark's parser
+    (``Double.parseDouble``) is correctly rounded, so the parsed
+    constant is bit-identical to ``F.lit(float(x))`` — but arrives in
+    ONE string instead of one py4j call per element (a 16-center x
+    64-dim candidate array is ~1k literals; Column-API construction
+    paid ~1 py4j round trip each, seconds of pure plan-BUILD time)."""
+    return repr(float(x)) + "D"
+
+
+def sq_dist_fp_sql(
+    vexpr: str, center: list[float], quantum: float = 1e6
+) -> str:
+    """SQL-string twin of :func:`sq_dist_fp` (identical functions and
+    op order — round HALF_UP, BIGINT cast, integer fold — so results
+    are bit-identical; only the construction path differs)."""
+    arr = "array(" + ",".join(dlit(x) for x in center) + ")"
+    return (
+        f"aggregate(zip_with({vexpr}, {arr}, "
+        f"(a, b) -> CAST(round((a - b) * (a - b) * {dlit(quantum)}, 0) "
+        f"AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def center_cands_sql(
+    vexpr: str, centers: list[dict], quantum: float = 1e6
+) -> str:
+    """The (sq_fp, center_id) candidate-struct array as ONE generated
+    SQL expression — the argmin/probe device of
+    :func:`assign_to_centers`, built with a single parse instead of
+    O(k x d) Column calls."""
+    return "array(" + ",".join(
+        f"named_struct('sq_fp', {sq_dist_fp_sql(vexpr, c['vec'], quantum)}, "
+        f"'center_id', CAST({int(c['id'])} AS BIGINT))"
+        for c in centers
+    ) + ")"
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Row-wise heavy scans (codebook assignment, PQ encoding) over a
+    test-scale input that arrives as ONE file = ONE task would leave
+    31 of 32 cores idle; repartition to defaultParallelism. Gated so
+    it is a no-op at production scale: an input that already has >=
+    defaultParallelism partitions is returned untouched (a 100 TB
+    scan is never blindly reshuffled)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+# Bounded deterministic training sample for codebook learning (IVF /
+# PQ coarse quantizers and coreset seeds): the SAMPLE_N rows with the
+# smallest md5(seed:id) draws. Constant-size regardless of corpus
+# scale, so training cost is independent of data volume; the identical
+# sample is replayable in SQL as ORDER BY md5(...) LIMIT n.
+KC_SAMPLE_N = 256
+KC_SAMPLE_SEED = "kctrain-v1"
+
+
+def kc_sample_sql(seed: str = KC_SAMPLE_SEED, n: int = KC_SAMPLE_N) -> str:
+    """DuckDB twin of :func:`kcenter_train_sample`'s draw: the ORDER
+    BY / LIMIT tail that selects the identical bounded sample."""
+    return (
+        f"ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)) LIMIT {n}"
+    )
+
+
+def kcenter_train_sample(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    sample_n: int = KC_SAMPLE_N,
+    seed: str = KC_SAMPLE_SEED,
+) -> list[tuple]:
+    """Collect the bounded deterministic training sample: the
+    ``sample_n`` rows with the lexicographically smallest
+    ``md5(seed:id)`` draws (distinct ids → distinct hex keys, so the
+    cut is tie-free), vectors cast to double IN SPARK so the driver
+    sees exactly the values both engines compute. ONE
+    TakeOrderedAndProject job — the entire cluster cost of training.
+    At 100 TB this is the standard "train the quantizer on a bounded
+    sample, apply it to everything" shape: the sample never grows
+    with the corpus, and the md5 draw makes it reproducible across
+    engines, reruns, and cluster layouts."""
+    if not (1 <= sample_n <= 1_000_000):
+        # TakeOrdered's buffer scales with the limit, and a >1M-row
+        # "sample" is a full-corpus training loop in disguise — refuse
+        # (the bounded-collect discipline of dedup's vocab guard).
+        raise ValueError(f"training sample must be 1..1e6 rows, got {sample_n=}")
+    key = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    rows = (
+        points.select(
+            F.col(id_col).alias("pid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+            key.alias("__draw"),
+        )
+        .orderBy("__draw")
+        .limit(sample_n)
+        .select("pid", "v")
+        .collect()
+    )
+    return [(r["pid"], list(r["v"])) for r in rows]
+
+
+def _fp_halfup(r):
+    """Vectorized HALF_UP fixed-point on non-negative doubles ``r``,
+    bit-matching Spark ``F.round(x, 0)`` (BigDecimal HALF_UP) and
+    DuckDB ``round(x)`` (half away from zero): ``floor(r + 0.5)``
+    with an exact-decimal recheck of any element within 1e-6 of an
+    integer boundary (the IEEE ``r + 0.5`` rounding error is
+    ≤ ~2e-8 at these magnitudes, so the recheck band safely covers
+    every element the fast path could misround)."""
+    import numpy as np
+
+    y = r + 0.5
+    f = np.floor(y)
+    frac = y - f
+    sus = (frac <= 1e-6) | (frac >= 1.0 - 1e-6)
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        flat_r = r[sus]
+        exact = np.array(
+            [
+                float(
+                    Decimal(float(x)).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+                for x in flat_r
+            ]
+        )
+        f[sus] = exact
+    return f.astype("int64")
+
+
+def kcenter_greedy_local(
+    sample: list[tuple],
+    *,
+    k: int,
+    quantum: float = 1e6,
+) -> list[dict]:
+    """Driver-side greedy k-center over a BOUNDED training sample
+    (the :func:`kcenter_train_sample` output): identical algorithm,
+    tie-breaks, and fixed-point arithmetic as :func:`kcenter_greedy`
+    (seed = min id; per round pick max running-min fixed-point
+    distance, ties to the smallest id), but run as numpy on the
+    collected sample — zero Spark jobs for the k-1 selection rounds,
+    where the distributed trainer pays k-1 sequential scan+top-1
+    cycles. Per-element arithmetic is ``(a-b)*(a-b)*quantum`` in
+    IEEE doubles (the exact op order of :func:`sq_dist_fp` and the
+    DuckDB twin) then HALF_UP to int64 before the order-free integer
+    sum, so the selection replays bit-for-bit in a recursive CTE
+    over the same sample."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k=}")
+    if not sample:
+        return []
+    ids = [pid for pid, _ in sample]
+    mat = np.array([v for _, v in sample], dtype="float64")
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    seed_i = order[0]
+    centers: list[dict] = [
+        {
+            "step": 1,
+            "id": ids[seed_i],
+            "sq_fp": None,
+            "vec": [float(x) for x in mat[seed_i]],
+        }
+    ]
+    chosen = np.zeros(len(ids), dtype=bool)
+    chosen[seed_i] = True
+
+    def fp_dist(center_row):
+        d = mat - center_row
+        return _fp_halfup(d * d * quantum).sum(axis=1)
+
+    mind = fp_dist(mat[seed_i])
+    id_arr = np.array(ids)
+    for step in range(2, k + 1):
+        if chosen.all():
+            break  # fewer than k distinct points: stop like the oracle
+        cand = np.where(~chosen)[0]
+        best_val = mind[cand].max()
+        ties = cand[mind[cand] == best_val]
+        far_i = ties[np.argmin(id_arr[ties])]
+        centers.append(
+            {
+                "step": step,
+                "id": ids[far_i],
+                "sq_fp": int(mind[far_i]),
+                "vec": [float(x) for x in mat[far_i]],
+            }
+        )
+        chosen[far_i] = True
+        mind = np.minimum(mind, fp_dist(mat[far_i]))
+    return centers
+
+
+def kcenter_greedy_sampled(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+    quantum: float = 1e6,
+    sample_n: int = KC_SAMPLE_N,
+    seed: str = KC_SAMPLE_SEED,
+) -> list[dict]:
+    """Greedy k-center trained on the bounded deterministic sample:
+    ONE Spark job (the sample's TakeOrderedAndProject) + a driver-side
+    numpy greedy, replacing the k-1 sequential full-corpus
+    scan+aggregate rounds of :func:`kcenter_greedy` — the fix for the
+    classic driver-coordinated-training bottleneck (at 100 TB, 15
+    full passes over the embedding corpus to learn a 16-row model is
+    the wrong plan; one bounded sample is the right one). When the
+    corpus has ≤ ``sample_n`` rows the sample IS the corpus and the
+    selection is identical to the full trainer (pinned in
+    tests/test_selection.py). Returns the same ``centers`` shape as
+    :func:`kcenter_greedy`; assignment stays the zero-shuffle
+    :func:`assign_to_centers` scan."""
+    sample = kcenter_train_sample(
+        points, id_col, vec_col, sample_n=sample_n, seed=seed
+    )
+    return kcenter_greedy_local(sample, k=k, quantum=quantum)
+
+
 def assign_to_centers(
     pts: DataFrame,
     centers: list[dict],
@@ -437,17 +673,12 @@ def assign_to_centers(
     the smallest center id, distances fixed-point so the argmin is
     engine-exact. ``pts`` must carry ``pid`` and ``v`` columns (the
     shape :func:`kcenter_greedy` builds); extra ``payload_cols`` ride
-    through so callers never need a corpus-sized re-join."""
-    cands = F.array(
-        *[
-            F.struct(
-                sq_dist_fp(F.col("v"), c["vec"], quantum).alias("sq_fp"),
-                F.lit(c["id"]).alias("center_id"),
-            )
-            for c in centers
-        ]
+    through so callers never need a corpus-sized re-join. The
+    candidate array is generated SQL (:func:`center_cands_sql`) so
+    plan construction costs one parse, not O(k x d) py4j calls."""
+    best = F.element_at(
+        F.array_sort(F.expr(center_cands_sql("v", centers, quantum))), 1
     )
-    best = F.element_at(F.array_sort(cands), 1)
     return pts.select(
         "pid",
         *payload_cols,

@@ -680,6 +680,7 @@ def cosine_topk_ivf_kcenter(
     vec_col: str = "embedding",
     k: int = 10,
     n_probe: int = 4,
+    driver_probe_bound: int = 1024,
 ) -> DataFrame:
     """X2 IVF ANN with a DETERMINISTIC coarse quantizer: the inverted
     lists come from a greedy k-center codebook (``centers`` as built by
@@ -697,39 +698,69 @@ def cosine_topk_ivf_kcenter(
     and a cells-keyed equi-join with the broadcast probe set replaces
     the cross product (~n_probe/n_clusters of the corpus scanned per
     query). Candidate cosine is the sequential-fold :func:`cosine` —
-    bit-deterministic, matching DuckDB's ``list_dot_product``."""
+    bit-deterministic, matching DuckDB's ``list_dot_product``.
+
+    Query routing is threshold-gated like the dedup union-find: a
+    query set within ``driver_probe_bound`` rows (the common ANN
+    shape — queries are a bounded batch, the corpus is the big side)
+    is collected once and probed driver-side with the numpy
+    fixed-point kernel (``selection._fp_halfup`` — bit-identical to
+    the expression path, pinned in tests/test_northstar.py), skipping
+    a whole Spark job; a larger query table takes the distributed
+    expression path. Both paths produce identical probe sets."""
     from gas_data_pipeline_spark.operators.selection import (
+        _fp_halfup,
         assign_to_centers,
-        sq_dist_fp,
+        center_cands_sql,
+        spread_small_scan,
     )
 
-    pts = corpus.select(
-        F.col(id_col).alias("pid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    pts = spread_small_scan(
+        corpus.select(
+            F.col(id_col).alias("pid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
     )
     assigned = assign_to_centers(pts, centers, payload_cols=("v",))
-    probe_structs = F.array(
-        *[
-            F.struct(
-                sq_dist_fp(F.col("qv"), c["vec"]).alias("sq_fp"),
-                F.lit(c["id"]).alias("center_id"),
-            )
-            for c in centers
-        ]
-    )
-    qprobe = queries.select(
+    qpts = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    ).select(
-        "query_id",
-        "qv",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(probe_structs), 1, n_probe),
-                lambda s: s["center_id"],
-            )
-        ).alias("center_id"),
     )
+    qrows = qpts.limit(driver_probe_bound + 1).collect()
+    if len(qrows) <= driver_probe_bound:
+        import numpy as np
+
+        cmat = np.array([c["vec"] for c in centers], dtype="float64")
+        cids = [int(c["id"]) for c in centers]
+        probe_rows = []
+        for r in qrows:
+            qv = list(r["qv"])
+            d = np.asarray(qv, dtype="float64") - cmat
+            sq = _fp_halfup(d * d * 1e6).sum(axis=1)
+            # argmin with (sq_fp, center_id) struct order — ties to
+            # the smaller center id, the array_sort convention.
+            order = sorted(range(len(cids)), key=lambda i: (sq[i], cids[i]))
+            for i in order[:n_probe]:
+                probe_rows.append((r["query_id"], qv, cids[i]))
+        spark = queries.sparkSession
+        qprobe = spark.createDataFrame(
+            probe_rows,
+            "query_id bigint, qv array<double>, center_id bigint",
+        )
+    else:
+        probe_structs = F.expr(center_cands_sql("qv", centers))
+        qprobe = qpts.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(probe_structs), 1, n_probe),
+                    lambda s: s["center_id"],
+                )
+            ).alias("center_id"),
+        )
     pairs = assigned.join(F.broadcast(qprobe), "center_id").filter(
         F.col("pid") != F.col("query_id")
     )
@@ -838,6 +869,71 @@ def pq_kcenter_codebooks(
     return books
 
 
+def pq_kcenter_codebooks_sampled(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    m: int = 8,
+    n_codes: int = 8,
+    quantum: float = 1e6,
+    sample_n: int | None = None,
+    seed: str | None = None,
+) -> list[list[list[float]]]:
+    """:func:`pq_kcenter_codebooks` trained on the bounded
+    deterministic sample (``operators/selection.kcenter_train_sample``
+    device — the sample_n smallest md5(seed:id) draws): ONE Spark job
+    collects the L2-normalized sample (normalization computed IN
+    SPARK, the sequential fold both engines share), then every
+    subspace's greedy k-center runs driver-side in numpy with the
+    identical fixed-point arithmetic and tie-breaks. Replaces the
+    n_codes-1 sequential full-corpus scan+aggregate rounds — at
+    100 TB, codebook training must not scale with the corpus; the
+    bounded sample makes it constant-cost and still exactly
+    replayable as a per-subspace recursive CTE over the same sample.
+    When the corpus has ≤ sample_n rows the result is identical to
+    the full trainer (pinned in tests/test_northstar.py)."""
+    from gas_data_pipeline_spark.functions.exprs import bind
+    from gas_data_pipeline_spark.operators.selection import (
+        KC_SAMPLE_N,
+        KC_SAMPLE_SEED,
+        kcenter_greedy_local,
+    )
+
+    sample_n = KC_SAMPLE_N if sample_n is None else sample_n
+    seed = KC_SAMPLE_SEED if seed is None else seed
+    if not (1 <= sample_n <= 1_000_000):
+        # same bounded-collect guard as kcenter_train_sample
+        raise ValueError(f"training sample must be 1..1e6 rows, got {sample_n=}")
+    dim = len(corpus.select(vec_col).first()[0])
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subvectors"
+    dsub = dim // m
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nv = bind(v, lambda vv: F.transform(vv, lambda x: x / F.sqrt(dot(vv, vv))))
+    key = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("pid"), nv.alias("nv"), key.alias("__draw")
+        )
+        .orderBy("__draw")
+        .limit(sample_n)
+        .select("pid", "nv")
+        .collect()
+    )
+    sample = [(r["pid"], list(r["nv"])) for r in rows]
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub_sample = [
+            (pid, vec[j * dsub : (j + 1) * dsub]) for pid, vec in sample
+        ]
+        centers = kcenter_greedy_local(sub_sample, k=n_codes, quantum=quantum)
+        books.append([c["vec"] for c in centers])
+    return books
+
+
 def cosine_topk_pq_kcenter(
     corpus: DataFrame,
     queries: DataFrame,
@@ -861,9 +957,18 @@ def cosine_topk_pq_kcenter(
     literals (the 100 TB compression pass); scoring joins the
     broadcast query set against the encoded scan — the classic PQ
     full-scan, composable with IVF pruning; the window sees only
-    corpus x queries candidate rows."""
+    corpus x queries candidate rows. Both the per-subspace encoders
+    and the ADC terms are generated SQL (`selection.dlit` /
+    `sq_dist_fp_sql`), so plan construction costs m parses instead
+    of O(m x n_codes x dsub) py4j calls, and the test-scale
+    single-file corpus scan spreads across cores
+    (`selection.spread_small_scan`)."""
     from gas_data_pipeline_spark.functions.exprs import bind
-    from gas_data_pipeline_spark.operators.selection import sq_dist_fp
+    from gas_data_pipeline_spark.operators.selection import (
+        dlit,
+        spread_small_scan,
+        sq_dist_fp_sql,
+    )
 
     m = len(books)
     dsub = len(books[0][0])
@@ -871,43 +976,40 @@ def cosine_topk_pq_kcenter(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nv = bind(v, lambda vv: F.transform(vv, lambda x: x / F.sqrt(dot(vv, vv))))
 
-    def sub_of(col: Column, j: int) -> Column:
-        return F.slice(col, j * dsub + 1, dsub)
+    def sub_sql(col: str, j: int) -> str:
+        return f"slice({col}, {j * dsub + 1}, {dsub})"
 
-    def code_of(col: Column, j: int) -> Column:
-        cands = F.array(
-            *[
-                F.struct(
-                    sq_dist_fp(sub_of(col, j), cw, quantum).alias("sq_fp"),
-                    F.lit(c).alias("code"),
-                )
-                for c, cw in enumerate(books[j])
-            ]
-        )
-        return F.element_at(F.array_sort(cands), 1)["code"]
+    def code_sql(j: int) -> str:
+        cands = "array(" + ",".join(
+            f"named_struct('sq_fp', "
+            f"{sq_dist_fp_sql(sub_sql('nv', j), cw, quantum)}, "
+            f"'code', {c})"
+            for c, cw in enumerate(books[j])
+        ) + ")"
+        return f"element_at(array_sort({cands}), 1).code"
 
-    encoded = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        bind(
-            nv,
-            lambda n: F.array(*[code_of(n, j) for j in range(m)]),
-        ).alias("codes"),
-    )
+    codes_sql = "array(" + ",".join(code_sql(j) for j in range(m)) + ")"
+    encoded = spread_small_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), nv.alias("nv"))
+    ).select("neighbor_id", F.expr(codes_sql).alias("codes"))
     qdf = queries.select(
         F.col(id_col).alias("query_id"), nv.alias("qv")
     )
 
-    def adc_term(j: int) -> Column:
+    def adc_sql(j: int) -> str:
         # codeword picked at runtime by the row's j-th code id.
-        book_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[j]]
+        book_lit = "array(" + ",".join(
+            "array(" + ",".join(dlit(x) for x in cw) + ")"
+            for cw in books[j]
+        ) + ")"
+        cw = f"element_at({book_lit}, element_at(codes, {j + 1}) + 1)"
+        d = (
+            f"aggregate(zip_with({sub_sql('qv', j)}, {cw}, "
+            f"(a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-        cw = F.element_at(book_lit, F.element_at(F.col("codes"), j + 1) + 1)
-        return F.round(
-            dot(sub_of(F.col("qv"), j), cw) * F.lit(quantum), 0
-        ).cast("bigint")
+        return f"CAST(round({d} * {dlit(quantum)}, 0) AS BIGINT)"
 
-    s_fp = sum((adc_term(j) for j in range(1, m)), adc_term(0))
+    s_fp = F.expr(" + ".join(adc_sql(j) for j in range(m)))
     pairs = encoded.crossJoin(F.broadcast(qdf)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )

@@ -465,17 +465,21 @@ _IVF_DIST_SQL = (
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
         ),
+        samp AS (
+            SELECT vec_id, v FROM pts
+            ORDER BY md5('kctrain-v1:' || CAST(vec_id AS VARCHAR)) LIMIT 256
+        ),
         sel(step, vec_id, chosen) AS (
-            SELECT 1, min(vec_id), [min(vec_id)] FROM pts
+            SELECT 1, min(vec_id), [min(vec_id)] FROM samp
             UNION ALL
             SELECT sel.step + 1, nxt.vec_id,
                    list_append(sel.chosen, nxt.vec_id)
             FROM sel, LATERAL (
                 SELECT p.vec_id,
                        (SELECT min({_IVF_DIST_SQL.format(a="p.v", b="c.v")})
-                        FROM pts c
+                        FROM samp c
                         WHERE list_contains(sel.chosen, c.vec_id)) AS mind
-                FROM pts p
+                FROM samp p
                 WHERE NOT list_contains(sel.chosen, p.vec_id)
                 ORDER BY mind DESC, p.vec_id
                 LIMIT 1
@@ -534,16 +538,20 @@ _IVF_DIST_SQL = (
     """,
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 IVF scale path, now VALUE-ORACLED end to end: inverted lists
+    """X2 IVF scale path, VALUE-ORACLED end to end: inverted lists
     from a deterministic greedy k-center codebook (16 cells — the
     exact-replayable counterpart of k-means, same Voronoi routing
     role; the r5-r7 rows-only k-means variant lives on in ann_ivfpq),
     queries probe their 4 nearest of 16 centers — ~25% corpus scan per
-    query instead of 100%. Assignment and probing argmins are
-    fixed-point BIGINT (engine-exact ties); candidate cosine is the
-    sequential fold, bit-matching DuckDB's list_dot_product. Training
-    goes through the session-scoped k-center seam; recall vs the exact
-    top-k stays asserted in tests/test_northstar.py."""
+    query instead of 100%. The codebook trains on the BOUNDED
+    deterministic sample (256 smallest md5 draws, one Spark job +
+    driver-side numpy greedy — constant training cost at any corpus
+    scale; the oracle replays the identical sample). Assignment and
+    probing argmins are fixed-point BIGINT (engine-exact ties);
+    candidate cosine is the sequential fold, bit-matching DuckDB's
+    list_dot_product. Training goes through the session-scoped
+    k-center seam; recall vs the exact top-k stays asserted in
+    tests/test_northstar.py."""
     from gas_data_pipeline_spark.operators.similarity import (
         cosine_topk_ivf_kcenter,
     )
@@ -564,37 +572,41 @@ _PQ_BOOK_CACHE: dict[tuple[str, str], list] = {}
 
 def _corpus_pq_books(spark: SparkSession, sf_dir: str) -> list:
     from gas_data_pipeline_spark.operators.similarity import (
-        pq_kcenter_codebooks,
+        pq_kcenter_codebooks_sampled,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     books = _PQ_BOOK_CACHE.get(key)
     if books is None:
         emb = table(spark, sf_dir, "embeddings")
-        books = pq_kcenter_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+        books = pq_kcenter_codebooks_sampled(emb, m=_PQ_M, n_codes=_PQ_CODES)
         _PQ_BOOK_CACHE[key] = books
     return books
 
 
 def _pq_sub_ctes(j: int) -> str:
     """Per-subspace oracle CTEs: greedy k-center codebook over the
-    normalized subvectors (recursive CTE, the coreset/IVF replay
-    pattern), codes in selection order, fixed-point argmin encoding."""
+    normalized subvectors of the BOUNDED deterministic training
+    sample (`snpts` — the 256 smallest md5 draws, mirroring
+    `pq_kcenter_codebooks_sampled`; recursive CTE, the coreset/IVF
+    replay pattern), codes in selection order, fixed-point argmin
+    encoding of the FULL corpus."""
     lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
     d = _IVF_DIST_SQL
     return f"""
         sub{j} AS (SELECT vec_id, nv[{lo}:{hi}] AS sv FROM npts),
+        ssub{j} AS (SELECT vec_id, nv[{lo}:{hi}] AS sv FROM snpts),
         sel{j}(step, vec_id, chosen) AS (
-            SELECT 1, min(vec_id), [min(vec_id)] FROM sub{j}
+            SELECT 1, min(vec_id), [min(vec_id)] FROM ssub{j}
             UNION ALL
             SELECT sel{j}.step + 1, nxt.vec_id,
                    list_append(sel{j}.chosen, nxt.vec_id)
             FROM sel{j}, LATERAL (
                 SELECT p.vec_id,
                        (SELECT min({d.format(a="p.sv", b="c.sv")})
-                        FROM sub{j} c
+                        FROM ssub{j} c
                         WHERE list_contains(sel{j}.chosen, c.vec_id)) AS mind
-                FROM sub{j} p
+                FROM ssub{j} p
                 WHERE NOT list_contains(sel{j}.chosen, p.vec_id)
                 ORDER BY mind DESC, p.vec_id LIMIT 1
             ) nxt
@@ -602,7 +614,7 @@ def _pq_sub_ctes(j: int) -> str:
         ),
         book{j} AS (
             SELECT s.step - 1 AS code, b.sv
-            FROM sel{j} s JOIN sub{j} b USING (vec_id)
+            FROM sel{j} s JOIN ssub{j} b USING (vec_id)
         ),
         enc{j} AS (
             SELECT vec_id, code FROM (
@@ -643,6 +655,10 @@ _PQ_SCORE_JOINS = " ".join(
                    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
                        AS nv
             FROM pts
+        ),
+        snpts AS (
+            SELECT vec_id, nv FROM npts
+            ORDER BY md5('kctrain-v1:' || CAST(vec_id AS VARCHAR)) LIMIT 256
         ),{",".join(_pq_sub_ctes(j) for j in range(_PQ_M))},
         q AS (SELECT vec_id AS query_id, nv AS qv FROM npts
               WHERE vec_id < 8),
@@ -663,10 +679,12 @@ _PQ_SCORE_JOINS = " ".join(
     """,
 )
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 product-quantization ANN (ADC), now VALUE-ORACLED end to
+    """X2 product-quantization ANN (ADC), VALUE-ORACLED end to
     end: corpus vectors stored as 8 subspace codes from DETERMINISTIC
-    greedy k-center codebooks (`pq_kcenter_codebooks` — all 8
-    subspaces train simultaneously, one job per round); each query
+    greedy k-center codebooks trained on the BOUNDED deterministic
+    sample (`pq_kcenter_codebooks_sampled` — 256 smallest md5 draws,
+    ONE Spark job + driver-side numpy greedy per subspace, constant
+    training cost at any corpus scale); each query
     scores the corpus by summing the m quantized subspace dot products
     — integer sums, so the heavy code collisions PQ produces rank
     identically in both engines. The compressed-storage scale path (PQ

@@ -977,3 +977,74 @@ def test_pq_kcenter_recall_and_determinism(spark, emb_pdf):
     assert pq.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
         again.sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
+
+
+def test_sampled_codebooks_match_full_and_keep_recall(spark):
+    """The bounded-sample trainers must (a) be bit-identical to the
+    full trainers when the sample covers the corpus, and (b) keep the
+    registered queries' recall floors when truncated to the default
+    256-draw sample (the shape ann_ivf / ann_pq now train with)."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.selection import (
+        kcenter_greedy_sampled,
+    )
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf_kcenter,
+        cosine_topk_pq_kcenter,
+        pq_kcenter_codebooks,
+        pq_kcenter_codebooks_sampled,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    full_books = pq_kcenter_codebooks(emb, m=8, n_codes=8)
+    cover_books = pq_kcenter_codebooks_sampled(
+        emb, m=8, n_codes=8, sample_n=5000
+    )
+    assert full_books == cover_books
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+
+    books256 = pq_kcenter_codebooks_sampled(emb, m=8, n_codes=8)
+    pq = cosine_topk_pq_kcenter(emb, queries, books256, k=10).toPandas()
+    pq_recall = len(e & set(zip(pq.query_id, pq.neighbor_id))) / len(e)
+    print("sampled-pq recall:", pq_recall)
+    assert pq_recall >= 0.15, pq_recall
+
+    centers256 = kcenter_greedy_sampled(emb, "vec_id", "embedding", k=16)
+    ivf = cosine_topk_ivf_kcenter(
+        emb, queries, centers256, k=10, n_probe=4
+    ).toPandas()
+    ivf_recall = len(e & set(zip(ivf.query_id, ivf.neighbor_id))) / len(e)
+    print("sampled-ivf recall:", ivf_recall)
+    assert ivf_recall >= 0.3, ivf_recall
+
+
+def test_ivf_driver_probe_matches_distributed_probe(spark):
+    """The threshold-gated driver-side query routing must produce
+    exactly the distributed expression path's result (same fixed-point
+    math, same tie-breaks) — forced by setting the bound below the
+    query count."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.selection import (
+        kcenter_greedy_sampled,
+    )
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivf_kcenter,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centers = kcenter_greedy_sampled(emb, "vec_id", "embedding", k=16)
+    fast = cosine_topk_ivf_kcenter(
+        emb, queries, centers, k=10, n_probe=4
+    ).toPandas()
+    slow = cosine_topk_ivf_kcenter(
+        emb, queries, centers, k=10, n_probe=4, driver_probe_bound=0
+    ).toPandas()
+    key = ["query_id", "rank"]
+    assert fast.sort_values(key).reset_index(drop=True).equals(
+        slow.sort_values(key).reset_index(drop=True)
+    )

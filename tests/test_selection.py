@@ -531,3 +531,57 @@ def test_kcenter_stops_early_on_small_inputs(spark):
     assert [c["step"] for c in centers] == [1, 2, 3]
     rows = {r["pid"]: r["center_id"] for r in assigned.collect()}
     assert rows == {1: 1, 2: 2, 3: 3}  # every point is its own center
+
+
+def test_kcenter_sampled_matches_full_trainer_when_sample_covers(spark):
+    """With sample_n >= corpus size the bounded-sample trainer's
+    selection (ids, steps, fixed-point distances, vectors) must be
+    BIT-IDENTICAL to the distributed full trainer — the invariant
+    that lets the sampled path replace the k-full-scan path without
+    changing semantics, only the training-input bound."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.selection import (
+        kcenter_greedy,
+        kcenter_greedy_sampled,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, SF_DIR, "embeddings")
+    full, _ = kcenter_greedy(emb, "vec_id", "embedding", k=8)
+    samp = kcenter_greedy_sampled(
+        emb, "vec_id", "embedding", k=8, sample_n=5000
+    )
+    assert [(c["step"], c["id"], c["sq_fp"]) for c in full] == [
+        (c["step"], c["id"], c["sq_fp"]) for c in samp
+    ]
+    for a, b in zip(full, samp):
+        assert a["vec"] == b["vec"]
+
+
+def test_kcenter_sampled_is_one_job_and_bounded(spark):
+    """The sampled trainer must collect exactly the sample_n smallest
+    md5 draws (deterministic, engine-portable cut) and stop early on
+    tiny inputs like the full trainer."""
+    from gas_data_pipeline_spark.operators.selection import (
+        kcenter_greedy_sampled,
+        kcenter_train_sample,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [6.0, 8.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    sample = kcenter_train_sample(pts, "vec_id", "embedding", sample_n=2)
+    assert len(sample) == 2
+    # md5 cut replayed in python: smallest two hex draws win
+    import hashlib
+
+    draws = sorted(
+        (hashlib.md5(f"kctrain-v1:{i}".encode()).hexdigest(), i)
+        for i in (1, 2, 3)
+    )
+    assert [pid for pid, _ in sample] == [i for _, i in draws[:2]]
+
+    centers = kcenter_greedy_sampled(pts, "vec_id", "embedding", k=8)
+    assert [c["id"] for c in centers] == [1, 3, 2]
+    assert [c["step"] for c in centers] == [1, 2, 3]
