@@ -64,42 +64,31 @@ def _load_all() -> None:
 # still covered by the builder-side parity gate (tests/test_parity.py,
 # all queries).
 #
-# Round-8 rotation (VERDICT r7 #1): CORRECTNESS_r07.json landed
-# (49/50 green, 1 harness-compat red), so the window rotates. The 9
-# anchors stay; the 41 r7-greened entries rotate OUT (their exact
-# DuckDB oracles remain in tests/test_parity.py); rotating IN:
-#   - all 20 queries that have never had a driver-side CORRECTNESS
-#     row — the full X9 data-selection and X10 corpus-selection
-#     families (ann_index_incremental, bpe_encode_corpus,
-#     ccnet_perplexity_buckets, cms_heavy_hitters_merge,
-#     contamination_source_matrix, coreset_kcenter_select,
-#     dsir_importance_select, kanonymity_audit,
-#     observe_ingest_metrics, quality_classifier_filter,
-#     quality_classifier_train, quality_model_score,
-#     selection_pipeline_summary, stream_heavy_hitters_cms,
-#     stream_rest_datasource_ingest, training_shard_incremental,
-#     training_shard_manifest, unigram_lm_segment_words,
-#     unigram_lm_train_vocab, zipf_token_slope);
-#   - multimodal_resize_grid, re-shaped to scalar (doc_id, i, j, v)
-#     rows after its r7 driver-compare crash on a raw array<double>
-#     column (no windowed query may output array/struct/map columns
-#     — enforced by tests/test_registry.py);
-#   - the four vs-r6 bench-regression watch queries not already
-#     anchored (dedup_semantic_buckets, dedup_cluster_stats,
-#     approx_distinct_portable_hll, bloom_pruned_join_revenue), so
-#     their r8 rows double as still-green evidence;
-#   - ann_ivf, which gained an exact DuckDB oracle this round
-#     (deterministic k-center coarse quantizer — VERDICT r7 #9);
-#   - 15 re-verification slots for r1-r5-era greens across the
-#     macro-families (hourly_pipeline_e2e per VERDICT r7 #7, plus
-#     pivot_long_to_wide, graph_pagerank, tfidf_top_terms and the
-#     relational/pipeline tail below).
-# Every windowed query this round has an exact DuckDB oracle — the
-# rows-only set (ann_pq, ann_ivfpq, ann_lsh_bucketed,
-# approx_distinct_users, approx_percentiles_tdigest — all with pytest
-# ground-truth bounds) sits entirely outside the window, and each of
-# those earned its driver rows-only row in r1-r7. After this round,
-# union(r1..r8 driver rows) == all 177 registered names.
+# Round-9 rotation (VERDICT r8 #2): CORRECTNESS_r08.json landed
+# (50/50 green), so the window rotates. The 9 anchors stay; rotating
+# IN:
+#   - ann_pq — the only exact-oracled query with no driver row yet
+#     (its k-center oracle landed in r8 after the r8 window froze);
+#   - the 4 rows-only-by-design queries (ann_ivfpq, ann_lsh_bucketed,
+#     approx_distinct_users, approx_percentiles_tdigest — approximate
+#     by nature, pytest ground-truth bounds) for fresh rows-only rows;
+#     they last earned driver rows in r1-r7;
+#   - the 3 queries whose RESULTS changed this round (codebooks now
+#     train on the bounded 256-draw md5 sample, so centers differ
+#     once the corpus exceeds the sample): ann_ivf,
+#     coreset_kcenter_select, ann_index_incremental — their r8/r5
+#     greens certified the old semantics and must be re-earned;
+#   - 4 watch items from VERDICT r8: hourly_pipeline_e2e (6 s bar),
+#     unigram_lm_train_vocab (superlinear-probe fix this round),
+#     ewma_by_series and quality_classifier_filter (drift check);
+#   - 29 re-verification slots for the STALEST driver rows — every
+#     name whose last driver check was r1-r3 (decile_order_values
+#     through window_functions below), so no green predates r4 after
+#     this round.
+# Every windowed query except the 4 rows-only ones has an exact
+# DuckDB oracle. union(r1..r8 driver rows) == all 177 registered
+# names; after r9 the only never-exact-green name left is none —
+# ann_pq joins the exact set.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
@@ -111,52 +100,52 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_gie_delete_reload",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # -- X9 data selection + X10 corpus selection (first driver rows) --
-    "dsir_importance_select",
-    "cms_heavy_hitters_merge",
-    "zipf_token_slope",
-    "quality_model_score",
-    "selection_pipeline_summary",
-    "ccnet_perplexity_buckets",
-    "coreset_kcenter_select",
-    "quality_classifier_train",
-    "quality_classifier_filter",
-    "ann_index_incremental",
-    "bpe_encode_corpus",
-    "unigram_lm_train_vocab",
-    "unigram_lm_segment_words",
-    "contamination_source_matrix",
-    "training_shard_manifest",
-    "training_shard_incremental",
-    "stream_heavy_hitters_cms",
-    "stream_rest_datasource_ingest",
-    "observe_ingest_metrics",
-    "kanonymity_audit",
-    # -- r7 driver red, re-shaped to scalar rows --
-    "multimodal_resize_grid",
-    # -- vs-r6 bench-regression watch: re-green under the r8 driver --
-    "dedup_semantic_buckets",
-    "dedup_cluster_stats",
-    "approx_distinct_portable_hll",
-    "bloom_pruned_join_revenue",
-    # -- newly exact-oracled this round --
+    # -- never driver-green: exact oracle landed post-r8-window --
+    "ann_pq",
+    # -- rows-only-by-design refresh (pytest-bounded approximations) --
+    "ann_ivfpq",
+    "ann_lsh_bucketed",
+    "approx_distinct_users",
+    "approx_percentiles_tdigest",
+    # -- results changed this round (bounded-sample codebook training) --
     "ann_ivf",
-    # -- re-verification of r1-r5-era greens --
+    "coreset_kcenter_select",
+    "ann_index_incremental",
+    # -- VERDICT r8 watch items --
     "hourly_pipeline_e2e",
-    "pivot_long_to_wide",
-    "graph_pagerank",
-    "tfidf_top_terms",
-    "stream_lookback_upsert",
-    "dedup_last_write_wins",
-    "group_to_nested",
-    "quality_expectations",
-    "json_field_predicate",
-    "limit_offset_pagination",
-    "series_id_slug",
-    "range_scan_history",
-    "anti_join_delete",
-    "json_roundtrip",
-    "projection_computed",
+    "unigram_lm_train_vocab",
+    "ewma_by_series",
+    "quality_classifier_filter",
+    # -- stalest re-verification: every row last checked in r1-r3 --
+    "decile_order_values",
+    "dedup_char_jaccard",
+    "dedup_ngram_jaccard",
+    "distinct_composite_keys",
+    "optional_filters_all_null",
+    "pricing_summary",
+    "rollup_revenue",
+    "semi_join_urgent_customers",
+    "stream_enrich_static_join",
+    "stream_session_window",
+    "stream_sliding_window",
+    "percentiles_by_series",
+    "set_ops_repeat_buyers",
+    "asof_join_latest_view",
+    "cube_revenue",
+    "date_parse_coerce",
+    "dedup_connected_components",
+    "dedup_containment_pairs",
+    "dedup_exact_hash",
+    "dedup_simhash",
+    "distinct_datasets",
+    "embedding_cosine_near_dup",
+    "json_key_melt",
+    "nest_unnest_roundtrip",
+    "null_invalid_value_filter",
+    "series_id_reverse_parse",
+    "stream_dedup_keys",
+    "stream_foreachbatch_upsert",
+    "stream_hourly_rollup",
 )
 
 
