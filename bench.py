@@ -131,12 +131,17 @@ def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
         return out_dir
-    # Reclaim superseded probe caches (earlier factors, the pre-v2
-    # naming): multi-GB scaled corpora otherwise pile up in TMPDIR.
+    # Reclaim superseded probe caches for THIS base only (earlier
+    # factors, the pre-v2 naming): multi-GB scaled corpora otherwise
+    # pile up in TMPDIR. Scoped to the same sf base so alternating
+    # sf0.01/sf0.1 runs don't thrash each other's caches and a
+    # concurrent bench at another sf keeps its in-use dir (ADVICE r8).
     import glob
     import shutil
 
-    for stale in glob.glob(os.path.join(tmp_root, "spark_graft_scale_probe_*")):
+    for stale in glob.glob(
+        os.path.join(tmp_root, f"spark_graft_scale_probe_{base}_*")
+    ):
         if os.path.abspath(stale) != os.path.abspath(out_dir):
             shutil.rmtree(stale, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -225,11 +230,22 @@ def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     return out_dir
 
 
-def run_scale_probe(
-    spark, queries, sf_dir: str, base_timings: dict[str, float]
-) -> dict:
-    """Run the heavy-query subset once against the scaled dir; report
-    per-copy time ratios and degenerate-plan flips."""
+def run_scale_probe(spark, queries, sf_dir: str) -> dict:
+    """Run the heavy-query subset cold-vs-cold: re-measure each probe
+    query ONCE at the base dir with the session model seams cleared,
+    then once at the scaled dir (a fresh seam key by construction),
+    and report per-copy time ratios plus degenerate-plan flips.
+
+    The denominator must be COLD: several suite queries train through
+    session-scoped compute-once seams (BPE, unigram, k-center, PQ,
+    classifier), and a pass-timing denominator is seam-warm whenever
+    an alphabetically-earlier sibling shares the seam (r8:
+    unigram_lm_segment_words trained the cache, so
+    unigram_lm_train_vocab's warm 0.27 s base made a linear trainer
+    read as 1.68 per-copy — a cold-vs-warm artifact, not a plan
+    defect)."""
+    from gas_data_pipeline_spark.registry import reset_model_seams
+
     factor = SCALE_PROBE_FACTOR
     scaled_dir = _build_scaled_dir(spark, sf_dir, factor)
     out: dict[str, dict] = {}
@@ -240,6 +256,22 @@ def run_scale_probe(
         if name not in queries:
             continue
         gc.collect()  # same per-query JVM-state hygiene as run_pass
+        # Unmeasured warmup so codegen/JIT compile lands before EITHER
+        # measured run — otherwise the second run (scaled) inherits the
+        # first's compiled stages and the ratio reads deceptively low.
+        reset_model_seams()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        gc.collect()
+        reset_model_seams()
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        base = round(time.perf_counter() - start, 4)
+        gc.collect()
+        reset_model_seams()
         start = time.perf_counter()
         df = queries[name](spark, scaled_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -248,10 +280,7 @@ def run_scale_probe(
         flip = ("CartesianProduct" in plan) or (
             "BroadcastNestedLoopJoin" in plan
         )
-        base = base_timings.get(name)
-        ratio = (
-            round(scaled_sec / (base * factor), 4) if base else None
-        )
+        ratio = round(scaled_sec / (base * factor), 4) if base else None
         out[name] = {
             "base_sec": base,
             "scaled_sec": scaled_sec,
@@ -260,6 +289,7 @@ def run_scale_probe(
         }
         if flip or (ratio is not None and ratio > 1.5):
             superlinear.append(name)
+    reset_model_seams()  # leave no half-cold session state behind
     return {
         "factor": factor,
         "queries": out,
@@ -302,18 +332,9 @@ def main() -> None:
     )
 
     if probe_only:
-        # Standalone probe: one base pass over the probe subset for the
-        # denominator, then the scaled run.
-        base: dict[str, float] = {}
-        for name in SCALE_PROBE_QUERIES:
-            if name not in queries:
-                continue
-            start = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            base[name] = round(time.perf_counter() - start, 4)
-        probe = run_scale_probe(spark, queries, sf_dir, base)
+        # Standalone probe: run_scale_probe measures its own cold
+        # base denominators.
+        probe = run_scale_probe(spark, queries, sf_dir)
         print(
             json.dumps(
                 {
@@ -390,18 +411,32 @@ def main() -> None:
     }
     probe = None
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
-        # Denominators come from PASS 1, not the medians: several
-        # suite queries train through session-scoped compute-once
-        # seams (BPE, unigram, k-center, classifier), so passes 2-3
-        # hit warm model caches while the probe's scaled dir is a
-        # fresh cache key — cold-vs-cold is the honest per-copy ratio.
-        probe = run_scale_probe(spark, queries, sf_dir, passes[0])
+        # Cold-vs-cold: the probe re-measures each base query with the
+        # model seams cleared (see run_scale_probe's docstring).
+        probe = run_scale_probe(spark, queries, sf_dir)
         payload["scale_probe"] = probe
     payload["queries"] = dict(sorted(timings.items(), key=lambda kv: kv[1]))
     print(json.dumps(payload))
     try:
         with open(os.path.join(_REPO_ROOT, "BENCH_FULL.json"), "w") as fh:
             json.dump(payload, fh, indent=1)
+            fh.write("\n")
+        # BENCH_FULL.json is overwritten per run, which made first
+        # recordings auditable only through git archaeology (VERDICT
+        # r8 #6). Append every run's compact record to an append-only
+        # history so the "within 2x of first recording" bar always has
+        # its denominator on disk.
+        with open(os.path.join(_REPO_ROOT, "BENCH_HISTORY.jsonl"), "a") as fh:
+            json.dump(
+                {
+                    "ts": int(time.time()),
+                    "sf": sf,
+                    "value": total,
+                    "passes": n_passes,
+                    "queries": payload["queries"],
+                },
+                fh,
+            )
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: stdout still carries everything

@@ -134,13 +134,18 @@ def viterbi_segment(
     unreachable) plus the full backpointer list, then a second fold
     backtraces the chosen pieces. The DP never looks back further than
     ``max_piece`` positions, so the cost accumulator needs only that
-    window — growing it per position via ``F.concat`` copied the whole
-    array each step, an O(len²) hidden term the 8x scale probe flagged
-    (r7 per-copy 2.21); the window copy is O(max_piece) per step.
-    Unreachable prefixes propagate as NULL and vanish at the next
-    reachable boundary; the word itself is always segmentable because
-    the vocabulary keeps every piece of its previous segmentation
-    (round 1: every single character).
+    window; the r7 version grew the COST array per position via
+    ``F.concat`` (whole-array copy each step), which the window halves
+    to int-sized appends. The backpointer list still concat-grows one
+    int per position — an O(len²) copy term per word, BOUNDED here
+    because the word table filters to len <= 12 (~13 prefixed), i.e.
+    a <=169-int constant per row, linear over the corpus. (The r8
+    probe's 1.68 flag on this trainer was a cold-vs-warm measurement
+    artifact, fixed in bench.run_scale_probe — cold-vs-cold measures
+    0.14 per-copy at 8x.) Unreachable prefixes propagate as NULL and
+    vanish at the next reachable boundary; the word itself is always
+    segmentable because the vocabulary keeps every piece of its
+    previous segmentation (round 1: every single character).
 
     Returns word, freq, pieces (the segmentation), n_pieces, and the
     word's total fixed-point log-prob ``lp_fp``."""

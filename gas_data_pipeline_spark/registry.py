@@ -163,3 +163,26 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     return {spec.name: spec.oracle for spec in _ordered() if spec.oracle is not None}
+
+
+def reset_model_seams() -> None:
+    """Clear every session-scoped compute-once model cache (BPE,
+    unigram, k-center, PQ codebooks, classifier, planted components).
+    Queries stay correct with warm seams — the caches hold pure
+    functions of (corpus, params) — but MEASUREMENT needs cold ones:
+    the bench scale probe compares a fresh scaled-dir run against a
+    base run, and a warm base seam makes a perfectly linear trainer
+    look superlinear (cold-vs-warm, the r8 unigram probe flag)."""
+    _load_all()
+    from gas_data_pipeline_spark.suite import (
+        curation_suite,
+        northstar,
+        selection_suite,
+    )
+
+    curation_suite._BPE_CACHE.clear()
+    curation_suite._UNIGRAM_CACHE.clear()
+    selection_suite._KCENTER_CACHE.clear()
+    selection_suite._QCLF_CACHE.clear()
+    northstar._COMPONENTS_CACHE.clear()
+    northstar._PQ_BOOK_CACHE.clear()

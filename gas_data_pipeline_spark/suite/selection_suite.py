@@ -264,7 +264,17 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     regr_* aggregates sum products in engine- and partition-dependent
     order, the association class behind the round-6 hash flips. The
     final divisions run on int64→double casts, which round identically
-    in both engines."""
+    in both engines.
+
+    Accepted ulp risk (ADVICE r8): the quantized ln runs JVM-side
+    (F.log) against DuckDB's libm ln. Unlike the unigram model's
+    driver-side ln (reused across ties, so a 1-ulp drift would cascade
+    through Viterbi argmaxes), each ln here feeds ONE addend of a
+    moment sum quantized at 1e6 — a flip requires libm and StrictMath
+    to disagree on an ln of a small integer AND that ln*1e6 to land
+    within one ulp of a .5 boundary, and the inputs (cnt, rnk —
+    integers, rnk <= 100) are a tiny set spot-checked equal in
+    tests/test_selection.py. Documented rather than rerouted."""
     docs = table(spark, sf_dir, "documents")
     words = docs.select("lang", F.explode(_words()).alias("word"))
     counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))

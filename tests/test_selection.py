@@ -585,3 +585,31 @@ def test_kcenter_sampled_is_one_job_and_bounded(spark):
     centers = kcenter_greedy_sampled(pts, "vec_id", "embedding", k=8)
     assert [c["id"] for c in centers] == [1, 3, 2]
     assert [c["step"] for c in centers] == [1, 2, 3]
+
+
+def test_zipf_ln_quantization_agrees_with_libm(spark, duck):
+    """zipf_token_slope quantizes JVM F.log outputs; the oracle
+    quantizes DuckDB (libm) ln. Spot-check the full realistic input
+    set — ln of integers 1..2000 at the 1e6 fixed point — so the
+    documented accepted-ulp-risk claim is pinned, not assumed."""
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.range(1, 2001)
+        .select(
+            F.col("id"),
+            F.round(F.log(F.col("id").cast("double")) * 1e6, 0)
+            .cast("bigint")
+            .alias("q"),
+        )
+        .collect()
+    )
+    want = {
+        int(r[0]): int(r[1])
+        for r in duck.sql(
+            "SELECT i, CAST(round(ln(CAST(i AS DOUBLE)) * 1e6) AS BIGINT)"
+            " FROM range(1, 2001) t(i)"
+        ).fetchall()
+    }
+    bad = [(r["id"], r["q"], want[r["id"]]) for r in got if r["q"] != want[r["id"]]]
+    assert bad == [], bad[:5]
