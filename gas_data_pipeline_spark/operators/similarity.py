@@ -672,6 +672,35 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_kcenter_index(
+    corpus: DataFrame,
+    centers: list[dict],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF inverted lists: every corpus vector routed to its
+    nearest k-center cell (zero-shuffle scan, fixed-point argmin) with
+    the vector riding along for exact rescoring. This is the INDEX —
+    build it once, search it many times (FAISS's build/search split);
+    at 100 TB it would persist as cell-partitioned parquet, here
+    callers localCheckpoint it per session. Single-file test inputs
+    spread across cores first (`selection.spread_small_scan`)."""
+    from gas_data_pipeline_spark.operators.selection import (
+        assign_to_centers,
+        spread_small_scan,
+    )
+
+    pts = spread_small_scan(
+        corpus.select(
+            F.col(id_col).alias("pid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+    )
+    return assign_to_centers(pts, centers, payload_cols=("v",))
+
+
 def cosine_topk_ivf_kcenter(
     corpus: DataFrame,
     queries: DataFrame,
@@ -681,6 +710,7 @@ def cosine_topk_ivf_kcenter(
     k: int = 10,
     n_probe: int = 4,
     driver_probe_bound: int = 1024,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """X2 IVF ANN with a DETERMINISTIC coarse quantizer: the inverted
     lists come from a greedy k-center codebook (``centers`` as built by
@@ -707,23 +737,22 @@ def cosine_topk_ivf_kcenter(
     fixed-point kernel (``selection._fp_halfup`` — bit-identical to
     the expression path, pinned in tests/test_northstar.py), skipping
     a whole Spark job; a larger query table takes the distributed
-    expression path. Both paths produce identical probe sets."""
+    expression path. Both paths produce identical probe sets.
+
+    Pass ``index`` (a :func:`build_ivf_kcenter_index` result) to skip
+    re-assigning the corpus: the inverted lists are the INDEX, built
+    once and amortized across query batches — every production ANN
+    system's build-vs-search split."""
     from gas_data_pipeline_spark.operators.selection import (
         _fp_halfup,
-        assign_to_centers,
         center_cands_sql,
-        spread_small_scan,
     )
 
-    pts = spread_small_scan(
-        corpus.select(
-            F.col(id_col).alias("pid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "v"
-            ),
-        )
+    assigned = (
+        index
+        if index is not None
+        else build_ivf_kcenter_index(corpus, centers, id_col, vec_col)
     )
-    assigned = assign_to_centers(pts, centers, payload_cols=("v",))
     qpts = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
@@ -934,6 +963,47 @@ def pq_kcenter_codebooks_sampled(
     return books
 
 
+def build_pq_codes(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantum: float = 1e6,
+) -> DataFrame:
+    """The PQ compressed store: every corpus vector encoded as its m
+    per-subspace fixed-point-argmin code ids (ties to the
+    earlier-selected code — selection order, both engines). This is
+    the 100 TB compression pass — 64 floats become m bytes — and like
+    the IVF inverted lists it is an INDEX: build once, search many
+    times; callers localCheckpoint it per session (at scale it
+    persists as parquet). Encoders are generated SQL (one parse per
+    subspace); single-file test inputs spread across cores first."""
+    from gas_data_pipeline_spark.functions.exprs import bind
+    from gas_data_pipeline_spark.operators.selection import (
+        spread_small_scan,
+        sq_dist_fp_sql,
+    )
+
+    m = len(books)
+    dsub = len(books[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nv = bind(v, lambda vv: F.transform(vv, lambda x: x / F.sqrt(dot(vv, vv))))
+
+    def code_sql(j: int) -> str:
+        sub = f"slice(nv, {j * dsub + 1}, {dsub})"
+        cands = "array(" + ",".join(
+            f"named_struct('sq_fp', {sq_dist_fp_sql(sub, cw, quantum)}, "
+            f"'code', {c})"
+            for c, cw in enumerate(books[j])
+        ) + ")"
+        return f"element_at(array_sort({cands}), 1).code"
+
+    codes_sql = "array(" + ",".join(code_sql(j) for j in range(m)) + ")"
+    return spread_small_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), nv.alias("nv"))
+    ).select("neighbor_id", F.expr(codes_sql).alias("codes"))
+
+
 def cosine_topk_pq_kcenter(
     corpus: DataFrame,
     queries: DataFrame,
@@ -942,6 +1012,7 @@ def cosine_topk_pq_kcenter(
     vec_col: str = "embedding",
     k: int = 10,
     quantum: float = 1e6,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """X2 PQ ANN with asymmetric distance over DETERMINISTIC codebooks
     (:func:`pq_kcenter_codebooks`) — fully native expressions, fully
@@ -962,13 +1033,12 @@ def cosine_topk_pq_kcenter(
     `sq_dist_fp_sql`), so plan construction costs m parses instead
     of O(m x n_codes x dsub) py4j calls, and the test-scale
     single-file corpus scan spreads across cores
-    (`selection.spread_small_scan`)."""
+    (`selection.spread_small_scan`). Pass ``codes`` (a
+    :func:`build_pq_codes` result) to skip re-encoding the corpus —
+    the compressed store is the index, amortized across query
+    batches."""
     from gas_data_pipeline_spark.functions.exprs import bind
-    from gas_data_pipeline_spark.operators.selection import (
-        dlit,
-        spread_small_scan,
-        sq_dist_fp_sql,
-    )
+    from gas_data_pipeline_spark.operators.selection import dlit
 
     m = len(books)
     dsub = len(books[0][0])
@@ -979,19 +1049,11 @@ def cosine_topk_pq_kcenter(
     def sub_sql(col: str, j: int) -> str:
         return f"slice({col}, {j * dsub + 1}, {dsub})"
 
-    def code_sql(j: int) -> str:
-        cands = "array(" + ",".join(
-            f"named_struct('sq_fp', "
-            f"{sq_dist_fp_sql(sub_sql('nv', j), cw, quantum)}, "
-            f"'code', {c})"
-            for c, cw in enumerate(books[j])
-        ) + ")"
-        return f"element_at(array_sort({cands}), 1).code"
-
-    codes_sql = "array(" + ",".join(code_sql(j) for j in range(m)) + ")"
-    encoded = spread_small_scan(
-        corpus.select(F.col(id_col).alias("neighbor_id"), nv.alias("nv"))
-    ).select("neighbor_id", F.expr(codes_sql).alias("codes"))
+    encoded = (
+        codes
+        if codes is not None
+        else build_pq_codes(corpus, books, id_col, vec_col, quantum)
+    )
     qdf = queries.select(
         F.col(id_col).alias("query_id"), nv.alias("qv")
     )

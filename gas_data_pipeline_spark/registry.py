@@ -186,3 +186,5 @@ def reset_model_seams() -> None:
     selection_suite._QCLF_CACHE.clear()
     northstar._COMPONENTS_CACHE.clear()
     northstar._PQ_BOOK_CACHE.clear()
+    northstar._IVF_INDEX_CACHE.clear()
+    northstar._PQ_CODES_CACHE.clear()
