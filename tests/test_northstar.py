@@ -1048,3 +1048,44 @@ def test_ivf_driver_probe_matches_distributed_probe(spark):
     assert fast.sort_values(key).reset_index(drop=True).equals(
         slow.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_ann_index_build_search_split_is_result_identical(spark):
+    """Passing a prebuilt index (IVF inverted lists / PQ code table)
+    must change WHERE the work happens, never the result — the
+    build/search split the registered queries amortize per session."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.selection import (
+        kcenter_greedy_sampled,
+    )
+    from gas_data_pipeline_spark.operators.similarity import (
+        build_ivf_kcenter_index,
+        build_pq_codes,
+        cosine_topk_ivf_kcenter,
+        cosine_topk_pq_kcenter,
+        pq_kcenter_codebooks_sampled,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    key = ["query_id", "rank"]
+
+    centers = kcenter_greedy_sampled(emb, "vec_id", "embedding", k=16)
+    idx = build_ivf_kcenter_index(emb, centers).localCheckpoint(eager=True)
+    inline = cosine_topk_ivf_kcenter(emb, queries, centers, k=5).toPandas()
+    viaidx = cosine_topk_ivf_kcenter(
+        emb, queries, centers, k=5, index=idx
+    ).toPandas()
+    assert inline.sort_values(key).reset_index(drop=True).equals(
+        viaidx.sort_values(key).reset_index(drop=True)
+    )
+
+    books = pq_kcenter_codebooks_sampled(emb, m=8, n_codes=8)
+    codes = build_pq_codes(emb, books).localCheckpoint(eager=True)
+    inline = cosine_topk_pq_kcenter(emb, queries, books, k=5).toPandas()
+    viacodes = cosine_topk_pq_kcenter(
+        emb, queries, books, k=5, codes=codes
+    ).toPandas()
+    assert inline.sort_values(key).reset_index(drop=True).equals(
+        viacodes.sort_values(key).reset_index(drop=True)
+    )
