@@ -290,6 +290,118 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_neardup_leakage",
+    oracle=f"""
+        WITH docs AS ({_PLANT_SQL}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([
+                       words[x] || ' ' || words[x+1] || ' ' || words[x+2]
+                       FOR x IN range(1, greatest(len(words) - 1, 1))
+                   ]) AS shingles
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\\s+')
+                             AS words
+                  FROM docs)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.shingles, b.shingles))
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)))
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.shingles, b.shingles))
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        ),
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN d < 0.8 THEN 'train'
+                        WHEN d < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(concat('0x', substring(
+                             md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                             1, 13)) AS BIGINT)
+                           / CAST(4503599627370496 AS DOUBLE) AS d
+                  FROM docs)
+        ),
+        tagged AS (
+            SELECT least(sa.split, sb.split) AS split_a,
+                   greatest(sa.split, sb.split) AS split_b,
+                   p.jaccard
+            FROM pairs p
+            JOIN splits sa ON sa.doc_id = p.id_a
+            JOIN splits sb ON sb.doc_id = p.id_b
+        )
+        SELECT split_a, split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(min(jaccard), 6) AS min_jaccard,
+               round(max(jaccard), 6) AS max_jaccard,
+               split_a <> split_b AS leaked
+        FROM tagged GROUP BY 1, 2
+    """,
+)
+def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/curation: CONTENT-level train/val/test leakage audit — the
+    near-dup complement of the key-level `split_leakage_audit`
+    (analytics_suite): that one catches rows whose SPLIT KEY is
+    inconsistent; this one catches documents whose TEXT leaks across
+    a correctly-keyed split. Near-duplicate
+    pairs that straddle a split boundary leak training text into
+    evaluation (Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"; Dodge et al. 2021's C4 benchmark-overlap
+    audit): a model scored on the test half of such a pair is graded
+    on memorized text. The audit assigns every document a
+    deterministic md5-draw split (80/10/10 — the portable
+    `curation.uniform_draw` device, replayed bit-for-bit in SQL),
+    finds all >=0.5-Jaccard near-dup pairs with the SAME banded
+    MinHash-LSH kernel `dedup_minhash_lsh` uses (candidates
+    exact-verified, never N²), and reports pair counts + Jaccard
+    ranges per unordered split pair with a ``leaked`` flag on every
+    cross-split row.
+
+    Scale shape: the corpus is scanned for shingles/banding only
+    (the LSH kernel's plan); verified pairs are a SMALL output, so
+    both split-tag joins broadcast the pair side into a zero-shuffle
+    scan over the split assignment — the corpus never re-joins
+    itself. Output is |split-combinations|-sized (<= 6 rows)."""
+    from gas_data_pipeline_spark.operators.curation import uniform_draw
+
+    docs = _docs_with_planted(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", word_shingles(F.col("text"), n=3), threshold=0.5
+    )
+    d = uniform_draw(F.col("doc_id"), "split-v1")
+    splits = docs.select(
+        "doc_id",
+        F.when(d < 0.8, "train")
+        .when(d < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    t1 = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+    ).join(F.broadcast(pairs), "id_a")
+    tagged = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+    ).join(F.broadcast(t1), "id_b")
+    return (
+        tagged.groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .withColumn("leaked", F.col("split_a") != F.col("split_b"))
+    )
+
+
 _CHAR_JACCARD_ORACLE = f"""
         WITH docs AS ({_PLANT_SQL}),
         sh AS (
