@@ -466,6 +466,117 @@ def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_temperature_weights",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT lang, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        per_lang AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM tagged GROUP BY lang
+        ),
+        shares AS (
+            SELECT lang, n_docs, n_tokens,
+                   CAST(n_tokens AS DOUBLE)
+                     / CAST((SELECT sum(n_tokens) FROM per_lang) AS DOUBLE)
+                       AS share
+            FROM per_lang
+        ),
+        tw AS (
+            SELECT lang, n_docs, n_tokens, share,
+                   CAST(round(pow(share, 0.3) * 1e12) AS BIGINT) AS twq
+            FROM shares
+        )
+        SELECT lang, n_docs, n_tokens,
+               round(share, 6) AS current_share,
+               round(CAST(twq AS DOUBLE)
+                     / CAST((SELECT sum(twq) FROM tw) AS DOUBLE), 6)
+                   AS target_share,
+               round(least(
+                   (CAST(twq AS DOUBLE)
+                    / CAST((SELECT sum(twq) FROM tw) AS DOUBLE)) / share,
+                   CAST(4.0 AS DOUBLE)), 6) AS sample_boost
+        FROM tw
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing — the multilingual data-
+    sampling formula of mT5/XLM-R (Xue et al. 2021 §3.2; Conneau et
+    al. 2020 §3): target_share_l ∝ share_l^α with α=0.3, so
+    low-resource languages are upsampled toward (but never to)
+    uniform. Reports per language the corpus token share, the
+    temperature target, and the sampling boost (capped at 4x — the
+    small-domain overfit guard, as in curation_mixture_weights).
+
+    Exactness devices: the per-language aggregate (a |langs|-row
+    model) is collected and the α-power computed in the DRIVER's
+    Python ``math.pow`` — the same libm binding DuckDB's ``pow``
+    resolves to (the `unigram_lm.lp_fixed_point` device), so the JVM's
+    StrictMath.pow 1-ulp fringe never enters; the powered weights
+    quantize to BIGINT x 1e12 BEFORE normalization so the weight sum
+    is an exact integer in both engines regardless of association
+    order. Scale shape: ONE map-side-combinable aggregate to |langs|
+    rows; everything after is model-sized driver arithmetic, exactly
+    like the BPE/unigram trainers."""
+    from gas_data_pipeline_spark.operators.text import is_word, tokenize
+    from gas_data_pipeline_spark.operators.unigram_lm import (
+        _round_half_away,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    rows = (
+        docs.select(
+            "lang",
+            F.size(F.filter(tokenize(F.col("text")), is_word))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .collect()
+    )
+    import math
+
+    total = sum(int(r["n_tokens"]) for r in rows)
+    stats = [
+        (r["lang"], int(r["n_docs"]), int(r["n_tokens"])) for r in rows
+    ]
+    shares = {lang: nt / total for lang, _, nt in stats}
+    twq = {
+        lang: _round_half_away(math.pow(s, 0.3) * 1e12)
+        for lang, s in shares.items()
+    }
+    tsum = sum(twq.values())
+
+    def r6(x: float) -> float:
+        # DuckDB round(x, 6) = half-away on x*1e6 (std::round) — NOT
+        # Python's half-even round(); same device as _round_half_away.
+        return _round_half_away(x * 1e6) / 1e6
+
+    out = [
+        (
+            lang,
+            nd,
+            nt,
+            r6(shares[lang]),
+            r6(twq[lang] / tsum),
+            r6(min((twq[lang] / tsum) / shares[lang], 4.0)),
+        )
+        for lang, nd, nt in stats
+    ]
+    return spark.createDataFrame(
+        out,
+        "lang string, n_docs bigint, n_tokens bigint, "
+        "current_share double, target_share double, sample_boost double",
+    )
+
+
+@register(
     "curation_mixture_apply",
     oracle="""
         WITH kept AS (
