@@ -672,6 +672,64 @@ def cosine_topk_ivf(
     )
 
 
+def probe_cells(
+    queries: DataFrame,
+    centers: list[dict],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_probe: int = 4,
+    driver_probe_bound: int = 1024,
+) -> DataFrame:
+    """Route each query to its ``n_probe`` nearest coarse-quantizer
+    cells (fixed-point argmin, ties to the smaller center id — the
+    array_sort struct convention). Threshold-gated like the dedup
+    union-find: a query batch within ``driver_probe_bound`` rows is
+    collected once and probed driver-side with the numpy fixed-point
+    kernel (``selection._fp_halfup`` — bit-identical to the
+    expression path, pinned in tests), skipping a whole Spark job; a
+    larger query table takes the distributed expression path. Returns
+    (query_id, qv, center_id) rows — one per probed cell."""
+    from gas_data_pipeline_spark.operators.selection import (
+        _fp_halfup,
+        center_cands_sql,
+    )
+
+    qpts = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    qrows = qpts.limit(driver_probe_bound + 1).collect()
+    if len(qrows) <= driver_probe_bound:
+        import numpy as np
+
+        cmat = np.array([c["vec"] for c in centers], dtype="float64")
+        cids = [int(c["id"]) for c in centers]
+        probe_rows = []
+        for r in qrows:
+            qv = list(r["qv"])
+            d = np.asarray(qv, dtype="float64") - cmat
+            sq = _fp_halfup(d * d * 1e6).sum(axis=1)
+            order = sorted(range(len(cids)), key=lambda i: (sq[i], cids[i]))
+            for i in order[:n_probe]:
+                probe_rows.append((r["query_id"], qv, cids[i]))
+        return queries.sparkSession.createDataFrame(
+            probe_rows,
+            "query_id bigint, qv array<double>, center_id bigint",
+        )
+    probe_structs = F.expr(center_cands_sql("qv", centers))
+    return qpts.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, n_probe),
+                lambda s: s["center_id"],
+            )
+        ).alias("center_id"),
+    )
+
+
 def build_ivf_kcenter_index(
     corpus: DataFrame,
     centers: list[dict],
@@ -743,53 +801,19 @@ def cosine_topk_ivf_kcenter(
     re-assigning the corpus: the inverted lists are the INDEX, built
     once and amortized across query batches — every production ANN
     system's build-vs-search split."""
-    from gas_data_pipeline_spark.operators.selection import (
-        _fp_halfup,
-        center_cands_sql,
-    )
-
     assigned = (
         index
         if index is not None
         else build_ivf_kcenter_index(corpus, centers, id_col, vec_col)
     )
-    qpts = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    qprobe = probe_cells(
+        queries,
+        centers,
+        id_col,
+        vec_col,
+        n_probe=n_probe,
+        driver_probe_bound=driver_probe_bound,
     )
-    qrows = qpts.limit(driver_probe_bound + 1).collect()
-    if len(qrows) <= driver_probe_bound:
-        import numpy as np
-
-        cmat = np.array([c["vec"] for c in centers], dtype="float64")
-        cids = [int(c["id"]) for c in centers]
-        probe_rows = []
-        for r in qrows:
-            qv = list(r["qv"])
-            d = np.asarray(qv, dtype="float64") - cmat
-            sq = _fp_halfup(d * d * 1e6).sum(axis=1)
-            # argmin with (sq_fp, center_id) struct order — ties to
-            # the smaller center id, the array_sort convention.
-            order = sorted(range(len(cids)), key=lambda i: (sq[i], cids[i]))
-            for i in order[:n_probe]:
-                probe_rows.append((r["query_id"], qv, cids[i]))
-        spark = queries.sparkSession
-        qprobe = spark.createDataFrame(
-            probe_rows,
-            "query_id bigint, qv array<double>, center_id bigint",
-        )
-    else:
-        probe_structs = F.expr(center_cands_sql("qv", centers))
-        qprobe = qpts.select(
-            "query_id",
-            "qv",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(probe_structs), 1, n_probe),
-                    lambda s: s["center_id"],
-                )
-            ).alias("center_id"),
-        )
     pairs = assigned.join(F.broadcast(qprobe), "center_id").filter(
         F.col("pid") != F.col("query_id")
     )
@@ -1076,6 +1100,117 @@ def cosine_topk_pq_kcenter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = pairs.select("query_id", "neighbor_id", s_fp.alias("s_fp"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s_fp").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("s_fp") / F.lit(quantum), 6).alias("approx_cos"),
+        )
+    )
+
+
+def build_ivfpq_kcenter_index(
+    corpus: DataFrame,
+    centers: list[dict],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantum: float = 1e6,
+) -> DataFrame:
+    """The composed IVF+PQ index, the FAISS production layout: PQ
+    codes stored INSIDE the inverted lists — (neighbor_id, center_id,
+    codes) — so search never joins the corpus against a second table.
+    Built from one routing scan + one encoding scan joined at BUILD
+    time (at 100 TB this persists as cell-partitioned parquet of
+    m-byte codes; the raw vectors never need to be read at search
+    time)."""
+    inv = build_ivf_kcenter_index(corpus, centers, id_col, vec_col).select(
+        F.col("pid").alias("neighbor_id"), "center_id"
+    )
+    codes = build_pq_codes(corpus, books, id_col, vec_col, quantum)
+    return inv.join(codes, "neighbor_id")
+
+
+def cosine_topk_ivfpq_kcenter(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centers: list[dict],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    quantum: float = 1e6,
+    driver_probe_bound: int = 1024,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """X2 composed IVF+PQ with DETERMINISTIC k-center quantizers at
+    BOTH levels — the production FAISS shape (IVF prunes which
+    inverted lists a query scans; PQ makes scanning a list cost m
+    integer table lookups per row), now fully VALUE-ORACLE-ABLE: the
+    coarse router is the raw-vector k-center codebook `ann_ivf` uses,
+    the fine quantizer the normalized-subvector codebooks `ann_pq`
+    uses, candidates come from the cells-keyed equi-join, and each
+    candidate's ADC score is the integer sum of m quantized subspace
+    dot products — quantized scores collide often, and integer ties
+    break by neighbor_id identically in both engines. (The k-means
+    throughput variant stays in :func:`cosine_topk_ivfpq`.)
+
+    Scale shape: probe (bounded driver batch or distributed argmin)
+    -> broadcast probe set ⋈ the code-carrying inverted lists
+    (~n_probe/n_cells of the compressed corpus per query) -> ADC
+    expressions against the broadcast query subvectors -> per-query
+    top-k window over candidate rows only."""
+    from gas_data_pipeline_spark.functions.exprs import bind
+    from gas_data_pipeline_spark.operators.selection import dlit
+
+    m = len(books)
+    dsub = len(books[0][0])
+    idx = (
+        index
+        if index is not None
+        else build_ivfpq_kcenter_index(
+            corpus, centers, books, id_col, vec_col, quantum
+        )
+    )
+    qprobe = probe_cells(
+        queries,
+        centers,
+        id_col,
+        vec_col,
+        n_probe=n_probe,
+        driver_probe_bound=driver_probe_bound,
+    ).select("query_id", "center_id")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nv = bind(v, lambda vv: F.transform(vv, lambda x: x / F.sqrt(dot(vv, vv))))
+    qdf = queries.select(F.col(id_col).alias("query_id"), nv.alias("qv"))
+
+    def adc_sql(j: int) -> str:
+        book_lit = "array(" + ",".join(
+            "array(" + ",".join(dlit(x) for x in cw) + ")"
+            for cw in books[j]
+        ) + ")"
+        cw = f"element_at({book_lit}, element_at(codes, {j + 1}) + 1)"
+        d = (
+            f"aggregate(zip_with(slice(qv, {j * dsub + 1}, {dsub}), {cw}, "
+            f"(a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        return f"CAST(round({d} * {dlit(quantum)}, 0) AS BIGINT)"
+
+    cand = idx.join(F.broadcast(qprobe), "center_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.expr(" + ".join(adc_sql(j) for j in range(m))).alias("s_fp"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("s_fp").desc(), F.col("neighbor_id")
     )

@@ -188,3 +188,4 @@ def reset_model_seams() -> None:
     northstar._PQ_BOOK_CACHE.clear()
     northstar._IVF_INDEX_CACHE.clear()
     northstar._PQ_CODES_CACHE.clear()
+    northstar._IVFPQ_INDEX_CACHE.clear()

@@ -859,6 +859,165 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pq_kcenter(emb, queries, books, k=10, codes=codes)
 
 
+_IVFPQ_ADC_TERMS = " + ".join(
+    f"CAST(round(list_dot_product("
+    f"qn.qnv[{j * _PQ_DSUB + 1}:{(j + 1) * _PQ_DSUB}], b{j}.sv) * 1e6) "
+    f"AS BIGINT)"
+    for j in range(_PQ_M)
+)
+_IVFPQ_ADC_JOINS = " ".join(
+    f"JOIN enc{j} e{j} ON e{j}.vec_id = c.neighbor_id "
+    f"JOIN book{j} b{j} ON b{j}.code = e{j}.code"
+    for j in range(_PQ_M)
+)
+
+
+@register(
+    "ann_ivfpq_kcenter",
+    oracle=f"""
+        WITH RECURSIVE pts AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        samp AS (
+            SELECT vec_id, v FROM pts
+            ORDER BY md5('kctrain-v1:' || CAST(vec_id AS VARCHAR)) LIMIT 256
+        ),
+        sel(step, vec_id, chosen) AS (
+            SELECT 1, min(vec_id), [min(vec_id)] FROM samp
+            UNION ALL
+            SELECT sel.step + 1, nxt.vec_id,
+                   list_append(sel.chosen, nxt.vec_id)
+            FROM sel, LATERAL (
+                SELECT p.vec_id,
+                       (SELECT min({_IVF_DIST_SQL.format(a="p.v", b="c.v")})
+                        FROM samp c
+                        WHERE list_contains(sel.chosen, c.vec_id)) AS mind
+                FROM samp p
+                WHERE NOT list_contains(sel.chosen, p.vec_id)
+                ORDER BY mind DESC, p.vec_id
+                LIMIT 1
+            ) nxt
+            WHERE sel.step < 16
+        ),
+        cvecs AS (
+            SELECT s.vec_id AS center_id, p.v
+            FROM sel s JOIN pts p USING (vec_id)
+        ),
+        assign AS (
+            SELECT vec_id, center_id FROM (
+                SELECT p.vec_id, c.center_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY {_IVF_DIST_SQL.format(a="p.v", b="c.v")},
+                                    c.center_id
+                       ) AS rn
+                FROM pts p CROSS JOIN cvecs c
+            ) WHERE rn = 1
+        ),
+        npts AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS nv
+            FROM pts
+        ),
+        snpts AS (
+            SELECT vec_id, nv FROM npts
+            ORDER BY md5('kctrain-v1:' || CAST(vec_id AS VARCHAR)) LIMIT 256
+        ),{",".join(_pq_sub_ctes(j) for j in range(_PQ_M))},
+        qr AS (SELECT vec_id AS query_id, v AS qv FROM pts
+               WHERE vec_id < 8),
+        qn AS (SELECT vec_id AS query_id, nv AS qnv FROM npts
+               WHERE vec_id < 8),
+        qprobe AS (
+            SELECT query_id, center_id FROM (
+                SELECT q.query_id, c.center_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_IVF_DIST_SQL.format(a="q.qv", b="c.v")},
+                                    c.center_id
+                       ) AS rn
+                FROM qr q CROSS JOIN cvecs c
+            ) WHERE rn <= 4
+        ),
+        cand AS (
+            SELECT qp.query_id, a.vec_id AS neighbor_id
+            FROM qprobe qp JOIN assign a USING (center_id)
+            WHERE a.vec_id <> qp.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id, {_IVFPQ_ADC_TERMS} AS s_fp
+            FROM cand c
+            JOIN qn ON qn.query_id = c.query_id
+            {_IVFPQ_ADC_JOINS}
+        )
+        SELECT query_id, neighbor_id, rank, approx_cos FROM (
+            SELECT query_id, neighbor_id,
+                   round(s_fp / 1e6, 6) AS approx_cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY s_fp DESC, neighbor_id
+                   ) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+)
+def ann_ivfpq_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 composed IVF+PQ, fully VALUE-ORACLED — the production FAISS
+    shape with both quantizers deterministic: the raw-vector k-center
+    coarse router `ann_ivf` uses prunes WHICH inverted lists a query
+    scans (4 of 16 cells), and the normalized-subvector k-center
+    codebooks `ann_pq` uses make scanning a list cost 8 integer
+    table lookups per row (ADC). PQ codes live INSIDE the inverted
+    lists (`build_ivfpq_kcenter_index` — at scale, cell-partitioned
+    parquet of 8-byte codes; raw vectors never read at search time).
+    Candidate ADC scores are integer sums, so the heavy quantized-
+    score collisions rank identically in both engines; the oracle
+    replays coarse routing, per-subspace codebooks (bounded 256-draw
+    training samples), encoding, probing, and ranking end to end.
+    The k-means/Arrow throughput variant stays in `ann_ivfpq`
+    (rows-only, pytest recall floor); this one upgrades the composed
+    index family to the exact-oracle gate. Recall vs the exact scan
+    pinned in tests/test_northstar.py."""
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivfpq_kcenter,
+    )
+    from gas_data_pipeline_spark.suite.selection_suite import _corpus_kcenter
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centers = _corpus_kcenter(spark, sf_dir, "full", emb, k=16)
+    books = _corpus_pq_books(spark, sf_dir)
+    index = _corpus_ivfpq_index(spark, sf_dir, emb, centers, books)
+    return cosine_topk_ivfpq_kcenter(
+        emb, queries, centers, books, k=10, n_probe=4, index=index
+    )
+
+
+_IVFPQ_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _corpus_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    centers: list[dict],
+    books: list,
+) -> DataFrame:
+    from gas_data_pipeline_spark.operators.similarity import (
+        build_ivfpq_kcenter_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVFPQ_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = build_ivfpq_kcenter_index(emb, centers, books).localCheckpoint(
+            eager=True
+        )
+        _IVFPQ_INDEX_CACHE[key] = idx
+    return idx
+
+
 # rows-only: doubly-approximate — no SQL oracle can reproduce quantized
 # scores. Correctness bound: recall >= 0.3 vs the exact top-10 (measured
 # 0.487 at these settings) plus soundness/determinism invariants, pinned

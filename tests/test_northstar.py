@@ -1089,3 +1089,42 @@ def test_ann_index_build_search_split_is_result_identical(spark):
     assert inline.sort_values(key).reset_index(drop=True).equals(
         viacodes.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_ivfpq_kcenter_recall_and_soundness(spark):
+    """The composed deterministic IVF+PQ must keep a recall floor vs
+    the exact scan (doubly approximate: 4/16-cell pruning x 8x8-code
+    quantization) and rank by integer ADC scores with neighbor_id
+    tie-breaks (run-to-run identical)."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.selection import (
+        kcenter_greedy_sampled,
+    )
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivfpq_kcenter,
+        pq_kcenter_codebooks_sampled,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    centers = kcenter_greedy_sampled(emb, "vec_id", "embedding", k=16)
+    books = pq_kcenter_codebooks_sampled(emb, m=8, n_codes=8)
+    got = cosine_topk_ivfpq_kcenter(
+        emb, queries, centers, books, k=10, n_probe=4
+    ).toPandas()
+    for qid, grp in got.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    g = set(zip(got.query_id, got.neighbor_id))
+    recall = len(e & g) / len(e)
+    print("ivfpq-kcenter recall:", recall)
+    assert recall >= 0.1, recall
+    again = cosine_topk_ivfpq_kcenter(
+        emb, queries, centers, books, k=10, n_probe=4
+    ).toPandas()
+    key = ["query_id", "rank"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
