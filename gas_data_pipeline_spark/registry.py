@@ -81,14 +81,20 @@ def _load_all() -> None:
 #   - 4 watch items from VERDICT r8: hourly_pipeline_e2e (6 s bar),
 #     unigram_lm_train_vocab (superlinear-probe fix this round),
 #     ewma_by_series and quality_classifier_filter (drift check);
-#   - 29 re-verification slots for the STALEST driver rows — every
-#     name whose last driver check was r1-r3 (decile_order_values
-#     through window_functions below), so no green predates r4 after
-#     this round.
+#   - the 3 queries REGISTERED this round (ann_ivfpq_kcenter — the
+#     composed IVF+PQ index's first exact oracle, split_neardup_leakage,
+#     mixture_temperature_weights), so new work earns driver rows in
+#     its own round instead of waiting one;
+#   - 26 re-verification slots for the STALEST driver rows — names
+#     whose last driver check was r1-r3 (three of the 29, the
+#     rock-stable scalar re-checks date_parse_coerce,
+#     series_id_reverse_parse and null_invalid_value_filter, yielded
+#     their slots to the new registrations and stay r3-checked +
+#     parity-green).
 # Every windowed query except the 4 rows-only ones has an exact
-# DuckDB oracle. union(r1..r8 driver rows) == all 177 registered
-# names; after r9 the only never-exact-green name left is none —
-# ann_pq joins the exact set.
+# DuckDB oracle. union(r1..r8 driver rows) == all 177 pre-r9 names;
+# after r9 the never-exact-green set is empty — ann_pq and the three
+# r9 registrations join the exact evidence.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
@@ -116,7 +122,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "unigram_lm_train_vocab",
     "ewma_by_series",
     "quality_classifier_filter",
-    # -- stalest re-verification: every row last checked in r1-r3 --
+    # -- registered this round: first driver rows --
+    "ann_ivfpq_kcenter",
+    "split_neardup_leakage",
+    "mixture_temperature_weights",
+    # -- stalest re-verification: rows last checked in r1-r3 --
     "decile_order_values",
     "dedup_char_jaccard",
     "dedup_ngram_jaccard",
@@ -132,7 +142,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "set_ops_repeat_buyers",
     "asof_join_latest_view",
     "cube_revenue",
-    "date_parse_coerce",
     "dedup_connected_components",
     "dedup_containment_pairs",
     "dedup_exact_hash",
@@ -141,8 +150,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_cosine_near_dup",
     "json_key_melt",
     "nest_unnest_roundtrip",
-    "null_invalid_value_filter",
-    "series_id_reverse_parse",
     "stream_dedup_keys",
     "stream_foreachbatch_upsert",
     "stream_hourly_rollup",
