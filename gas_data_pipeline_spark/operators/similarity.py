@@ -987,6 +987,30 @@ def pq_kcenter_codebooks_sampled(
     return books
 
 
+def _pq_codes_sql(
+    books: list[list[list[float]]], quantum: float = 1e6
+) -> str:
+    """The m-subspace PQ encoder as ONE generated SQL expression over
+    a normalized-vector column named ``nv``: per subspace, fixed-point
+    argmin over the codeword literals (ties to the earlier-selected
+    code — selection order, both engines)."""
+    from gas_data_pipeline_spark.operators.selection import sq_dist_fp_sql
+
+    m = len(books)
+    dsub = len(books[0][0])
+
+    def code_sql(j: int) -> str:
+        sub = f"slice(nv, {j * dsub + 1}, {dsub})"
+        cands = "array(" + ",".join(
+            f"named_struct('sq_fp', {sq_dist_fp_sql(sub, cw, quantum)}, "
+            f"'code', {c})"
+            for c, cw in enumerate(books[j])
+        ) + ")"
+        return f"element_at(array_sort({cands}), 1).code"
+
+    return "array(" + ",".join(code_sql(j) for j in range(m)) + ")"
+
+
 def build_pq_codes(
     corpus: DataFrame,
     books: list[list[list[float]]],
@@ -1001,31 +1025,18 @@ def build_pq_codes(
     the IVF inverted lists it is an INDEX: build once, search many
     times; callers localCheckpoint it per session (at scale it
     persists as parquet). Encoders are generated SQL (one parse per
-    subspace); single-file test inputs spread across cores first."""
+    subspace, :func:`_pq_codes_sql`); single-file test inputs spread
+    across cores first."""
     from gas_data_pipeline_spark.functions.exprs import bind
     from gas_data_pipeline_spark.operators.selection import (
         spread_small_scan,
-        sq_dist_fp_sql,
     )
 
-    m = len(books)
-    dsub = len(books[0][0])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nv = bind(v, lambda vv: F.transform(vv, lambda x: x / F.sqrt(dot(vv, vv))))
-
-    def code_sql(j: int) -> str:
-        sub = f"slice(nv, {j * dsub + 1}, {dsub})"
-        cands = "array(" + ",".join(
-            f"named_struct('sq_fp', {sq_dist_fp_sql(sub, cw, quantum)}, "
-            f"'code', {c})"
-            for c, cw in enumerate(books[j])
-        ) + ")"
-        return f"element_at(array_sort({cands}), 1).code"
-
-    codes_sql = "array(" + ",".join(code_sql(j) for j in range(m)) + ")"
     return spread_small_scan(
         corpus.select(F.col(id_col).alias("neighbor_id"), nv.alias("nv"))
-    ).select("neighbor_id", F.expr(codes_sql).alias("codes"))
+    ).select("neighbor_id", F.expr(_pq_codes_sql(books, quantum)).alias("codes"))
 
 
 def cosine_topk_pq_kcenter(
@@ -1125,16 +1136,32 @@ def build_ivfpq_kcenter_index(
 ) -> DataFrame:
     """The composed IVF+PQ index, the FAISS production layout: PQ
     codes stored INSIDE the inverted lists — (neighbor_id, center_id,
-    codes) — so search never joins the corpus against a second table.
-    Built from one routing scan + one encoding scan joined at BUILD
-    time (at 100 TB this persists as cell-partitioned parquet of
-    m-byte codes; the raw vectors never need to be read at search
-    time)."""
-    inv = build_ivf_kcenter_index(corpus, centers, id_col, vec_col).select(
-        F.col("pid").alias("neighbor_id"), "center_id"
+    codes). Cell routing and code encoding are BOTH row-wise
+    functions of the vector, so the index is ONE zero-shuffle scan —
+    never a corpus×corpus join of separately-built parts (at 100 TB
+    this persists as cell-partitioned parquet of m-byte codes; the
+    raw vectors never need to be read at search time)."""
+    from gas_data_pipeline_spark.functions.exprs import bind
+    from gas_data_pipeline_spark.operators.selection import (
+        center_cands_sql,
+        spread_small_scan,
     )
-    codes = build_pq_codes(corpus, books, id_col, vec_col, quantum)
-    return inv.join(codes, "neighbor_id")
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nv = bind(v, lambda vv: F.transform(vv, lambda x: x / F.sqrt(dot(vv, vv))))
+    pts = spread_small_scan(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), v.alias("v"), nv.alias("nv")
+        )
+    )
+    best = F.element_at(
+        F.array_sort(F.expr(center_cands_sql("v", centers, quantum))), 1
+    )
+    return pts.select(
+        "neighbor_id",
+        best["center_id"].alias("center_id"),
+        F.expr(_pq_codes_sql(books, quantum)).alias("codes"),
+    )
 
 
 def cosine_topk_ivfpq_kcenter(

@@ -1128,3 +1128,38 @@ def test_ivfpq_kcenter_recall_and_soundness(spark):
     assert got.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_ivfpq_index_is_one_zero_shuffle_scan(spark):
+    """The composed index computes routing AND codes in one projection
+    — a corpus x corpus join of separately-built parts would be a
+    build-time shuffle the one-scan form never needs. Pin: no
+    Exchange in the build plan (beyond the test-scale spread
+    repartition), broadcast-only joins in the search plan."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.selection import (
+        kcenter_greedy_sampled,
+    )
+    from gas_data_pipeline_spark.operators.similarity import (
+        build_ivfpq_kcenter_index,
+        cosine_topk_ivfpq_kcenter,
+        pq_kcenter_codebooks_sampled,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    centers = kcenter_greedy_sampled(emb, "vec_id", "embedding", k=8)
+    books = pq_kcenter_codebooks_sampled(emb, m=8, n_codes=4)
+    idx = build_ivfpq_kcenter_index(emb, centers, books)
+    build_plan = idx._jdf.queryExecution().executedPlan().toString()
+    # the only allowed exchange is spread_small_scan's test-scale
+    # round-robin repartition — never a join exchange
+    assert "SortMergeJoin" not in build_plan and "HashJoin" not in build_plan
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = cosine_topk_ivfpq_kcenter(
+        emb, queries, centers, books, k=5,
+        index=idx.localCheckpoint(eager=True),
+    )
+    search_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in search_plan
+    assert "SortMergeJoin" not in search_plan
+    assert out.count() > 0
