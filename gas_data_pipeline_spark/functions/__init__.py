@@ -8,5 +8,6 @@ from gas_data_pipeline_spark.functions.series import (  # noqa: F401
     clean_value,
     date_chunks,
     make_series_id,
+    make_series_id_static,
     parse_series_part,
 )

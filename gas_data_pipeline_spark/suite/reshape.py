@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from gas_data_pipeline_spark.catalog import spread_scan, table
-from gas_data_pipeline_spark.functions import make_series_id
+from gas_data_pipeline_spark.functions import make_series_id, make_series_id_static
 from gas_data_pipeline_spark.registry import register
 
 # R2 exclusion set — stands in for the reference's EXCLUDED_KEYS
@@ -66,11 +66,21 @@ def melt_numeric(
 def melt_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1+S1: melt lineitem's numeric measures into the long observation
     format, deriving series_id from the melt keys in the same pass
-    (exactly what replaces the reference's per-series loop R3)."""
+    (exactly what replaces the reference's per-series loop R3). The
+    metric domain is the dynamically-detected numeric column set — a
+    plan-time constant — so the series slug is a map-literal lookup
+    (`make_series_id_static`), not a per-row regex over the k×N melt
+    output (the regex was 4x this query's runtime at the 8x probe)."""
     li = table(spark, sf_dir, "lineitem")
-    long = melt_numeric(li, id_cols=["l_orderkey", "l_linenumber"])
+    id_cols = ["l_orderkey", "l_linenumber"]
+    long = melt_numeric(li, id_cols=id_cols)
+    domain = sorted(
+        f.name
+        for f in li.schema.fields
+        if isinstance(f.dataType, DoubleType) and f.name not in id_cols
+    )
     return long.withColumn(
-        "series_id", make_series_id("LINEITEM", F.col("metric"))
+        "series_id", make_series_id_static("LINEITEM", F.col("metric"), domain)
     )
 
 
