@@ -740,6 +740,9 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scheduler cycles — the harness adds no Spark work mid-lifecycle.
     dec_val = F.col("value").cast("decimal(18,4)")
     even = F.col("event_id") % 2 == 0
+    # localCheckpoint: both staged poll pages project from this one
+    # aggregate — without it each stage_poll write re-runs the events
+    # scan+groupBy (harness cost, not lifecycle cost).
     polls = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("obs_hour")
     ).agg(
@@ -747,7 +750,7 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec_val).cast("double").alias("sum_value"),
         F.count(F.when(even, F.lit(1))).cast("double").alias("n_events_half"),
         F.sum(F.when(even, dec_val)).cast("double").alias("sum_value_half"),
-    )
+    ).localCheckpoint(eager=True)
     p0 = polls.filter(F.col("n_events_half") > 0).select(
         "user_id",
         "obs_hour",
@@ -786,24 +789,24 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, obs_hour timestamp, n_events double, sum_value double"
     )
     stream = spark.readStream.schema(poll_schema).parquet(src)
-    # 100 ms trigger / 50 ms poll: the production cadence is hourly —
+    # 50 ms trigger / 25 ms poll: the production cadence is hourly —
     # the short interval here only bounds the HARNESS dead time between
     # a file drop and its cycle (VERDICT r5 #5); cycles still execute
     # strictly sequentially, so the no-overlap semantics are identical.
     q = start_processing_time_stream(
-        stream, cycle, ckpt, interval="100 milliseconds"
+        stream, cycle, ckpt, interval="50 milliseconds"
     )
     try:
         # Scheduler cycle 1: provisional poll (the even-id half).
         drop_poll("p0")
         await_processed_batches(
-            q, lambda: len(done) >= 1, timeout_sec=180, poll_sec=0.05
+            q, lambda: len(done) >= 1, timeout_sec=180, poll_sec=0.025
         )
         # Scheduler cycle 2: authoritative re-poll, late revisions of
         # every cycle-1 key.
         drop_poll("p1")
         await_processed_batches(
-            q, lambda: len(done) >= 2, timeout_sec=180, poll_sec=0.05
+            q, lambda: len(done) >= 2, timeout_sec=180, poll_sec=0.025
         )
     finally:
         q.stop()
