@@ -108,11 +108,55 @@ def spread_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
     has thousands of partitions and this never fires, so the shuffle
     is only ever paid on inputs small enough for it to be free.
 
+    Split count can OVERSTATE achievable parallelism: parquet reads
+    are row-group-grained (a row group goes to the split holding its
+    midpoint), so a one-row-group 90 MB file still yields
+    ``maxPartitionBytes``-many "splits" of which all but one are
+    empty — the whole scan, and every narrow stage fused onto it, runs
+    on ONE core while 31 report instantly done (this was
+    ``pivot_long_to_wide``'s 1.54 per-copy superlinear flag at the 8x
+    probe: the probe corpus is a single coalesced file). When the scan
+    is few enough files for this to be possible, the true grain is the
+    ROW-GROUP count, read from the footers — a metadata-only check.
+    With >= floor files the scan parallelizes per-file regardless of
+    row-group layout, so at 100 TB (thousands of files) no footer is
+    ever read.
+
     Use AFTER scan-level filters/projections (so pushdown still reaches
     the parquet reader) and BEFORE the CPU-heavy expressions.
     """
     sc = df.sparkSession.sparkContext
     target = partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
-        return df
-    return df.repartition(target)
+    floor = max(2, target // 2)
+    if df.rdd.getNumPartitions() < floor:
+        return df.repartition(target)
+    if _scan_row_groups(df, floor) < floor:
+        return df.repartition(target)
+    return df
+
+
+def _scan_row_groups(df: DataFrame, floor: int) -> int:
+    """Achievable read parallelism of ``df``'s scan: total parquet row
+    groups across its input files. Returns ``floor`` (meaning "enough,
+    don't repartition") whenever the check doesn't apply — non-file or
+    non-parquet sources, >= floor files (per-file parallelism already
+    suffices), or unreadable footers."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return floor
+    if not files or len(files) >= floor:
+        return floor
+    from urllib.parse import unquote, urlparse
+
+    paths = [
+        unquote(urlparse(f).path) if "://" in f else f for f in files
+    ]
+    if not all(p.endswith(".parquet") for p in paths):
+        return floor
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(p).num_row_groups for p in paths)
+    except Exception:
+        return floor

@@ -59,6 +59,39 @@ def test_melt_is_narrow(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_spread_scan_sees_through_fake_splits(spark, tmp_path):
+    # Parquet reads are row-group-grained: a one-row-group file split
+    # into N maxPartitionBytes windows still runs on ONE core (N-1
+    # splits are empty). spread_scan must count row groups, not
+    # splits — this was pivot_long_to_wide's 1.54-per-copy superlinear
+    # flag at the 8x probe (the probe corpus is a single coalesced
+    # file). With many row groups the splits are real and the
+    # repartition must stay a no-op.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gas_data_pipeline_spark.catalog import spread_scan
+
+    tbl = pa.table({"v": list(range(200_000))})
+    one_rg = str(tmp_path / "one_rg.parquet")
+    many_rg = str(tmp_path / "many_rg.parquet")
+    pq.write_table(tbl, one_rg, row_group_size=1_000_000)
+    pq.write_table(tbl, many_rg, row_group_size=25_000)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        fake = spark.read.parquet(one_rg)
+        assert fake.rdd.getNumPartitions() >= 4  # splits lie
+        spread = spread_scan(fake, partitions=8)
+        assert spread is not fake  # row-group check fired
+        assert spread.rdd.getNumPartitions() == 8
+        real = spark.read.parquet(many_rg)
+        assert real.rdd.getNumPartitions() >= 4
+        assert spread_scan(real, partitions=8) is real  # no-op
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_text_profile_is_narrow(spark):
     plan = _plan(spark, "text_quality_langid")
     assert "Exchange" not in plan
