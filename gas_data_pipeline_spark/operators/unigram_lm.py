@@ -131,27 +131,32 @@ def viterbi_segment(
     """E-step: per-word Viterbi segmentation under the model — one
     ZERO-SHUFFLE scan. The DP fold carries a FIXED-SIZE window of the
     last ``max_piece`` best-prefix costs (fixed-point BIGINT, NULL =
-    unreachable) plus the full backpointer list, then a second fold
-    backtraces the chosen pieces. The DP never looks back further than
-    ``max_piece`` positions, so the cost accumulator needs only that
-    window; the r7 version grew the COST array per position via
-    ``F.concat`` (whole-array copy each step), which the window halves
-    to int-sized appends. The backpointer list still concat-grows one
-    int per position — an O(len²) copy term per word, BOUNDED here
-    because the word table filters to len <= 12 (~13 prefixed), i.e.
-    a <=169-int constant per row, linear over the corpus. (The r8
-    probe's 1.68 flag on this trainer was a cold-vs-warm measurement
-    artifact, fixed in bench.run_scale_probe — cold-vs-cold measures
-    0.14 per-copy at 8x.) Unreachable prefixes propagate as NULL and
-    vanish at the next reachable boundary; the word itself is always
-    segmentable because the vocabulary keeps every piece of its
-    previous segmentation (round 1: every single character).
+    unreachable) plus the backpointers PACKED into one BIGINT
+    (``bit_length(max_piece)`` bits per position, written once via
+    ``shiftleft``), then a second fold backtraces the chosen pieces.
+    The DP never looks back further than ``max_piece`` positions, so
+    the cost accumulator needs only that window (the r7 version grew
+    the cost array per position; the r9 version still concat-grew the
+    backpointer LIST one int per position — an O(len²) whole-array
+    copy term per word). Both accumulators are now constant-size:
+    every fold step is O(max_piece) regardless of word length. The
+    packing caps segmentable words at ``63 // bits`` positions (21 at
+    the default max_piece=4) — far above the corpus word table's
+    len <= 12 (~13 prefixed) — and a longer word raises via
+    ``assert_true`` rather than silently mis-segmenting. Unreachable
+    prefixes propagate as NULL (packed slot 0, never read back)
+    and vanish at the next reachable boundary; the word itself is
+    always segmentable because the vocabulary keeps every piece of
+    its previous segmentation (round 1: every single character).
 
     Returns word, freq, pieces (the segmentation), n_pieces, and the
     word's total fixed-point log-prob ``lp_fp``."""
     word = F.col("word")
     n = F.length(word)
     model = _lp_map(lps)
+    bits = max_piece.bit_length()
+    capacity = 63 // bits
+    mask = (1 << bits) - 1
 
     # win[w] (1-based) == best[i - max_piece + w] after step i: the
     # last element is best[i], earlier slots the prior positions,
@@ -177,21 +182,54 @@ def viterbi_segment(
             F.concat(
                 F.slice(acc["win"], 2, max_piece - 1), F.array(best["cost"])
             ).alias("win"),
-            F.concat(acc["bps"], F.array(best["j"])).alias("bps"),
+            # slot i is written exactly once, so + is |; unreachable
+            # positions pack 0, which the backtrace never reads.
+            (
+                acc["bps"]
+                + F.call_function(
+                    "shiftleft",
+                    F.coalesce(best["j"], F.lit(0)).cast("bigint"),
+                    (i - F.lit(1)) * F.lit(bits),
+                )
+            ).alias("bps"),
         )
 
+    # assert_true is NULL on success: folding it into best[0] keeps the
+    # capacity guard inside the one expression tree (a word too long
+    # for the packed backpointers fails loudly, never mis-segments).
+    guarded_zero = F.coalesce(
+        F.assert_true(
+            n <= F.lit(capacity),
+            F.concat(
+                F.lit(
+                    f"viterbi_segment: word exceeds the {capacity}-char "
+                    f"packed-backpointer capacity (max_piece={max_piece}): "
+                ),
+                word,
+            ),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
     dp_init = F.struct(
         F.array(
             *([F.lit(None).cast("bigint")] * (max_piece - 1)),
-            F.lit(0).cast("bigint"),
+            guarded_zero,
         ).alias("win"),
-        F.array().cast("array<int>").alias("bps"),
+        F.lit(0).cast("bigint").alias("bps"),
     )
     dp = F.aggregate(F.sequence(F.lit(1), n), dp_init, dp_step)
 
     def bt_step(acc, _):
         pos = acc["pos"]
-        j = F.get(acc["bps"], pos - 1)  # 0-based: bps for position pos
+        j = (
+            F.call_function(
+                "shiftrightunsigned",
+                acc["bps"],
+                ((pos - F.lit(1)) * F.lit(bits)).cast("int"),
+            )
+            .bitwiseAND(F.lit(mask))
+            .cast("int")
+        )  # bps for position pos
         piece = word.substr(pos - j + 1, j)
         return F.when(
             pos > 0,

@@ -133,6 +133,25 @@ def test_empty_and_single_char_words_guarded(spark):
     assert rows["ab"]["pieces"] == ["ab"] and rows["ab"]["lp_fp"] == -250
 
 
+def test_packed_backpointer_capacity_guard(spark):
+    """Backpointers pack 3 bits per position into one BIGINT
+    (constant-size accumulator, VERDICT r9 #4): a 21-char word is the
+    last that fits; a 22-char word must RAISE, never mis-segment."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from gas_data_pipeline_spark.operators.unigram_lm import (
+        viterbi_segment,
+    )
+
+    lps = {c: -100 for c in "ab"}
+    ok = spark.createDataFrame([("ab" * 10 + "a", 1)], "word string, freq long")
+    row = viterbi_segment(ok, lps).collect()[0]
+    assert row["pieces"] == list("ab" * 10 + "a")
+    too_long = spark.createDataFrame([("ab" * 11, 1)], "word string, freq long")
+    with pytest.raises(SparkRuntimeException, match="capacity"):
+        viterbi_segment(too_long, lps).collect()
+
+
 def test_viterbi_tiebreak_prefers_longer_piece(spark):
     """On equal cost the LONGER piece wins — the one rule both the
     engine's array_max and the oracle's ORDER BY replay."""
