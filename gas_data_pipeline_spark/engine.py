@@ -387,6 +387,38 @@ class GasDataEngine:
             .select("event_id", "dataset_id", "source", "ingested_at", "raw_payload")
         )
 
+    def preview_raw(
+        self,
+        dataset_id: str,
+        limit: int = 20,
+        site_id: int | None = None,
+        site_key: str = "siteId",
+    ) -> DataFrame:
+        """Raw preview with the optional JSON-field predicate
+        (reference discovery.py:60-87: ``(raw_payload ->> 'siteId')::int
+        = :site_id``, ``Query(20, ge=1, le=500)``). Same conditional
+        plan construction as the F1 optional filters: a None site_id
+        contributes NO predicate node (never a pushdown-defeating
+        ``:p IS NULL OR ...``), and the newest-first cap plans as
+        TakeOrderedAndProject — per-partition top-`limit` heaps, no
+        global sort. At scale the extracted field would be materialized
+        at write time; the inline ``get_json_object`` mirrors the
+        reference's JSONB operator on the stored payload."""
+        limit = max(1, min(limit, 500))
+        df = read_bronze(self.spark, self.bronze_path, dataset_id)
+        if site_id is not None:
+            df = df.filter(
+                F.get_json_object(F.col("raw_payload"), f"$.{site_key}").cast(
+                    "int"
+                )
+                == site_id
+            )
+        return (
+            df.orderBy(F.desc("ingested_at"), F.desc("event_id"))
+            .limit(limit)
+            .select("event_id", "dataset_id", "source", "ingested_at", "raw_payload")
+        )
+
     # ------------------------------------------------------------------
     # Exports (reference app/api/v2/export.py)
     # ------------------------------------------------------------------

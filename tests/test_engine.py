@@ -138,6 +138,42 @@ def test_discovery_and_field_catalog(engine, spark):
     assert {"site_id", "flow_rate", "energy"} <= set(payload)
 
 
+def test_preview_raw_json_predicate_and_cap(engine, spark):
+    """Reference discovery.py:60-87: raw preview takes an optional
+    JSON-field predicate ((raw_payload ->> 'siteId')::int = :site_id)
+    and a limit capped at 500. A None site_id must contribute NO
+    predicate node; a given one must appear in the plan as a
+    get_json_object filter; the cap must plan as TakeOrderedAndProject
+    (no global sort)."""
+    batch = _wide_batch(spark)
+    engine.ingest_batch(
+        batch, "GAS_QUALITY", "national_gas", ["site_id"], "observed_at"
+    )
+    hit = engine.preview_raw(
+        "GAS_QUALITY", limit=10, site_id=3, site_key="site_id"
+    )
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "get_json_object" in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = hit.toPandas()
+    assert len(rows) > 0
+    assert all(
+        json.loads(p)["site_id"] == 3 for p in rows.raw_payload
+    )
+    # No predicate node when site_id is None (conditional construction).
+    miss_plan = (
+        engine.preview_raw("GAS_QUALITY", limit=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "get_json_object" not in miss_plan
+    # The 500 cap (Query(20, ge=1, le=500)) survives absurd asks.
+    capped_plan = (
+        engine.preview_raw("GAS_QUALITY", limit=10_000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "limit=500" in capped_plan
+
+
 def test_discovery_boolean_and_mixed_type_union(engine, spark):
     """Reference semantics (field_discovery.py:5-16,46): a column with
     both 'true' and 'false' is boolean, and mixed fields report the
