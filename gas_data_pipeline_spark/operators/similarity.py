@@ -366,6 +366,77 @@ def cosine_topk_lsh(
     )
 
 
+def sign_bucket(vec: Column, sign_bits: int) -> Column:
+    """Deterministic LSH bucket: the sign pattern of the first
+    ``sign_bits`` coordinates, as a BIGINT. Plain SQL on the stored
+    floats — the portable (exact-oracle-able) twin of the
+    engine-seeded random hyperplanes in ``rp_lsh_tables``."""
+    bucket = F.lit(0)
+    for i in range(sign_bits):
+        bucket = bucket + F.when(vec[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("bigint")
+
+
+def cosine_topk_signed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    sign_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k with a DETERMINISTIC sign-signature
+    partitioner (the ANN counterpart of ``semantic_bucket_near_dup``):
+    candidates are corpus rows sharing the query's bucket, scored with
+    the exact sequential-fold cosine, per-query window top-k. Because
+    the bucket function is plain SQL on the stored floats, the whole
+    query replays in DuckDB — the exact-oracled member of the LSH ANN
+    family (``cosine_topk_lsh`` keeps the better multi-table geometry
+    but its engine-derived planes are rows-only checkable).
+
+    Scale shape: one equi-join on bucket replaces the cross product
+    (expected candidates N/2^sign_bits per query for centered data —
+    raise ``sign_bits`` with corpus size); the query side stays
+    AQE-broadcastable, the corpus never shuffles beyond the join.
+    Misses neighbors across a sign boundary, as any single-bucket
+    scheme does; recall vs the exact top-k is pinned in
+    tests/test_northstar.py."""
+    v = F.col(vec_col).cast("array<double>")
+    dotf = lambda x, y: F.aggregate(  # noqa: E731 — oracle-ordered fold
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("cv"),
+        sign_bucket(v, sign_bits).alias("bucket"),
+    ).withColumn("cn", F.sqrt(dotf(F.col("cv"), F.col("cv"))))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("qv"),
+        sign_bucket(v, sign_bits).alias("q_bucket"),
+    ).withColumn("qn", F.sqrt(dotf(F.col("qv"), F.col("qv"))))
+    scored = (
+        base.join(
+            q,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            dotf(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def _kmeans_centroids(
     sample: np.ndarray, n_clusters: int, n_iters: int = 10, seed: int = 42
 ) -> np.ndarray:

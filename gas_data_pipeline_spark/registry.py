@@ -64,37 +64,30 @@ def _load_all() -> None:
 # still covered by the builder-side parity gate (tests/test_parity.py,
 # all queries).
 #
-# Round-9 rotation (VERDICT r8 #2): CORRECTNESS_r08.json landed
-# (50/50 green), so the window rotates. The 9 anchors stay; rotating
-# IN:
-#   - ann_pq — the only exact-oracled query with no driver row yet
-#     (its k-center oracle landed in r8 after the r8 window froze);
-#   - the 4 rows-only-by-design queries (ann_ivfpq, ann_lsh_bucketed,
-#     approx_distinct_users, approx_percentiles_tdigest — approximate
-#     by nature, pytest ground-truth bounds) for fresh rows-only rows;
-#     they last earned driver rows in r1-r7;
-#   - the 3 queries whose RESULTS changed this round (codebooks now
-#     train on the bounded 256-draw md5 sample, so centers differ
-#     once the corpus exceeds the sample): ann_ivf,
-#     coreset_kcenter_select, ann_index_incremental — their r8/r5
-#     greens certified the old semantics and must be re-earned;
-#   - 4 watch items from VERDICT r8: hourly_pipeline_e2e (6 s bar),
-#     unigram_lm_train_vocab (superlinear-probe fix this round),
-#     ewma_by_series and quality_classifier_filter (drift check);
-#   - the 3 queries REGISTERED this round (ann_ivfpq_kcenter — the
-#     composed IVF+PQ index's first exact oracle, split_neardup_leakage,
-#     mixture_temperature_weights), so new work earns driver rows in
-#     its own round instead of waiting one;
-#   - 26 re-verification slots for the STALEST driver rows — names
-#     whose last driver check was r1-r3 (three of the 29, the
-#     rock-stable scalar re-checks date_parse_coerce,
-#     series_id_reverse_parse and null_invalid_value_filter, yielded
-#     their slots to the new registrations and stay r3-checked +
-#     parity-green).
-# Every windowed query except the 4 rows-only ones has an exact
-# DuckDB oracle. union(r1..r8 driver rows) == all 177 pre-r9 names;
-# after r9 the never-exact-green set is empty — ann_pq and the three
-# r9 registrations join the exact evidence.
+# Round-10 rotation (VERDICT r9 #2): CORRECTNESS_r09.json landed
+# (46 exact + 4 rows-only-by-design, zero failures), so the window
+# rotates. The 9 anchors stay; rotating IN:
+#   - ann_lsh_signed — REGISTERED this round (VERDICT r9 #7: the LSH
+#     ANN family's exact-oracled member, deterministic sign-signature
+#     partitioner), earning its first driver row in its own round;
+#   - 4 touched-this-round re-certifications: pivot_long_to_wide
+#     (plan changed — spread_scan now counts parquet row groups,
+#     closing the r9 superlinear probe flag), unigram_lm_train_vocab
+#     and unigram_lm_segment_words (Viterbi backpointers repacked
+#     into a constant-size BIGINT; results identical by parity, the
+#     driver row re-proves it), bloom_pruned_join_revenue (the r9
+#     probe watch item — ratio halved by the row-group fix);
+#   - every remaining r3/r4-checked row: the r3 scalar trio that
+#     yielded slots in r9 (date_parse_coerce, series_id_reverse_parse,
+#     null_invalid_value_filter) plus the other four r3 rows and all
+#     26 r4-era rows;
+#   - 3 of the oldest r5 rows to fill the window.
+# The 4 rows-only-by-design approximations (ann_ivfpq,
+# ann_lsh_bucketed, approx_distinct_users,
+# approx_percentiles_tdigest) stay OUT per VERDICT r9 #2 — results
+# unchanged, fresh r9 rows, pytest ground-truth bounds. Every
+# windowed query has an exact DuckDB oracle. After this window runs,
+# the stalest driver row anywhere is r5-era.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
@@ -106,53 +99,52 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_gie_delete_reload",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # -- never driver-green: exact oracle landed post-r8-window --
-    "ann_pq",
-    # -- rows-only-by-design refresh (pytest-bounded approximations) --
-    "ann_ivfpq",
-    "ann_lsh_bucketed",
-    "approx_distinct_users",
-    "approx_percentiles_tdigest",
-    # -- results changed this round (bounded-sample codebook training) --
-    "ann_ivf",
-    "coreset_kcenter_select",
-    "ann_index_incremental",
-    # -- VERDICT r8 watch items --
-    "hourly_pipeline_e2e",
+    # -- registered this round: first driver row --
+    "ann_lsh_signed",
+    # -- touched this round: re-certification --
+    "pivot_long_to_wide",
     "unigram_lm_train_vocab",
-    "ewma_by_series",
-    "quality_classifier_filter",
-    # -- registered this round: first driver rows --
-    "ann_ivfpq_kcenter",
-    "split_neardup_leakage",
-    "mixture_temperature_weights",
-    # -- stalest re-verification: rows last checked in r1-r3 --
-    "decile_order_values",
-    "dedup_char_jaccard",
-    "dedup_ngram_jaccard",
-    "distinct_composite_keys",
-    "optional_filters_all_null",
-    "pricing_summary",
-    "rollup_revenue",
-    "semi_join_urgent_customers",
-    "stream_enrich_static_join",
-    "stream_session_window",
-    "stream_sliding_window",
-    "percentiles_by_series",
-    "set_ops_repeat_buyers",
-    "asof_join_latest_view",
-    "cube_revenue",
-    "dedup_connected_components",
-    "dedup_containment_pairs",
-    "dedup_exact_hash",
-    "dedup_simhash",
-    "distinct_datasets",
-    "embedding_cosine_near_dup",
-    "json_key_melt",
-    "nest_unnest_roundtrip",
-    "stream_dedup_keys",
-    "stream_foreachbatch_upsert",
-    "stream_hourly_rollup",
+    "unigram_lm_segment_words",
+    "bloom_pruned_join_revenue",
+    # -- stalest re-verification: rows last checked in r3 --
+    "date_parse_coerce",
+    "series_id_reverse_parse",
+    "null_invalid_value_filter",
+    "text_pii_scrub",
+    "text_quality_langid",
+    "topn_recency",
+    "window_functions",
+    # -- stalest re-verification: rows last checked in r4 --
+    "band_range_join",
+    "cohort_monthly_retention",
+    "compaction_roundtrip",
+    "curation_contamination",
+    "curation_domain_cap",
+    "curation_end_to_end",
+    "curation_mixture_apply",
+    "curation_mixture_weights",
+    "curation_pack_sequences",
+    "curation_quality_rules",
+    "curation_shuffle_rank",
+    "curation_weighted_sample",
+    "daily_ohlc_downsample",
+    "dedup_incremental_batch",
+    "dedup_keep_best",
+    "dedup_span_exact",
+    "funnel_conversion",
+    "grouping_sets_priority_status",
+    "jsonl_ingest_quarantine",
+    "latest_event_per_user",
+    "rolling_time_average",
+    "salted_skew_aggregate",
+    "scd2_user_state_history",
+    "stream_stream_interval_join",
+    "text_token_count",
+    "text_unigram_logprob",
+    # -- oldest r5 rows filling the window --
+    "anomaly_mad_outliers",
+    "approx_percentiles_sampled",
+    "curation_token_budget",
 )
 
 

@@ -1053,6 +1053,60 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, queries, k=10, n_tables=8, n_planes=6)
 
 
+# Shared with dedup_semantic_buckets below: the deterministic bucket
+# function (first-4-coordinate signs) both sign-signature queries use.
+_SIGN_BITS = 4
+_SIGN_SIG_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SIGN_BITS)
+)
+
+_ANN_SIGNED_SQL = """
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               CAST({sig} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nv
+        FROM b
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nv * c.nv) AS cos_sim
+        FROM n q JOIN n c
+          ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id
+               ) AS BIGINT) AS rank
+        FROM cand
+    ) WHERE rank <= 10
+""".replace("{sig}", _SIGN_SIG_SQL)
+
+
+@register("ann_lsh_signed", oracle=_ANN_SIGNED_SQL)
+def ann_lsh_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: the LSH ANN family's exact-oracled member (VERDICT r9 #7) —
+    deterministic sign-signature buckets (the partitioner
+    dedup_semantic_buckets proves SQL-replayable) with the same
+    (query_id, neighbor_id, rank, cos_sim) contract as the other ANN
+    queries. The engine's sequential-fold cosine matches DuckDB's
+    list_dot_product addend-for-addend, so values hash-match;
+    ann_lsh_bucketed stays the multi-table throughput variant."""
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk_signed,
+    )
+
+    emb = spread_scan(table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_signed(emb, queries, k=10, sign_bits=_SIGN_BITS)
+
+
 # ---------------------------------------------------------------------------
 # X3 — text analysis.
 # ---------------------------------------------------------------------------
@@ -1859,11 +1913,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIGN_BITS = 4
-_SIGN_SIG_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(_SIGN_BITS)
-)
+# _SIGN_BITS / _SIGN_SIG_SQL are defined next to ann_lsh_signed above
+# — the two sign-signature queries share the bucket function.
 
 
 @register(

@@ -147,6 +147,47 @@ def test_lsh_topk_scores_exact_and_recall(spark, emb_pdf):
     assert len(e & l) / len(e) >= 0.2
 
 
+def test_signed_topk_scores_exact_and_recall(spark, emb_pdf):
+    """The deterministic sign-signature ANN (the exact-oracled LSH
+    twin): candidate scores are the exact cosine, ranks contiguous,
+    and recall vs the exact top-10 clears a floor. A single 4-bit
+    table probes ~1/16 of a centered corpus, so absolute recall is
+    modest by design (measured ~0.11 at sf0.001) — the floor checks
+    it beats the ~1/16 random-scan fraction, i.e. the buckets carry
+    signal; production composes rotated tables for recall."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_signed,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    signed = cosine_topk_signed(emb, queries, k=10, sign_bits=4).toPandas()
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb_pdf.itertuples()}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for row in signed.itertuples():
+        assert row.cos_sim == pytest.approx(
+            cos(vecs[row.query_id], vecs[row.neighbor_id]), abs=1e-9
+        )
+    for qid, grp in signed.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    # Every candidate shares the query's bucket by construction —
+    # soundness of the partitioner, not just the scores.
+    for row in signed.itertuples():
+        qa, nb = vecs[row.query_id][:4], vecs[row.neighbor_id][:4]
+        assert [x > 0 for x in qa] == [x > 0 for x in nb]
+
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    s = set(zip(signed.query_id, signed.neighbor_id))
+    assert len(e & s) / len(e) >= 0.08
+
+
 def test_ivf_topk_scores_exact_and_recall(spark, emb_pdf):
     """IVF candidates score exactly; probing 4/16 centroids (~25% of
     the corpus) must beat that scan fraction on recall — the whole
