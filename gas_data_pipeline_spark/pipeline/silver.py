@@ -57,18 +57,22 @@ def upsert_observations(
     deterministic.
     """
     order_cols = order_cols or ["ingestion_time"]
-    batch = batch.withColumn(PARTITION_COL, F.to_date("observation_time"))
-    batch = dedup_last_write_wins(batch, order_cols).withColumn(
+    batch = batch.withColumn(PARTITION_COL, F.to_date("observation_time")).withColumn(
         "__prio", F.lit(1)
     )
 
     cached = None
     if os.path.exists(path):
-        # The deduped batch is consumed twice on the merge path (the
+        # The batch is consumed twice on the merge path (the
         # affected-partition discovery collect, then the merge union) —
         # cache it so the melt/window lineage upstream isn't replayed.
         cached = batch.persist()
-        # Only the partitions the batch touches participate in the merge.
+        # Only the partitions the batch touches participate in the
+        # merge. Discovery runs on the raw batch: dedup never changes
+        # the date set, so the in-batch dedup folds into the merge
+        # window below — ONE (series, time)-keyed shuffle settles
+        # in-batch ties AND batch-vs-existing priority in the same
+        # row_number (it was two full window shuffles through r9).
         affected = [r[0] for r in batch.select(PARTITION_COL).distinct().collect()]
         existing = (
             spark.read.parquet(path)
@@ -76,23 +80,32 @@ def upsert_observations(
             .withColumn("__prio", F.lit(0))
         )
         merged = batch.unionByName(existing, allowMissingColumns=True)
-        # New batch wins over existing on key collision (__prio desc),
-        # then the caller's tie-break.
-        merged = dedup_last_write_wins(merged, ["__prio", *order_cols])
     else:
         merged = batch
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # Write-side redistribution: without it every shuffle task holds a
-    # mix of dates and partitionBy fans each task out into every date
-    # directory — tasks x dates small files at cluster scale (invisible
-    # locally, where AQE coalesces to one task). Hashing on the
-    # partition column first makes files-per-partition independent of
-    # task count; cap single-file size with
-    # spark.sql.files.maxRecordsPerFile when one gas-day is huge.
+    # ONE shuffle settles dedup AND write shape. obs_date is a function
+    # of observation_time, so hash-partitioning by obs_date clusters
+    # every (series, time) group into one task — which satisfies the
+    # dedup window's ClusteredDistribution when the window adds
+    # obs_date to its partition keys (same groups: date is determined
+    # by time). The window then plans with NO second exchange, and the
+    # write inherits the date clustering partitionBy needs:
+    # files-per-partition stays independent of task count (without the
+    # date hash, tasks x dates small files at cluster scale). New
+    # batch wins over existing on key collision (__prio desc), then
+    # the caller's tie-break — within and across sides. A huge single
+    # gas-day serializes through one task here exactly as the
+    # write-side repartition already forced through r9; cap file size
+    # with spark.sql.files.maxRecordsPerFile when that bites.
+    w = Window.partitionBy(PARTITION_COL, *KEYS).orderBy(
+        *[F.col(c).desc() for c in ("__prio", *order_cols)]
+    )
     (
-        merged.drop("__prio")
-        .repartition(F.col(PARTITION_COL))
+        merged.repartition(F.col(PARTITION_COL))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
         .write.mode("overwrite")
         .partitionBy(PARTITION_COL)
         .parquet(path)
