@@ -538,16 +538,20 @@ def _fp_halfup(r):
     """Vectorized HALF_UP fixed-point on non-negative doubles ``r``,
     bit-matching Spark ``F.round(x, 0)`` (BigDecimal HALF_UP) and
     DuckDB ``round(x)`` (half away from zero): ``floor(r + 0.5)``
-    with an exact-decimal recheck of any element within 1e-6 of an
-    integer boundary (the IEEE ``r + 0.5`` rounding error is
-    ≤ ~2e-8 at these magnitudes, so the recheck band safely covers
-    every element the fast path could misround)."""
+    with an exact-decimal recheck of any element near an integer
+    boundary. The suspicion band is 4 ulps of ``r + 0.5`` PER ELEMENT
+    (``np.spacing``), not a fixed 1e-6: the IEEE addition error is
+    ≤ 0.5 ulp at any magnitude, so the band covers every element the
+    fast path could misround even for vectors/quanta far larger than
+    today's |x| ≤ 0.53 embeddings (ADVICE r9: the fixed band stopped
+    covering once ulp(y) exceeded 1e-6, i.e. y ≳ 4.5e9)."""
     import numpy as np
 
     y = r + 0.5
     f = np.floor(y)
     frac = y - f
-    sus = (frac <= 1e-6) | (frac >= 1.0 - 1e-6)
+    eps = 4.0 * np.spacing(y)
+    sus = (frac <= eps) | (frac >= 1.0 - eps)
     if sus.any():
         from decimal import ROUND_HALF_UP, Decimal
 

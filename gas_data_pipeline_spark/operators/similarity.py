@@ -751,6 +751,7 @@ def probe_cells(
     *,
     n_probe: int = 4,
     driver_probe_bound: int = 1024,
+    quantum: float = 1e6,
 ) -> DataFrame:
     """Route each query to its ``n_probe`` nearest coarse-quantizer
     cells (fixed-point argmin, ties to the smaller center id — the
@@ -759,8 +760,14 @@ def probe_cells(
     collected once and probed driver-side with the numpy fixed-point
     kernel (``selection._fp_halfup`` — bit-identical to the
     expression path, pinned in tests), skipping a whole Spark job; a
-    larger query table takes the distributed expression path. Returns
+    larger query table takes the distributed expression path. The
+    caller's ``quantum`` threads through BOTH paths (ADVICE r9: a
+    hardcoded 1e6 here would quantize probes and corpus differently
+    under a non-default quantum), and the driver-path schema carries
+    the input's own id type rather than assuming bigint. Returns
     (query_id, qv, center_id) rows — one per probed cell."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
     from gas_data_pipeline_spark.operators.selection import (
         _fp_halfup,
         center_cands_sql,
@@ -780,15 +787,21 @@ def probe_cells(
         for r in qrows:
             qv = list(r["qv"])
             d = np.asarray(qv, dtype="float64") - cmat
-            sq = _fp_halfup(d * d * 1e6).sum(axis=1)
+            sq = _fp_halfup(d * d * quantum).sum(axis=1)
             order = sorted(range(len(cids)), key=lambda i: (sq[i], cids[i]))
             for i in order[:n_probe]:
                 probe_rows.append((r["query_id"], qv, cids[i]))
         return queries.sparkSession.createDataFrame(
             probe_rows,
-            "query_id bigint, qv array<double>, center_id bigint",
+            StructType(
+                [
+                    StructField("query_id", qpts.schema["query_id"].dataType),
+                    StructField("qv", ArrayType(DoubleType())),
+                    StructField("center_id", LongType()),
+                ]
+            ),
         )
-    probe_structs = F.expr(center_cands_sql("qv", centers))
+    probe_structs = F.expr(center_cands_sql("qv", centers, quantum))
     return qpts.select(
         "query_id",
         "qv",
@@ -1284,6 +1297,7 @@ def cosine_topk_ivfpq_kcenter(
         vec_col,
         n_probe=n_probe,
         driver_probe_bound=driver_probe_bound,
+        quantum=quantum,
     ).select("query_id", "center_id")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nv = bind(v, lambda vv: F.transform(vv, lambda x: x / F.sqrt(dot(vv, vv))))

@@ -179,12 +179,28 @@ def reset_model_seams() -> None:
         selection_suite,
     )
 
-    curation_suite._BPE_CACHE.clear()
-    curation_suite._UNIGRAM_CACHE.clear()
+    def _release(cache: dict) -> None:
+        # localCheckpointed entries hold executor cache blocks; dropping
+        # the dict entry alone would leave them to GC (ADVICE r9) —
+        # unpersist the underlying RDD best-effort before clearing.
+        from pyspark.sql import DataFrame
+
+        for val in cache.values():
+            parts = val if isinstance(val, (tuple, list)) else (val,)
+            for part in parts:
+                if isinstance(part, DataFrame):
+                    try:
+                        part.rdd.unpersist(False)
+                    except Exception:
+                        pass
+        cache.clear()
+
+    _release(curation_suite._BPE_CACHE)
+    _release(curation_suite._UNIGRAM_CACHE)
     selection_suite._KCENTER_CACHE.clear()
     selection_suite._QCLF_CACHE.clear()
     northstar._COMPONENTS_CACHE.clear()
     northstar._PQ_BOOK_CACHE.clear()
-    northstar._IVF_INDEX_CACHE.clear()
-    northstar._PQ_CODES_CACHE.clear()
-    northstar._IVFPQ_INDEX_CACHE.clear()
+    _release(northstar._IVF_INDEX_CACHE)
+    _release(northstar._PQ_CODES_CACHE)
+    _release(northstar._IVFPQ_INDEX_CACHE)

@@ -361,7 +361,14 @@ def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH kernel `dedup_minhash_lsh` uses (candidates
     exact-verified, never N²), and reports pair counts + Jaccard
     ranges per unordered split pair with a ``leaked`` flag on every
-    cross-split row.
+    cross-split row. Like dedup_minhash_lsh, the oracle replays the
+    EXACT all-pairs Jaccard while the engine is banded-probabilistic:
+    per-pair capture at j=0.5 is ~0.9999 with (k=64, bands=32), and
+    the candidate set contains every >=0.5 pair on this corpus —
+    checked empirically at sf0.001/0.01/0.1 and pinned as a superset
+    assertion in tests/test_northstar.py (ADVICE r9: each banded
+    query multiplies the borderline-miss exposure, so the
+    completeness claim is tested, not just stated).
 
     Scale shape: the corpus is scanned for shingles/banding only
     (the LSH kernel's plan); verified pairs are a SMALL output, so
@@ -684,9 +691,21 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus (IVF) and the encoded codes (PQ) are pure functions of
 # (corpus, model), localCheckpointed per (application, sf_dir) so
 # repeat query batches pay search cost only. At 100 TB these would
-# persist as cell-partitioned / code-packed parquet instead.
-_IVF_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
-_PQ_CODES_CACHE: dict[tuple[str, str], DataFrame] = {}
+# persist as cell-partitioned / code-packed parquet instead. Keys
+# carry a MODEL FINGERPRINT alongside (application, sf_dir) — ADVICE
+# r9: a second caller with different centers/books must never reuse
+# the wrong checkpointed index; registry.reset_model_seams releases
+# the checkpoint blocks when clearing.
+_IVF_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PQ_CODES_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _model_fp(model) -> str:
+    """Stable fingerprint of a driver-side model (centers / codebooks:
+    nested lists, dicts, floats) for index-cache keys."""
+    import hashlib
+
+    return hashlib.md5(repr(model).encode()).hexdigest()[:16]
 
 
 def _corpus_ivf_index(
@@ -696,7 +715,7 @@ def _corpus_ivf_index(
         build_ivf_kcenter_index,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, _model_fp(centers))
     idx = _IVF_INDEX_CACHE.get(key)
     if idx is None:
         idx = build_ivf_kcenter_index(emb, centers).localCheckpoint(
@@ -711,7 +730,7 @@ def _corpus_pq_codes(
 ) -> DataFrame:
     from gas_data_pipeline_spark.operators.similarity import build_pq_codes
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, _model_fp(books))
     enc = _PQ_CODES_CACHE.get(key)
     if enc is None:
         enc = build_pq_codes(emb, books).localCheckpoint(eager=True)
@@ -994,7 +1013,7 @@ def ann_ivfpq_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFPQ_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVFPQ_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _corpus_ivfpq_index(
@@ -1008,7 +1027,11 @@ def _corpus_ivfpq_index(
         build_ivfpq_kcenter_index,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _model_fp((centers, books)),
+    )
     idx = _IVFPQ_INDEX_CACHE.get(key)
     if idx is None:
         idx = build_ivfpq_kcenter_index(emb, centers, books).localCheckpoint(

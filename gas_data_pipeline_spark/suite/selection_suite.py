@@ -24,6 +24,7 @@ from gas_data_pipeline_spark.operators.selection import (
     dsir_fit_log_ratios,
     dsir_log_ratio_map,
     dsir_score,
+    kc_sample_sql,
     quality_features,
     quality_score,
 )
@@ -618,8 +619,11 @@ def _corpus_kcenter(
     return centers
 
 
-# DuckDB twin of the bounded training draw (selection.kc_sample_sql).
-_KC_SAMP_TAIL = "ORDER BY md5('kctrain-v1:' || CAST(vec_id AS VARCHAR)) LIMIT 256"
+# DuckDB twin of the bounded training draw — BUILT from the engine's
+# own helper so the two can't drift apart silently (ADVICE r9): any
+# change to the seed/n in operators.selection changes this oracle
+# fragment with it.
+_KC_SAMP_TAIL = kc_sample_sql()
 
 
 _KC_DIST_SQL = (

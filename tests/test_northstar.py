@@ -108,6 +108,43 @@ def test_simhash_band_pairs_pigeonhole(spark):
             assert (a, b) in got, f"missed guaranteed pair {(a, b)}"
 
 
+def test_lsh_candidates_superset_of_exact_pairs(spark):
+    """The banded MinHash kernel is probabilistic per pair (~0.9999
+    capture at j=0.5) but the queries built on it (dedup_minhash_lsh,
+    split_neardup_leakage) carry EXACT all-pairs oracles — so pin the
+    completeness empirically: the verified LSH output must equal the
+    brute-force >=0.5-Jaccard pair set on the planted corpus (ADVICE
+    r9: every additional banded query multiplies the exposure of a
+    single missed borderline pair)."""
+    from gas_data_pipeline_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        word_shingles,
+    )
+    from gas_data_pipeline_spark.suite.northstar import _docs_with_planted
+
+    docs = _docs_with_planted(spark, SF_SMALL)
+    lsh = minhash_near_dup_pairs(
+        docs, "doc_id", word_shingles(F.col("text"), n=3), threshold=0.5
+    ).toPandas()
+
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), n=3).alias("sh")
+    ).toPandas()
+    shingles = {r.doc_id: set(r.sh) for r in sh.itertuples() if len(r.sh) > 0}
+    ids = sorted(shingles)
+    exact = set()
+    for i, a in enumerate(ids):
+        sa = shingles[a]
+        for b in ids[i + 1 :]:
+            sb = shingles[b]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+                exact.add((a, b))
+    got = set(zip(lsh.id_a, lsh.id_b))
+    assert exact - got == set(), f"LSH missed exact pairs: {exact - got}"
+    assert got == exact  # verification already filters, so equality
+
+
 @pytest.fixture(scope="module")
 def emb_pdf(spark):
     from gas_data_pipeline_spark.catalog import table
