@@ -468,10 +468,18 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     31 of 32 cores idle; repartition to defaultParallelism. Gated so
     it is a no-op at production scale: an input that already has >=
     defaultParallelism partitions is returned untouched (a 100 TB
-    scan is never blindly reshuffled)."""
+    scan is never blindly reshuffled). The no-op gate counts parquet
+    ROW GROUPS when the file set is small — split counts lie for a
+    coarse-row-group file (see catalog.spread_scan, the r10
+    pivot_long_to_wide probe fix)."""
+    from gas_data_pipeline_spark.catalog import _scan_row_groups
+
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    if _scan_row_groups(df, target) < target:
+        return df.repartition(target)
     return df
 
 
