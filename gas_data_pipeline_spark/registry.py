@@ -81,7 +81,9 @@ def _load_all() -> None:
 #     yielded slots in r9 (date_parse_coerce, series_id_reverse_parse,
 #     null_invalid_value_filter) plus the other four r3 rows and all
 #     26 r4-era rows;
-#   - 3 of the oldest r5 rows to fill the window.
+#   - 2 of the oldest r5 rows plus silver_upsert_atomic_versioned
+#     (registered this round: the Iceberg-shaped atomic-commit upsert,
+#     pipeline/versioned.py) to fill the window.
 # The 4 rows-only-by-design approximations (ann_ivfpq,
 # ann_lsh_bucketed, approx_distinct_users,
 # approx_percentiles_tdigest) stay OUT per VERDICT r9 #2 — results
@@ -141,10 +143,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_stream_interval_join",
     "text_token_count",
     "text_unigram_logprob",
+    # -- registered this round: first driver row --
+    "silver_upsert_atomic_versioned",
     # -- oldest r5 rows filling the window --
     "anomaly_mad_outliers",
     "approx_percentiles_sampled",
-    "curation_token_budget",
 )
 
 

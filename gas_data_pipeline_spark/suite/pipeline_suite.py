@@ -89,6 +89,63 @@ def silver_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "silver_upsert_atomic_versioned",
+    oracle="""
+        SELECT series_id, observation_time, value
+        FROM (
+            SELECT 'NG_EVENTS_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def silver_upsert_atomic_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK2, atomic-commit variant (pipeline/versioned.py — the
+    Iceberg-shaped write-audit-publish closing the table-format gap):
+    a provisional upsert of the even-id half (v1), then the full
+    batch twice (v2, v3 — idempotency through the versioned path).
+    Every key in v1 also appears in the full batch and the new batch
+    wins on key collision, so the CURRENT snapshot equals one clean
+    last-write-wins dedup of the source — same contract (and oracle)
+    as silver_upsert_idempotent, but each commit is a single atomic
+    manifest rename and untouched partitions are structurally shared
+    across versions instead of rewritten."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+
+    def page(df):
+        return df.select(
+            F.concat(
+                F.lit("NG_EVENTS_"), F.col("user_id").cast("string")
+            ).alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+            F.col("value").cast("double").alias("value"),
+            F.col("ts").alias("ingestion_time"),
+            F.col("event_id"),
+        )
+
+    order = ["ingestion_time", "event_id"]
+    upsert_observations_versioned(
+        spark, page(e.filter(F.col("event_id") % 2 == 0)), root, order_cols=order
+    )
+    upsert_observations_versioned(spark, page(e), root, order_cols=order)
+    upsert_observations_versioned(spark, page(e), root, order_cols=order)
+    return read_observations_versioned(spark, root).select(
+        "series_id", "observation_time", "value"
+    )
+
+
+@register(
     "export_csv_roundtrip",
     oracle="""
         SELECT o_orderkey, o_orderstatus, o_totalprice

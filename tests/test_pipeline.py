@@ -1069,3 +1069,160 @@ def test_apply_delta_to_rollup_matches_recompute(spark):
     }
     assert maintained == recomputed
     assert not any(g == "4" for g, _, _ in maintained)  # emptied group gone
+
+
+# ---------------------------------------------------------------------------
+# Versioned silver store (pipeline/versioned.py): atomic publish,
+# structural sharing, time travel, metadata pruning, vacuum.
+# ---------------------------------------------------------------------------
+
+
+def _vs_batch(spark, rows):
+    return _obs_batch(spark, rows)
+
+
+def test_versioned_upsert_semantics_match_silver(spark, scratch):
+    """Same keys/tie-breaks as the dynamic-overwrite upsert: conflict
+    replaces, re-upsert is a no-op (published as version 3 with
+    identical content)."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    t0 = "2024-01-01 00:00:00"
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    up(_vs_batch(spark, [("s1", t0, 1.0, "2024-01-01 01:00:00", 1)]))
+    up(_vs_batch(spark, [("s1", t0, 2.0, "2024-01-01 02:00:00", 2)]))
+    rows = read_observations_versioned(spark, scratch).collect()
+    assert len(rows) == 1 and rows[0].value == 2.0
+    up(_vs_batch(spark, [("s1", t0, 2.0, "2024-01-01 02:00:00", 2)]))
+    rows = read_observations_versioned(spark, scratch).collect()
+    assert len(rows) == 1 and rows[0].value == 2.0
+    assert read_manifest(scratch)["version"] == 3
+
+
+def test_versioned_commit_is_atomic_and_time_travels(spark, scratch):
+    """An uncommitted version dir is invisible (the manifest rename IS
+    the commit), and a pinned old version replays its snapshot."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    t0, t1 = "2024-01-01 00:00:00", "2024-01-02 00:00:00"
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [("s1", t0, 1.0, "2024-01-01 01:00:00", 1)]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    # Simulate a writer crash mid-publish: data lands, manifest never
+    # flips — readers must keep seeing version 1 exactly.
+    rogue = os.path.join(scratch, "v2", "__pdate=2024-01-02")
+    _vs_batch(spark, [("s9", t1, 9.0, "2024-01-02 01:00:00", 9)]).write.mode(
+        "overwrite"
+    ).parquet(rogue)
+    seen = read_observations_versioned(spark, scratch).collect()
+    assert [(r.series_id, r.value) for r in seen] == [("s1", 1.0)]
+    # A real commit lands as version 2 (writer picks the next version
+    # from the MANIFEST, not from stray dirs — it overwrites the
+    # rogue leftovers), and version 1 stays readable.
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [("s1", t0, 5.0, "2024-01-01 03:00:00", 3)]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    assert read_observations_versioned(spark, scratch).collect()[0].value == 5.0
+    old = read_observations_versioned(spark, scratch, version=1).collect()
+    assert old[0].value == 1.0
+
+
+def test_versioned_structural_sharing_and_pruning(spark, scratch):
+    """An upsert touching one date leaves the other dates' manifest
+    entries pointing at the OLD version dir (nothing copied forward),
+    and a date-range read selects partitions at the manifest level."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(
+            spark,
+            [
+                ("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1),
+                ("s1", "2024-01-02 00:00:00", 2.0, "2024-01-02 01:00:00", 2),
+            ],
+        ),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(
+            spark, [("s1", "2024-01-02 00:00:00", 20.0, "2024-01-02 02:00:00", 3)]
+        ),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    parts = read_manifest(scratch)["partitions"]
+    assert parts["2024-01-01"].startswith("v1/")  # shared, not rewritten
+    assert parts["2024-01-02"].startswith("v2/")
+    pruned = read_observations_versioned(
+        spark, scratch, start="2024-01-02"
+    ).collect()
+    assert [(r.series_id, r.value) for r in pruned] == [("s1", 20.0)]
+
+
+def test_versioned_vacuum_keeps_referenced_versions(spark, scratch):
+    """vacuum deletes only version dirs no current-manifest entry
+    references; a partially-superseded version survives."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+        vacuum,
+    )
+
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(
+            spark,
+            [
+                ("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1),
+                ("s1", "2024-01-02 00:00:00", 2.0, "2024-01-02 01:00:00", 2),
+            ],
+        ),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(
+            spark, [("s1", "2024-01-02 00:00:00", 20.0, "2024-01-02 02:00:00", 3)]
+        ),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    assert vacuum(scratch) == []  # v1 still owns 2024-01-01
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(
+            spark, [("s1", "2024-01-01 00:00:00", 10.0, "2024-01-01 02:00:00", 4)]
+        ),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    assert vacuum(scratch) == ["v1"]  # fully superseded now
+    rows = {
+        (r.series_id, str(r.observation_time)): r.value
+        for r in read_observations_versioned(spark, scratch).collect()
+    }
+    assert rows[("s1", "2024-01-01 00:00:00")] == 10.0
+    assert rows[("s1", "2024-01-02 00:00:00")] == 20.0
