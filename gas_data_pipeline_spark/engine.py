@@ -44,9 +44,18 @@ class GasDataEngine:
     """One engine instance per lakehouse root (single-writer, like the
     reference scheduler's ``max_instances=1``)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, atomic_silver: bool = False
+    ):
+        """``atomic_silver=True`` routes the observation store through
+        the versioned manifest-commit layer (pipeline/versioned.py):
+        identical upsert semantics, but each commit is one atomic
+        manifest rename (snapshot-isolated readers, structural
+        partition sharing, time travel) instead of a dynamic
+        partition overwrite."""
         self.spark = spark
         self.root = root
+        self.atomic_silver = atomic_silver
         self.bronze_path = os.path.join(root, "bronze")
         self.obs_path = os.path.join(root, "silver", "observations")
         self.series_path = os.path.join(root, "dims", "meta_series")
@@ -169,10 +178,23 @@ class GasDataEngine:
                 self.series_path,
                 keys=["series_id"],
             )
-            # SNK2 — idempotent last-write-wins upsert.
-            f_obs = pool.submit(
-                upsert_observations, self.spark, observations, self.obs_path
-            )
+            # SNK2 — idempotent last-write-wins upsert (atomic
+            # manifest-commit variant when configured).
+            if self.atomic_silver:
+                from gas_data_pipeline_spark.pipeline.versioned import (
+                    upsert_observations_versioned,
+                )
+
+                f_obs = pool.submit(
+                    upsert_observations_versioned,
+                    self.spark,
+                    observations,
+                    self.obs_path,
+                )
+            else:
+                f_obs = pool.submit(
+                    upsert_observations, self.spark, observations, self.obs_path
+                )
             f_bronze.result()
             f_fields.result()
             new_series = f_series.result()
@@ -245,6 +267,19 @@ class GasDataEngine:
     # Read path (reference §3.1: GET /v2/data; §3.3: get_history)
     # ------------------------------------------------------------------
 
+    def _read_obs(self) -> DataFrame:
+        """The observation store, resolved through the configured
+        commit layer: a plain parquet scan, or the current manifest
+        snapshot when ``atomic_silver`` (one atomic resolution — a
+        concurrent upsert never yields a mixed read)."""
+        if not self.atomic_silver:
+            return self.spark.read.parquet(self.obs_path)
+        from gas_data_pipeline_spark.pipeline.versioned import (
+            read_observations_versioned,
+        )
+
+        return read_observations_versioned(self.spark, self.obs_path)
+
     def get_data(
         self,
         series_id: str | None = None,
@@ -264,7 +299,7 @@ class GasDataEngine:
         broadcast. ``nested=True`` returns the API's response shape —
         one row per series with an ordered ``points`` array (A1)."""
         limit = min(limit, 5000)  # routes.py:20 cap
-        obs = self.spark.read.parquet(self.obs_path)
+        obs = self._read_obs()
         meta = self.spark.read.parquet(self.series_path)
         if series_id is not None:
             obs = obs.filter(F.col("series_id") == series_id)
@@ -335,9 +370,21 @@ class GasDataEngine:
         if last_days is not None:
             now = datetime.now(timezone.utc)
             start, end = now - timedelta(days=last_days), now
-        return read_observations(
-            self.spark, self.obs_path, series_id=series_id, start=start, end=end
+        if not self.atomic_silver:
+            return read_observations(
+                self.spark, self.obs_path, series_id=series_id, start=start, end=end
+            )
+        from gas_data_pipeline_spark.pipeline.versioned import (
+            read_observations_versioned,
         )
+
+        # Manifest-level pruning replaces directory-listing pruning.
+        df = read_observations_versioned(
+            self.spark, self.obs_path, start=start, end=end
+        )
+        if series_id is not None:
+            df = df.filter(F.col("series_id") == series_id)
+        return df.orderBy("observation_time")
 
     def validate_batch(
         self, batch: DataFrame, rules: dict

@@ -422,3 +422,47 @@ def test_engine_validate_batch(engine, spark):
     assert [r.id for r in quarantine.collect()] == [2]
     m = metrics.toPandas()
     assert int(m.n_violations.iloc[0]) == 1 and int(m.n_rows.iloc[0]) == 2
+
+
+def test_engine_atomic_silver_lifecycle(spark):
+    """atomic_silver=True routes SNK2 through the versioned manifest
+    layer: same ingest/query/history results as the dynamic-overwrite
+    engine, re-ingest is a no-op commit, and the store carries a
+    committed manifest instead of flat date partitions."""
+    import tempfile
+
+    from gas_data_pipeline_spark.engine import GasDataEngine
+    from gas_data_pipeline_spark.pipeline.versioned import read_manifest
+
+    roots = [tempfile.mkdtemp(prefix="gas_atomic_") for _ in range(2)]
+    try:
+        plain = GasDataEngine(spark, roots[0])
+        atomic = GasDataEngine(spark, roots[1], atomic_silver=True)
+        batch = _wide_batch(spark)
+        for eng in (plain, atomic):
+            eng.ingest_batch(
+                batch, "GAS_QUALITY", "national_gas", ["site_id"], "observed_at"
+            )
+            eng.ingest_batch(
+                batch, "GAS_QUALITY", "national_gas", ["site_id"], "observed_at"
+            )
+        cols = ["series_id", "observation_time", "value"]
+        a = (
+            plain.get_data(limit=5000).toPandas()[cols]
+            .sort_values(cols).reset_index(drop=True)
+        )
+        b = (
+            atomic.get_data(limit=5000).toPandas()[cols]
+            .sort_values(cols).reset_index(drop=True)
+        )
+        assert a.equals(b)
+        assert read_manifest(atomic.obs_path)["version"] == 2
+        sid = a.series_id.iloc[0]
+        ha = plain.get_history(sid, start="2024-01-01", end="2025-01-01").toPandas()
+        hb = atomic.get_history(sid, start="2024-01-01", end="2025-01-01").toPandas()
+        assert list(ha.value) == list(hb.value)
+    finally:
+        import shutil
+
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
