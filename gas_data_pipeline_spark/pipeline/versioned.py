@@ -7,7 +7,9 @@ half-committed table).
 
 Iceberg-shaped write-audit-publish, one JSON manifest:
 
-- data for version N lands under ``<root>/v<N>/__pdate=<date>/``;
+- data for version N lands under ``<root>/v<N>-<nonce>/__pdate=
+  <date>/`` (the nonce keeps racing writers' staging dirs disjoint —
+  only the manifest CAS below decides who publishes);
 - the MANIFEST (``<root>/manifest.json``) maps every date partition
   to the version directory that currently owns it;
 - commit = write ``manifest.json.tmp`` then ``os.replace`` — atomic
@@ -27,10 +29,13 @@ Iceberg-shaped write-audit-publish, one JSON manifest:
   shadow column ``__pdate``), so the multi-path scan needs no
   basePath gymnastics across version roots.
 
-Single-writer, like the reference scheduler's ``max_instances=1``
-(app/scheduler/scheduler.py:13-17); production table formats add
-file-level manifests and optimistic-concurrency CAS on top of
-exactly this commit shape. The merge itself reuses the one-shuffle
+Writers are optimistically concurrent: a writer that merged against
+a stale manifest is FENCED at publish (version CAS) instead of
+silently dropping the interleaved commit's rows — the single-node
+form of Iceberg's commit protocol; the reference scheduler's
+``max_instances=1`` (app/scheduler/scheduler.py:13-17) never hits
+the fence. Production table formats add file-level manifests on top
+of exactly this commit shape. The merge itself reuses the one-shuffle
 plan of :mod:`gas_data_pipeline_spark.pipeline.silver`: hash by date
 clusters every (series, time) group, the dedup window rides that
 exchange, and the partitioned write inherits it.
@@ -40,7 +45,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -112,7 +119,14 @@ def upsert_observations_versioned(
                 .withColumn("__prio", F.lit(0))
             )
             merged = batch.unionByName(existing, allowMissingColumns=True)
-        vdir = os.path.join(root, f"v{version}")
+        # Unique staging dir PER WRITER ATTEMPT: two racing writers
+        # must never share a data directory (a stale writer computing
+        # v{N+1} from an old manifest would overwrite the winner's
+        # committed files before the fence below can refuse). Only the
+        # manifest CAS decides who publishes; orphaned staging dirs
+        # are unreferenced and vacuum() reclaims them.
+        vtag = f"v{version}-{uuid.uuid4().hex[:8]}"
+        vdir = os.path.join(root, vtag)
         w = Window.partitionBy(PARTITION_COL, *KEYS).orderBy(
             *[F.col(c).desc() for c in ("__prio", *order_cols)]
         )
@@ -130,11 +144,27 @@ def upsert_observations_versioned(
         # produced must exist on disk (an empty merge result for a
         # date means the date vanished — point its entry nowhere).
         for d in affected:
-            pdir = f"v{version}/{_PDATE}={d}"
+            pdir = f"{vtag}/{_PDATE}={d}"
             if os.path.isdir(os.path.join(root, pdir)):
                 partitions[d] = pdir
             else:
                 partitions.pop(d, None)
+        # Optimistic-concurrency fence (Iceberg's CAS, single-node
+        # form): this writer merged against the manifest it read at
+        # start — if another writer published meanwhile, committing
+        # would silently DROP that writer's rows from the shared
+        # partitions. Refuse instead of losing an update; the caller
+        # retries against the new snapshot. Single-writer deployments
+        # never hit this.
+        now = read_manifest(root)
+        now_version = now["version"] if now else 0
+        if now_version != version - 1:
+            raise RuntimeError(
+                f"concurrent commit detected under {root}: expected to "
+                f"publish v{version} over v{version - 1}, found "
+                f"v{now_version}; retry the upsert against the current "
+                "snapshot"
+            )
         _commit_manifest(root, {"version": version, "partitions": partitions})
     finally:
         cached.unpersist()
@@ -183,17 +213,14 @@ def vacuum(root: str) -> list[str]:
         return []
     live = {p.split("/", 1)[0] for p in m["partitions"].values()}
     gone: list[str] = []
+    vpat = re.compile(r"^v(\d+)(-[0-9a-f]{8})?$")
     for entry in sorted(os.listdir(root)):
         full = os.path.join(root, entry)
-        if (
-            entry.startswith("v")
-            and entry[1:].isdigit()
-            and os.path.isdir(full)
-            and entry not in live
-        ):
+        mt = vpat.match(entry)
+        if mt and os.path.isdir(full) and entry not in live:
             shutil.rmtree(full)
             gone.append(entry)
-            hist = _manifest_path(root, int(entry[1:]))
-            if os.path.exists(hist) and int(entry[1:]) != m["version"]:
+            hist = _manifest_path(root, int(mt.group(1)))
+            if os.path.exists(hist) and int(mt.group(1)) != m["version"]:
                 os.remove(hist)
     return gone

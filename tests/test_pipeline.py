@@ -1129,8 +1129,9 @@ def test_versioned_commit_is_atomic_and_time_travels(spark, scratch):
     seen = read_observations_versioned(spark, scratch).collect()
     assert [(r.series_id, r.value) for r in seen] == [("s1", 1.0)]
     # A real commit lands as version 2 (writer picks the next version
-    # from the MANIFEST, not from stray dirs — it overwrites the
-    # rogue leftovers), and version 1 stays readable.
+    # from the MANIFEST, not from stray dirs; its nonce-suffixed
+    # staging dir never collides with the rogue leftovers, which stay
+    # unreferenced until vacuum), and version 1 stays readable.
     upsert_observations_versioned(
         spark,
         _vs_batch(spark, [("s1", t0, 5.0, "2024-01-01 03:00:00", 3)]),
@@ -1173,8 +1174,8 @@ def test_versioned_structural_sharing_and_pruning(spark, scratch):
         order_cols=["ingestion_time", "event_id"],
     )
     parts = read_manifest(scratch)["partitions"]
-    assert parts["2024-01-01"].startswith("v1/")  # shared, not rewritten
-    assert parts["2024-01-02"].startswith("v2/")
+    assert parts["2024-01-01"].startswith("v1-")  # shared, not rewritten
+    assert parts["2024-01-02"].startswith("v2-")
     pruned = read_observations_versioned(
         spark, scratch, start="2024-01-02"
     ).collect()
@@ -1219,10 +1220,63 @@ def test_versioned_vacuum_keeps_referenced_versions(spark, scratch):
         scratch,
         order_cols=["ingestion_time", "event_id"],
     )
-    assert vacuum(scratch) == ["v1"]  # fully superseded now
+    gone = vacuum(scratch)  # fully superseded now
+    assert len(gone) == 1 and gone[0].startswith("v1-")
     rows = {
         (r.series_id, str(r.observation_time)): r.value
         for r in read_observations_versioned(spark, scratch).collect()
     }
     assert rows[("s1", "2024-01-01 00:00:00")] == 10.0
     assert rows[("s1", "2024-01-02 00:00:00")] == 20.0
+
+
+def test_versioned_concurrent_commit_fenced(spark, scratch):
+    """Optimistic-concurrency fence: a writer that merged against a
+    stale manifest must REFUSE to publish (committing would silently
+    drop the interleaved writer's rows), and the store keeps the
+    interleaved commit intact."""
+    from unittest.mock import patch
+
+    import gas_data_pipeline_spark.pipeline.versioned as V
+
+    t0 = "2024-01-01 00:00:00"
+    V.upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [("s1", t0, 1.0, "2024-01-01 01:00:00", 1)]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    real = V.read_manifest
+    state = {"raced": False}
+
+    def racy(root, version=None):
+        m = real(root, version)
+        # First manifest read of the losing writer: interleave a
+        # competing commit AFTER the snapshot is taken.
+        if version is None and not state["raced"]:
+            state["raced"] = True
+            V.upsert_observations_versioned(
+                spark,
+                _vs_batch(
+                    spark, [("s2", t0, 7.0, "2024-01-01 01:30:00", 5)]
+                ),
+                scratch,
+                order_cols=["ingestion_time", "event_id"],
+            )
+        return m
+
+    with patch.object(V, "read_manifest", side_effect=racy):
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            V.upsert_observations_versioned(
+                spark,
+                _vs_batch(
+                    spark, [("s1", t0, 3.0, "2024-01-01 02:00:00", 9)]
+                ),
+                scratch,
+                order_cols=["ingestion_time", "event_id"],
+            )
+    rows = {
+        r.series_id: r.value
+        for r in V.read_observations_versioned(spark, scratch).collect()
+    }
+    assert rows == {"s1": 1.0, "s2": 7.0}  # winner's rows intact
