@@ -657,3 +657,48 @@ def test_contamination_matrix_never_rescans_corpus(spark):
     assert "FileScan" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_ann_lsh_signed_broadcasts_and_rank_limits(spark):
+    # The signed-ANN scale shape: query side broadcast on the bucket
+    # key (the corpus never shuffles beyond the spread), pushdown of
+    # the query filter to the scan, and WindowGroupLimit so only
+    # per-partition top-k candidates cross the window exchange.
+    plan = _plan(spark, "ann_lsh_signed")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "LessThan(vec_id,8)" in plan  # pushed query filter
+
+
+def test_versioned_upsert_is_single_exchange(spark, tmp_path):
+    # The one-shuffle merge contract (shared with pipeline/silver.py):
+    # hashing by obs_date clusters every (series, time) group, the
+    # dedup window rides that exchange, and the partitioned write
+    # inherits it — a second keyed exchange is a regression.
+    from pyspark.sql import functions as F
+
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.pipeline.silver import KEYS, PARTITION_COL
+    from pyspark.sql.window import Window
+
+    e = table(spark, SF_DIR, "events")
+    obs = e.select(
+        F.concat(F.lit("NG_"), "user_id").alias("series_id"),
+        F.col("ts").alias("observation_time"),
+        F.col("value").alias("value"),
+        F.current_timestamp().alias("ingestion_time"),
+        F.lit(1).alias("__prio"),
+        F.to_date("ts").alias(PARTITION_COL),
+    )
+    w = Window.partitionBy(PARTITION_COL, *KEYS).orderBy(
+        F.col("__prio").desc(), F.col("ingestion_time").desc()
+    )
+    merged = (
+        obs.repartition(F.col(PARTITION_COL))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
