@@ -79,6 +79,16 @@ SCALE_PROBE_QUERIES = (
     # should both show scan-bound (near-linear or better) growth.
     "dsir_importance_select",
     "cms_heavy_hitters_merge",
+    # round-10: the versioned-store upsert's claim — per-commit cost is
+    # the affected partitions plus O(partitions) manifest metadata,
+    # with the dedup window riding the write's one exchange — should
+    # stay scan-bound at 8x. (ann_lsh_signed is deliberately NOT
+    # probed: sign buckets key on CONTENT, and the probe's verbatim
+    # embedding copies would give every vector factor-1 identical
+    # twins in its bucket — candidate growth ~factor^2 by
+    # construction, a false superlinear signal the key salt cannot
+    # prevent; same reason dedup_semantic_buckets is excluded.)
+    "silver_upsert_atomic_versioned",
     # round-7 continuation: the unigram trainer's claim — only the
     # word-count aggregate is corpus-sized; every EM stage is
     # vocab-sized with a zero-shuffle E-step — should show strongly
