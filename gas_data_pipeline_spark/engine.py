@@ -423,15 +423,22 @@ class GasDataEngine:
             .orderBy("field_name")
         )
 
+    def _newest_raw(self, df: DataFrame, limit: int) -> DataFrame:
+        """The ONE newest-first bronze pull every discovery/export
+        endpoint shares (sort keys + lineage columns live here, not in
+        three copies): plans as TakeOrderedAndProject."""
+        return df.orderBy(F.desc("ingested_at"), F.desc("event_id")).limit(
+            limit
+        ).select(
+            "event_id", "dataset_id", "source", "ingested_at", "raw_payload"
+        )
+
     def sample_raw(self, dataset_id: str, limit: int = 5) -> DataFrame:
         """Newest-first raw payload sample (discovery.py:42-51), capped
         at 50 (reference ``Query(5, le=50)``)."""
-        limit = min(limit, 50)
-        return (
-            read_bronze(self.spark, self.bronze_path, dataset_id)
-            .orderBy(F.desc("ingested_at"), F.desc("event_id"))
-            .limit(limit)
-            .select("event_id", "dataset_id", "source", "ingested_at", "raw_payload")
+        return self._newest_raw(
+            read_bronze(self.spark, self.bronze_path, dataset_id),
+            min(limit, 50),
         )
 
     def preview_raw(
@@ -460,11 +467,7 @@ class GasDataEngine:
                 )
                 == site_id
             )
-        return (
-            df.orderBy(F.desc("ingested_at"), F.desc("event_id"))
-            .limit(limit)
-            .select("event_id", "dataset_id", "source", "ingested_at", "raw_payload")
-        )
+        return self._newest_raw(df, limit)
 
     # ------------------------------------------------------------------
     # Exports (reference app/api/v2/export.py)
@@ -476,10 +479,8 @@ class GasDataEngine:
         """SNK5/SNK6: newest-first raw export, limit ≤ 50 000
         (export.py:16,38)."""
         limit = min(limit, 50_000)
-        df = (
-            read_bronze(self.spark, self.bronze_path, dataset_id)
-            .orderBy(F.desc("ingested_at"), F.desc("event_id"))
-            .limit(limit)
+        df = self._newest_raw(
+            read_bronze(self.spark, self.bronze_path, dataset_id), limit
         )
         if fmt == "json":
             df.select("raw_payload").write.mode("overwrite").text(path)

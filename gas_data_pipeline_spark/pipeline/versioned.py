@@ -43,6 +43,8 @@ exchange, and the partitioned write inherits it.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import re
@@ -57,6 +59,24 @@ from gas_data_pipeline_spark.pipeline.silver import KEYS, PARTITION_COL
 
 _MANIFEST = "manifest.json"
 _PDATE = "__pdate"
+# Hive's on-disk name for a null partition value — what partitionBy
+# writes when observation_time (hence obs_date) is null.
+_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+@contextlib.contextmanager
+def _commit_lock(root: str):
+    """Exclusive advisory lock for the fence-read + publish critical
+    section. flock, not a lock FILE existence check: the kernel drops
+    it when the holder dies, so a crashed committer cannot wedge the
+    table the way a stale `O_EXCL` claim file would."""
+    fh = open(os.path.join(root, ".commit.lock"), "a+")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fh, fcntl.LOCK_UN)
+        fh.close()
 
 
 def _manifest_path(root: str, version: int | None = None) -> str:
@@ -105,8 +125,13 @@ def upsert_observations_versioned(
     )
     cached = batch.persist()
     try:
+        # Manifest keys are the PHYSICAL partition values: a null
+        # observation_time writes under Hive's default-partition name,
+        # and the manifest must reference it like any other date or
+        # the committed rows would be invisible to every reader (the
+        # plain upsert keeps such rows readable — same contract here).
         affected = sorted(
-            str(r[0])
+            str(r[0]) if r[0] is not None else _NULL_PART
             for r in batch.select(PARTITION_COL).distinct().collect()
         )
         old_paths = [
@@ -153,19 +178,25 @@ def upsert_observations_versioned(
         # form): this writer merged against the manifest it read at
         # start — if another writer published meanwhile, committing
         # would silently DROP that writer's rows from the shared
-        # partitions. Refuse instead of losing an update; the caller
-        # retries against the new snapshot. Single-writer deployments
-        # never hit this.
-        now = read_manifest(root)
-        now_version = now["version"] if now else 0
-        if now_version != version - 1:
-            raise RuntimeError(
-                f"concurrent commit detected under {root}: expected to "
-                f"publish v{version} over v{version - 1}, found "
-                f"v{now_version}; retry the upsert against the current "
-                "snapshot"
-            )
-        _commit_manifest(root, {"version": version, "partitions": partitions})
+        # partitions. The re-read and the publish execute UNDER AN
+        # EXCLUSIVE flock, so check-then-write is atomic (a bare
+        # re-read would leave a both-writers-pass window); the kernel
+        # releases the lock on process death, so a crashed committer
+        # never wedges the table. On a distributed filesystem this is
+        # where a table format's CAS (Iceberg metastore swap / Delta
+        # log conditional put) slots in. Single-writer deployments
+        # never contend here.
+        with _commit_lock(root):
+            now = read_manifest(root)
+            now_version = now["version"] if now else 0
+            if now_version != version - 1:
+                raise RuntimeError(
+                    f"concurrent commit detected under {root}: expected to "
+                    f"publish v{version} over v{version - 1}, found "
+                    f"v{now_version}; retry the upsert against the current "
+                    "snapshot"
+                )
+            _commit_manifest(root, {"version": version, "partitions": partitions})
     finally:
         cached.unpersist()
     return {"version": version, "partitions": partitions}
@@ -206,8 +237,13 @@ def read_observations_versioned(
 
 def vacuum(root: str) -> list[str]:
     """Delete version directories the CURRENT manifest no longer
-    references (ends time travel for those versions; their historical
-    manifest files are removed with them). Returns what was deleted."""
+    references. Historical manifests are then removed ONLY if their
+    snapshot became unreadable (some referenced dir is gone) — keyed
+    on what each snapshot actually references, never on a shared
+    version NUMBER: an orphaned staging dir from a fenced writer can
+    share its number with the committed version, and reclaiming the
+    orphan must not end time travel to the intact snapshot. Returns
+    the deleted directory names."""
     m = read_manifest(root)
     if m is None:
         return []
@@ -216,11 +252,20 @@ def vacuum(root: str) -> list[str]:
     vpat = re.compile(r"^v(\d+)(-[0-9a-f]{8})?$")
     for entry in sorted(os.listdir(root)):
         full = os.path.join(root, entry)
-        mt = vpat.match(entry)
-        if mt and os.path.isdir(full) and entry not in live:
+        if vpat.match(entry) and os.path.isdir(full) and entry not in live:
             shutil.rmtree(full)
             gone.append(entry)
-            hist = _manifest_path(root, int(mt.group(1)))
-            if os.path.exists(hist) and int(mt.group(1)) != m["version"]:
-                os.remove(hist)
+    if gone:
+        hpat = re.compile(r"^manifest-v(\d+)\.json$")
+        for entry in sorted(os.listdir(root)):
+            hm = hpat.match(entry)
+            if not hm or int(hm.group(1)) == m["version"]:
+                continue
+            hist = read_manifest(root, int(hm.group(1)))
+            intact = hist is not None and all(
+                os.path.isdir(os.path.join(root, p))
+                for p in hist["partitions"].values()
+            )
+            if not intact:
+                os.remove(os.path.join(root, entry))
     return gone

@@ -184,8 +184,12 @@ def reset_model_seams() -> None:
 
     def _release(cache: dict) -> None:
         # localCheckpointed entries hold executor cache blocks; dropping
-        # the dict entry alone would leave them to GC (ADVICE r9) —
-        # unpersist the underlying RDD best-effort before clearing.
+        # the dict entry alone would leave them to GC (ADVICE r9). The
+        # PERSISTED RDD is the LogicalRDD's internal one — `df.rdd`
+        # would build a NEW deserialized RDD whose unpersist is a no-op
+        # — so reach it through the analyzed plan. Safe only because
+        # reset drops every seam reference together: nothing re-reads
+        # a truncated-lineage Dataset whose blocks are gone.
         from pyspark.sql import DataFrame
 
         for val in cache.values():
@@ -193,7 +197,9 @@ def reset_model_seams() -> None:
             for part in parts:
                 if isinstance(part, DataFrame):
                     try:
-                        part.rdd.unpersist(False)
+                        plan = part._jdf.queryExecution().analyzed()
+                        if plan.getClass().getSimpleName() == "LogicalRDD":
+                            plan.rdd().unpersist(False)
                     except Exception:
                         pass
         cache.clear()

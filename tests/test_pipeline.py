@@ -1280,3 +1280,76 @@ def test_versioned_concurrent_commit_fenced(spark, scratch):
         for r in V.read_observations_versioned(spark, scratch).collect()
     }
     assert rows == {"s1": 1.0, "s2": 7.0}  # winner's rows intact
+
+
+def test_versioned_null_time_rows_stay_readable(spark, scratch):
+    """Parity with the plain upsert's contract: a null
+    observation_time row lands in Hive's default partition AND the
+    manifest references it, so an unfiltered snapshot read returns it
+    (a time-range read drops it in both engines via the row filter)."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("s1", None, 1.0, "2024-01-01 01:00:00", 1),
+            ("s2", "2024-01-01 00:00:00", 2.0, "2024-01-01 01:00:00", 2),
+        ],
+        "series_id string, observation_time string, value double, "
+        "ingestion_time string, event_id long",
+    ).selectExpr(
+        "series_id",
+        "CAST(observation_time AS TIMESTAMP) AS observation_time",
+        "value",
+        "CAST(ingestion_time AS TIMESTAMP) AS ingestion_time",
+        "event_id",
+    )
+    upsert_observations_versioned(
+        spark, rows, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    parts = read_manifest(scratch)["partitions"]
+    assert "__HIVE_DEFAULT_PARTITION__" in parts
+    got = {
+        r.series_id: r.value
+        for r in read_observations_versioned(spark, scratch).collect()
+    }
+    assert got == {"s1": 1.0, "s2": 2.0}
+    ranged = read_observations_versioned(
+        spark, scratch, start="2024-01-01"
+    ).collect()
+    assert {r.series_id for r in ranged} == {"s2"}
+
+
+def test_versioned_vacuum_preserves_intact_history(spark, scratch):
+    """Reclaiming an orphaned staging dir must not delete the
+    historical manifest of a committed version whose data dirs are
+    all intact (they can share a version NUMBER)."""
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+        vacuum,
+    )
+
+    t0 = "2024-01-01 00:00:00"
+    up = lambda v: upsert_observations_versioned(  # noqa: E731
+        spark,
+        _vs_batch(spark, [("s1", t0, v, "2024-01-01 01:00:00", int(v))]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    up(1.0)
+    up(2.0)  # v2 committed; v1's dir now unreferenced by current
+    # Orphan staging dir sharing v2's NUMBER (a fenced writer's leftovers).
+    os.makedirs(os.path.join(scratch, "v2-deadbeef", "__pdate=2024-01-02"))
+    gone = vacuum(scratch)
+    assert any(g.startswith("v1-") for g in gone)
+    assert "v2-deadbeef" in gone
+    # v2's history manifest survives: its snapshot is fully intact.
+    assert read_observations_versioned(spark, scratch, version=2).collect()[
+        0
+    ].value == 2.0
