@@ -1211,7 +1211,7 @@ def test_versioned_vacuum_keeps_referenced_versions(spark, scratch):
         scratch,
         order_cols=["ingestion_time", "event_id"],
     )
-    assert vacuum(scratch) == []  # v1 still owns 2024-01-01
+    assert vacuum(scratch, min_age_seconds=0) == []  # v1 still owns 2024-01-01
     upsert_observations_versioned(
         spark,
         _vs_batch(
@@ -1220,7 +1220,7 @@ def test_versioned_vacuum_keeps_referenced_versions(spark, scratch):
         scratch,
         order_cols=["ingestion_time", "event_id"],
     )
-    gone = vacuum(scratch)  # fully superseded now
+    gone = vacuum(scratch, min_age_seconds=0)  # fully superseded now
     assert len(gone) == 1 and gone[0].startswith("v1-")
     rows = {
         (r.series_id, str(r.observation_time)): r.value
@@ -1346,10 +1346,238 @@ def test_versioned_vacuum_preserves_intact_history(spark, scratch):
     up(2.0)  # v2 committed; v1's dir now unreferenced by current
     # Orphan staging dir sharing v2's NUMBER (a fenced writer's leftovers).
     os.makedirs(os.path.join(scratch, "v2-deadbeef", "__pdate=2024-01-02"))
-    gone = vacuum(scratch)
+    gone = vacuum(scratch, min_age_seconds=0)
     assert any(g.startswith("v1-") for g in gone)
     assert "v2-deadbeef" in gone
     # v2's history manifest survives: its snapshot is fully intact.
     assert read_observations_versioned(spark, scratch, version=2).collect()[
         0
     ].value == 2.0
+
+
+def test_versioned_vacuum_retention_protects_pinned_reads(spark, scratch):
+    """VERDICT r10 #5: with ``retain_last_n=2`` a reader pinned on the
+    previous snapshot survives vacuum — its dirs and its history
+    manifest stay — while snapshots past the window are expired (which
+    also bounds manifest-v*.json growth over thousands of commits)."""
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+        vacuum,
+    )
+
+    t0 = "2024-01-01 00:00:00"
+    up = lambda val, ing: upsert_observations_versioned(  # noqa: E731
+        spark,
+        _vs_batch(spark, [("s1", t0, val, ing, int(val))]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    up(1.0, "2024-01-01 01:00:00")
+    up(2.0, "2024-01-01 02:00:00")
+    up(3.0, "2024-01-01 03:00:00")  # current=v3; v1, v2 fully superseded
+    gone = vacuum(scratch, retain_last_n=2, min_age_seconds=0)
+    # v2 (the pinned previous snapshot) is untouched and readable...
+    assert read_observations_versioned(spark, scratch, version=2).collect()[
+        0
+    ].value == 2.0
+    # ...while v1's dir and history manifest are expired.
+    assert any(g.startswith("v1-") for g in gone)
+    assert not os.path.exists(os.path.join(scratch, "manifest-v1.json"))
+    assert os.path.exists(os.path.join(scratch, "manifest-v2.json"))
+
+
+def test_versioned_vacuum_spares_young_staging_dirs(spark, scratch):
+    """ADVICE r10 (medium): staging happens OUTSIDE the commit lock,
+    so vacuum must not reclaim a concurrent writer's freshly written
+    v<N>-nonce dir before it publishes — ``min_age_seconds`` is the
+    fence. The same dir IS reclaimed once aged past the threshold."""
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        upsert_observations_versioned,
+        vacuum,
+    )
+
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [("s1", "2024-01-01 00:00:00", 1.0,
+                           "2024-01-01 01:00:00", 1)]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    inflight = os.path.join(scratch, "v2-aabbccdd")
+    os.makedirs(os.path.join(inflight, "__pdate=2024-01-02"))
+    assert vacuum(scratch) == []  # default min_age: in-flight dir safe
+    assert os.path.isdir(inflight)
+    old = __import__("time").time() - 7200
+    os.utime(inflight, (old, old))
+    gone = vacuum(scratch, min_age_seconds=3600)
+    assert gone == ["v2-aabbccdd"]
+
+
+def test_versioned_vacuum_tolerates_corrupt_history_manifest(spark, scratch):
+    """ADVICE r10 (low): a truncated manifest-v<N>.json (pre-atomic-
+    write crash artifact) must not make vacuum unrunnable — it is
+    treated as a broken snapshot and expired, never propagated as a
+    JSONDecodeError."""
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        upsert_observations_versioned,
+        vacuum,
+    )
+
+    t0 = "2024-01-01 00:00:00"
+    for val, ing in ((1.0, "2024-01-01 01:00:00"), (2.0, "2024-01-01 02:00:00")):
+        upsert_observations_versioned(
+            spark,
+            _vs_batch(spark, [("s1", t0, val, ing, int(val))]),
+            scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    with open(os.path.join(scratch, "manifest-v1.json"), "w") as fh:
+        fh.write('{"version": 1, "partiti')  # truncated mid-write
+    gone = vacuum(scratch, min_age_seconds=0)
+    assert any(g.startswith("v1-") for g in gone)
+    assert not os.path.exists(os.path.join(scratch, "manifest-v1.json"))
+
+
+def test_versioned_upsert_with_retry_lands_both_writers(spark, scratch):
+    """VERDICT r10 #4: the Iceberg client loop — a writer fenced by an
+    interleaved commit re-reads the new snapshot, re-merges, and its
+    batch lands WITHOUT dropping the winner's rows."""
+    from unittest.mock import patch
+
+    import gas_data_pipeline_spark.pipeline.versioned as V
+
+    t0 = "2024-01-01 00:00:00"
+    V.upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [("s1", t0, 1.0, "2024-01-01 01:00:00", 1)]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    real = V.read_manifest
+    state = {"raced": False}
+
+    def racy(root, version=None):
+        m = real(root, version)
+        if version is None and not state["raced"]:
+            state["raced"] = True
+            V.upsert_observations_versioned(
+                spark,
+                _vs_batch(spark, [("s2", t0, 7.0, "2024-01-01 01:30:00", 5)]),
+                scratch,
+                order_cols=["ingestion_time", "event_id"],
+            )
+        return m
+
+    with patch.object(V, "read_manifest", side_effect=racy):
+        out = V.upsert_with_retry(
+            spark,
+            _vs_batch(spark, [("s1", t0, 3.0, "2024-01-01 02:00:00", 9)]),
+            scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    assert out["version"] == 3  # attempt 1 fenced; attempt 2 over v2
+    rows = {
+        r.series_id: r.value
+        for r in V.read_observations_versioned(spark, scratch).collect()
+    }
+    assert rows == {"s1": 3.0, "s2": 7.0}  # both writers' rows land
+
+
+def _run_worker(args, wait=True):
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [_sys.executable, os.path.join(repo, "tests", "versioned_race_worker.py"),
+         *args],
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    return proc.wait(timeout=60) if wait else proc
+
+
+def test_versioned_multiprocess_cas_exactly_one_publishes(scratch):
+    """VERDICT r10 #3: two REAL OS processes race publish_version
+    against one root — exactly one publishes, the loser is fenced,
+    and the loser's staging dir is vacuumable. No Spark: the protocol
+    is pure filesystem (tests/versioned_race_worker.py)."""
+    import time as _time
+
+    from gas_data_pipeline_spark.pipeline.versioned import read_manifest, vacuum
+
+    os.makedirs(scratch, exist_ok=True)
+    procs = [
+        _run_worker(["race", scratch, f"v1-1111111{i}"], wait=False)
+        for i in (1, 2)
+    ]
+    deadline = _time.time() + 30
+    while not all(
+        os.path.exists(os.path.join(scratch, f"v1-1111111{i}.staged"))
+        for i in (1, 2)
+    ):
+        assert _time.time() < deadline, "workers never staged"
+        _time.sleep(0.005)
+    open(os.path.join(scratch, "go"), "w").close()
+    codes = sorted(p.wait(timeout=60) for p in procs)
+    assert codes == [0, 7], f"expected one publish + one fence, got {codes}"
+    m = read_manifest(scratch)
+    assert m["version"] == 1
+    winner_dir = m["partitions"]["2024-01-01"].split("/", 1)[0]
+    gone = vacuum(scratch, min_age_seconds=0)
+    loser_dir = next(d for d in (f"v1-1111111{i}" for i in (1, 2))
+                     if d != winner_dir)
+    assert gone == [loser_dir]
+    assert os.path.isdir(os.path.join(scratch, winner_dir))
+
+
+def test_versioned_flock_released_on_writer_death(scratch):
+    """The docstring claim 'the kernel releases the lock on the
+    holder's death, so a crashed committer never wedges the table',
+    made empirical: a child process is SIGKILLed while HOLDING the
+    commit flock mid-"commit", and the parent must acquire it and
+    publish within seconds."""
+    import fcntl
+    import signal
+    import time as _time
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        publish_version,
+        read_manifest,
+    )
+
+    os.makedirs(scratch, exist_ok=True)
+    proc = _run_worker(["hold-lock", scratch], wait=False)
+    deadline = _time.time() + 30
+    while not os.path.exists(os.path.join(scratch, "locked")):
+        assert _time.time() < deadline, "child never took the lock"
+        _time.sleep(0.005)
+    # Lock is genuinely held: a non-blocking attempt must fail now.
+    with open(os.path.join(scratch, ".commit.lock"), "a+") as fh:
+        with pytest.raises(OSError):
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    proc.send_signal(signal.SIGKILL)
+    proc.wait(timeout=30)
+    # Kernel released the dead holder's flock: acquire + publish,
+    # bounded so a regression fails fast instead of hanging the suite.
+    acquired = False
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        with open(os.path.join(scratch, ".commit.lock"), "a+") as fh:
+            try:
+                fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                acquired = True
+                fcntl.flock(fh, fcntl.LOCK_UN)
+                break
+            except OSError:
+                _time.sleep(0.05)
+    assert acquired, "flock not released after holder SIGKILL"
+    os.makedirs(os.path.join(scratch, "v1-cafecafe", "__pdate=2024-01-01"))
+    publish_version(scratch, 1, {"2024-01-01": "v1-cafecafe/__pdate=2024-01-01"})
+    assert read_manifest(scratch)["version"] == 1
