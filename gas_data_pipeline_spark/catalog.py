@@ -12,6 +12,7 @@ both layouts (a partitioned table is just a directory of files to
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -135,12 +136,63 @@ def spread_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df
 
 
+# Footer results keyed by (path, mtime, size): the gate runs per
+# QUERY, and the suite asks about the same handful of testdata files
+# hundreds of times a session — each footer open is a file-open plus
+# a metadata parse that the key makes free on every re-ask. Bounded:
+# only small scans (< floor files) ever reach a footer, and the cap
+# below evicts wholesale if a pathological session churns paths.
+_FOOTER_CACHE: dict[str, tuple[tuple, int]] = {}
+_FOOTER_CACHE_CAP = 4096
+
+
+def _row_group_count(uri: str) -> int | None:
+    """Row groups in one parquet file, by footer only. ``None`` means
+    the footer could not be read. Local paths are stat-cached; remote
+    URIs (hdfs://, s3a://, ...) go through ``pyarrow.fs`` — the gate
+    was motivated by coarse-row-group files on real clusters, so the
+    check must not silently pass exactly there (ADVICE r10)."""
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as pq
+
+    parsed = urlparse(uri) if "://" in uri else None
+    if parsed is None or parsed.scheme in ("", "file"):
+        path = unquote(parsed.path) if parsed else uri
+        try:
+            key = (os.path.getmtime(path), os.path.getsize(path))
+            hit = _FOOTER_CACHE.get(path)
+            if hit is not None and hit[0] == key:
+                return hit[1]
+            n = pq.ParquetFile(path).num_row_groups
+        except Exception:
+            return None
+        if len(_FOOTER_CACHE) >= _FOOTER_CACHE_CAP:
+            _FOOTER_CACHE.clear()
+        _FOOTER_CACHE[path] = (key, n)
+        return n
+    try:
+        from pyarrow import fs as pafs
+
+        # Hadoop's s3a/s3n schemes are S3 to pyarrow.
+        canonical = re.sub(r"^s3[an]://", "s3://", uri)
+        filesystem, fpath = pafs.FileSystem.from_uri(canonical)
+        with filesystem.open_input_file(fpath) as fh:
+            return pq.ParquetFile(fh).num_row_groups
+    except Exception:
+        return None
+
+
 def _scan_row_groups(df: DataFrame, floor: int) -> int:
     """Achievable read parallelism of ``df``'s scan: total parquet row
     groups across its input files. Returns ``floor`` (meaning "enough,
-    don't repartition") whenever the check doesn't apply — non-file or
+    don't repartition") when the check doesn't apply — non-file or
     non-parquet sources, >= floor files (per-file parallelism already
-    suffices), or unreadable footers."""
+    suffices). An UNREADABLE footer on a small parquet scan returns 0
+    (repartition): assuming "enough" there re-opens the coarse-row-
+    group hole on exactly the filesystems where the r9 probe flag
+    lived, and the repartition it forces costs one cheap shuffle of a
+    small input (ADVICE r10)."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -154,9 +206,10 @@ def _scan_row_groups(df: DataFrame, floor: int) -> int:
     ]
     if not all(p.endswith(".parquet") for p in paths):
         return floor
-    try:
-        import pyarrow.parquet as pq
-
-        return sum(pq.ParquetFile(p).num_row_groups for p in paths)
-    except Exception:
-        return floor
+    total = 0
+    for f in files:
+        n = _row_group_count(f)
+        if n is None:
+            return 0
+        total += n
+    return total

@@ -702,3 +702,50 @@ def test_versioned_upsert_is_single_exchange(spark, tmp_path):
     )
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_scan_row_groups_unreadable_footer_forces_repartition(spark, tmp_path, monkeypatch):
+    """ADVICE r10: on filesystems where footers can't be opened the
+    old code answered 'enough parallelism' — exactly where the coarse-
+    row-group hole lives on real clusters. Unreadable now means 0
+    (repartition), and the cheap shuffle only ever applies to small
+    scans (the >= floor-files short-circuit still wins at scale)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gas_data_pipeline_spark import catalog
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"v": list(range(10_000))}), p)
+    df = spark.read.parquet(p)
+    monkeypatch.setattr(catalog, "_row_group_count", lambda uri: None)
+    assert catalog._scan_row_groups(df, floor=16) == 0
+    assert catalog.spread_scan(df, partitions=8) is not df
+
+
+def test_row_group_footer_cache_hits_and_invalidates(tmp_path):
+    """Footer results are stat-keyed: the same file is parsed once per
+    (mtime, size), and rewriting the file invalidates the entry."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gas_data_pipeline_spark import catalog
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"v": list(range(100_000))}), p, row_group_size=25_000)
+    catalog._FOOTER_CACHE.clear()
+    assert catalog._row_group_count(p) == 4
+    assert p in catalog._FOOTER_CACHE
+    # Poison the cached value: a hit must return it without re-parsing.
+    key, _ = catalog._FOOTER_CACHE[p]
+    catalog._FOOTER_CACHE[p] = (key, 99)
+    assert catalog._row_group_count(p) == 99
+    # Rewrite -> new (mtime, size) -> re-parse, not the stale 99.
+    pq.write_table(pa.table({"v": list(range(100_000))}), p, row_group_size=50_000)
+    st = _os.stat(p)
+    _os.utime(p, (st.st_atime, st.st_mtime + 2))  # mtime granularity guard
+    assert catalog._row_group_count(p) == 2
+    catalog._FOOTER_CACHE.clear()
