@@ -41,6 +41,33 @@ def _sf_of(sf_dir: str) -> float:
 
 
 SCALE_PROBE_FACTOR = 8
+# Heavy queries (>= ~1.5 s at sf0.1) deliberately NOT probed, with the
+# reason on record (VERDICT r10 #1 asks for ratios or documented
+# exclusions — silence reads as coverage):
+SCALE_PROBE_EXCLUDED = {
+    # Content-keyed bucketing over VERBATIM embedding copies: sign/cell
+    # routing keys on vector CONTENT, so every vector gets factor-1
+    # identical twins in its bucket — candidate growth ~factor^2 by
+    # construction, a false superlinear signal the key salt cannot
+    # prevent (the probe can't salt CONTENT without changing the
+    # geometry the query is about).
+    "ann_lsh_signed": "content-keyed buckets; verbatim embedding copies",
+    "ann_lsh_bucketed": "content-keyed buckets; verbatim embedding copies",
+    "ann_ivfpq": "content-routed IVF cells; verbatim embedding copies",
+    "dedup_semantic_buckets": "content-keyed buckets; verbatim copies",
+    # Exact ALL-PAIRS bitset GEMM by design (dense ~1k char-gram
+    # vocabulary makes index joins the wrong kernel — see the query
+    # docstring): N^2 block-pair growth is its documented contract,
+    # bounded by refuse-guards; the corpus salt can't help either,
+    # since char 4-grams of digit-prefixed copies still overlap. The
+    # 100 TB path for char shingles is the banded-LSH family, which IS
+    # probed (dedup_minhash_lsh).
+    "dedup_char_jaccard": "exact all-pairs kernel by design (N^2 contract)",
+    # Input is the bounded synthetic REST fixture window (a pure
+    # function of the date range), independent of sf_dir — a scaled-dir
+    # run does identical work, so the ratio would be a meaningless 1/8.
+    "stream_rest_datasource_ingest": "input independent of sf_dir",
+}
 SCALE_PROBE_QUERIES = (
     "silver_upsert_idempotent",
     "melt_wide_to_long",
@@ -104,6 +131,41 @@ SCALE_PROBE_QUERIES = (
     # 256-row broadcast, no global sort — should both stay scan-bound.
     "quality_classifier_filter",
     "training_shard_manifest",
+    # round-11 (VERDICT r10 #1): every remaining query >= 1.5 s at
+    # sf0.1 gets probed (or a SCALE_PROBE_EXCLUDED entry above). The
+    # lifecycle/streaming queries carry real fixed overhead (stream
+    # start, micro-batch scheduling), so their per-copy ratios read
+    # LOW — the probe's job here is catching a superlinear term hiding
+    # under that overhead, and plan flips.
+    "hourly_pipeline_e2e",
+    "stream_drift_monitor",
+    "stream_heavy_hitters_cms",
+    "stream_gie_delete_reload",
+    "stream_session_window",
+    "stream_lookback_upsert",
+    "bronze_zero_loss_roundtrip",
+    "curation_end_to_end",
+    # the dedup/leakage family over the word-shingle kernels (the
+    # digit-prefix salt makes copies' shingles disjoint, so candidate
+    # growth is honest), plus the sha/bloom exact-dedup pipelines.
+    "split_neardup_leakage",
+    "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
+    "dedup_incremental_batch",
+    "dedup_bloom_incremental",
+    # blocking-join + CC + election end-to-end. The probe's p_brand
+    # salt (see _build_scaled_dir) keeps copies' blocks disjoint —
+    # first measured UNSALTED at 2.66 per-copy, which was verbatim
+    # p_name content handing every part factor-1 lev-0 twins inside
+    # shared blocks (candidates AND edges ~factor^2 by construction).
+    # NOTE the real-scale caveat this measured: fixed-domain blocking
+    # keys make block occupancy — hence pair work — grow quadratically
+    # with a single corpus; at 100 TB the block key must gain a
+    # cardinality-scaling component (the query docstring says so).
+    "entity_resolution_e2e",
+    # frozen-quantizer delta absorption: training is a bounded sample,
+    # routing is a zero-shuffle scan — should read scan-bound.
+    "ann_index_incremental",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so
@@ -122,6 +184,37 @@ _SALT_COLS = {
 }
 
 
+def _consolidate_with_row_groups(stage_dir: str, out_path: str) -> int:
+    """Merge a Spark-written parquet directory into ONE file whose
+    row-group count reflects real scan parallelism: ~64 row groups on
+    anything big (>= 256 rows each, so dims stay one group and the
+    footer stays small). Returns the row-group count written."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        os.path.join(stage_dir, f)
+        for f in os.listdir(stage_dir)
+        if f.endswith(".parquet")
+    )
+    data = pa.concat_tables([pq.read_table(p) for p in parts])
+    rg_rows = max(256, -(-data.num_rows // 64))
+    # Spark writes INT96 timestamps by default, which pyarrow reads as
+    # ns — and a plain rewrite would emit TIMESTAMP(NANOS), which
+    # Spark 4 refuses to read back as `timestamp` (the streaming
+    # queries give readStream an explicit micros schema). Coerce to
+    # micros: the same ns→us truncation the catalog applies to the
+    # base corpus, so values agree.
+    pq.write_table(
+        data,
+        out_path,
+        row_group_size=rg_rows,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    return pq.ParquetFile(out_path).num_row_groups
+
+
 def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     """Materialize ``factor`` re-salted copies of every table under a
     cached tmp dir (rebuilt only when absent or factor changes)."""
@@ -135,8 +228,13 @@ def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 
     base = os.path.basename(sf_dir.rstrip("/"))
     tmp_root = os.environ.get("TMPDIR", "/tmp")
+    # v3: multi-row-group layout (VERDICT r10 #6) — the v2 corpus was
+    # single coalesced one-row-group files, the exact layout that
+    # produced the r9 false superlinear flag; a representative probe
+    # fixture must parallelize at the ROW-GROUP grain like production
+    # data does, so spread_scan NO-OPs on it.
     out_dir = os.path.join(
-        tmp_root, f"spark_graft_scale_probe_{base}_x{factor}v2"
+        tmp_root, f"spark_graft_scale_probe_{base}_x{factor}v4"
     )
     marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
@@ -219,20 +317,35 @@ def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
                         " ",
                     ),
                 )
+            # p_brand is CONTENT that doubles as a blocking key: the
+            # entity-resolution family blocks on (brand, size) and
+            # verifies with Levenshtein over verbatim-copied p_name,
+            # so unsalted copies hand every part factor-1 lev-0 twins
+            # inside shared blocks — candidates AND passing edges grow
+            # ~factor^2 by construction (measured 2.66 per-copy at 8x
+            # before this salt). Prefixing the brand keeps each copy's
+            # blocks disjoint: factor independent corpora of the same
+            # block shape, the probe's premise (same device as the
+            # documents word prefix above).
+            if t == "part" and i > 0:
+                c = c.withColumn(
+                    "p_brand", F.concat(F.lit(str(i)), F.col("p_brand"))
+                )
             copies.append(c)
         # Single FILE named <t>.parquet, mirroring the testdata layout —
         # consumers (pathGlobFilter streams, the catalog) expect a file,
-        # not a part-file directory.
+        # not a part-file directory. Consolidated via pyarrow with an
+        # explicit row-group size: a coalesce(1) Spark write produces
+        # ONE row group per file, and one-row-group files fake their
+        # split counts (every split but one is empty) — the r9 probe
+        # false-flag layout. >= ~64 row groups on the big tables makes
+        # the scaled corpus parallelize like production data.
         stage = os.path.join(out_dir, f"__stage_{t}")
-        reduce(DataFrame.unionByName, copies).coalesce(1).write.mode(
+        reduce(DataFrame.unionByName, copies).write.mode(
             "overwrite"
         ).parquet(stage)
-        part = next(
-            f for f in os.listdir(stage)
-            if f.endswith(".parquet") and f.startswith("part-")
-        )
-        os.replace(
-            os.path.join(stage, part), os.path.join(out_dir, f"{t}.parquet")
+        _consolidate_with_row_groups(
+            stage, os.path.join(out_dir, f"{t}.parquet")
         )
         shutil.rmtree(stage)
     with open(marker, "w") as fh:
@@ -304,6 +417,7 @@ def run_scale_probe(spark, queries, sf_dir: str) -> dict:
         "factor": factor,
         "queries": out,
         "superlinear": superlinear,
+        "excluded": SCALE_PROBE_EXCLUDED,
     }
 
 
@@ -461,6 +575,7 @@ def main() -> None:
                 k for k, v in probe["queries"].items() if v["plan_flip"]
             ],
             "superlinear": probe["superlinear"],
+            "excluded": sorted(SCALE_PROBE_EXCLUDED),
         }
     print(json.dumps(summary))
     sys.stdout.flush()

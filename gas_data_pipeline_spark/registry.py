@@ -64,32 +64,28 @@ def _load_all() -> None:
 # still covered by the builder-side parity gate (tests/test_parity.py,
 # all queries).
 #
-# Round-10 rotation (VERDICT r9 #2): CORRECTNESS_r09.json landed
-# (46 exact + 4 rows-only-by-design, zero failures), so the window
-# rotates. The 9 anchors stay; rotating IN:
-#   - ann_lsh_signed — REGISTERED this round (VERDICT r9 #7: the LSH
-#     ANN family's exact-oracled member, deterministic sign-signature
-#     partitioner), earning its first driver row in its own round;
-#   - 4 touched-this-round re-certifications: pivot_long_to_wide
-#     (plan changed — spread_scan now counts parquet row groups,
-#     closing the r9 superlinear probe flag), unigram_lm_train_vocab
-#     and unigram_lm_segment_words (Viterbi backpointers repacked
-#     into a constant-size BIGINT; results identical by parity, the
-#     driver row re-proves it), bloom_pruned_join_revenue (the r9
-#     probe watch item — ratio halved by the row-group fix);
-#   - every remaining r3/r4-checked row: the r3 scalar trio that
-#     yielded slots in r9 (date_parse_coerce, series_id_reverse_parse,
-#     null_invalid_value_filter) plus the other four r3 rows and all
-#     26 r4-era rows;
-#   - 2 of the oldest r5 rows plus silver_upsert_atomic_versioned
-#     (registered this round: the Iceberg-shaped atomic-commit upsert,
-#     pipeline/versioned.py) to fill the window.
-# The 4 rows-only-by-design approximations (ann_ivfpq,
-# ann_lsh_bucketed, approx_distinct_users,
-# approx_percentiles_tdigest) stay OUT per VERDICT r9 #2 — results
-# unchanged, fresh r9 rows, pytest ground-truth bounds. Every
-# windowed query has an exact DuckDB oracle. After this window runs,
-# the stalest driver row anywhere is r5-era.
+# Round-11 rotation (VERDICT r10 #2): CORRECTNESS_r10.json landed
+# 50/50 exact-green (zero failures), so the window rotates. The 9
+# anchors stay; rotating IN:
+#   - hourly_pipeline_atomic_e2e — REGISTERED this round (VERDICT r10
+#     #7: the full two-cycle ProcessingTime lifecycle through the
+#     VERSIONED silver store), earning its first driver row in its
+#     own round;
+#   - 2 touched-this-round re-certifications:
+#     silver_upsert_atomic_versioned (the commit path moved into
+#     publish_version and vacuum gained retention — results identical
+#     by parity, the driver row re-proves it) and hourly_pipeline_e2e
+#     (body refactored into the shared _hourly_lifecycle and the
+#     final silver read now resolves through engine._read_obs);
+#   - the 4 rows-only-by-design approximations (ann_ivfpq,
+#     ann_lsh_bucketed, approx_distinct_users,
+#     approx_percentiles_tdigest) get their periodic fresh rows-only
+#     row (last rows-only rows are r9; exact twins remain green and
+#     the ground-truth bounds live in pytest);
+#   - ALL 26 remaining r5-era rows (the stalest anywhere after the
+#     r10 window) plus the 8 alphabetically-first r7-era rows to
+#     fill the window. After this window runs, the stalest driver
+#     row anywhere is r7-era.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
@@ -102,52 +98,51 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     # -- registered this round: first driver row --
-    "ann_lsh_signed",
+    "hourly_pipeline_atomic_e2e",
     # -- touched this round: re-certification --
-    "pivot_long_to_wide",
-    "unigram_lm_train_vocab",
-    "unigram_lm_segment_words",
-    "bloom_pruned_join_revenue",
-    # -- stalest re-verification: rows last checked in r3 --
-    "date_parse_coerce",
-    "series_id_reverse_parse",
-    "null_invalid_value_filter",
-    "text_pii_scrub",
-    "text_quality_langid",
-    "topn_recency",
-    "window_functions",
-    # -- stalest re-verification: rows last checked in r4 --
-    "band_range_join",
-    "cohort_monthly_retention",
-    "compaction_roundtrip",
-    "curation_contamination",
-    "curation_domain_cap",
-    "curation_end_to_end",
-    "curation_mixture_apply",
-    "curation_mixture_weights",
-    "curation_pack_sequences",
-    "curation_quality_rules",
-    "curation_shuffle_rank",
-    "curation_weighted_sample",
-    "daily_ohlc_downsample",
-    "dedup_incremental_batch",
-    "dedup_keep_best",
-    "dedup_span_exact",
-    "funnel_conversion",
-    "grouping_sets_priority_status",
-    "jsonl_ingest_quarantine",
-    "latest_event_per_user",
-    "rolling_time_average",
-    "salted_skew_aggregate",
-    "scd2_user_state_history",
-    "stream_stream_interval_join",
-    "text_token_count",
-    "text_unigram_logprob",
-    # -- registered this round: first driver row --
     "silver_upsert_atomic_versioned",
-    # -- oldest r5 rows filling the window --
-    "anomaly_mad_outliers",
-    "approx_percentiles_sampled",
+    "hourly_pipeline_e2e",
+    # -- periodic rows-only refresh (approximate-by-design family) --
+    "ann_ivfpq",
+    "ann_lsh_bucketed",
+    "approx_distinct_users",
+    "approx_percentiles_tdigest",
+    # -- stalest re-verification: rows last checked in r5 --
+    "curation_token_budget",
+    "date_chunk_fanout",
+    "dedup_bloom_incremental",
+    "dedup_repeated_ngrams",
+    "export_csv_roundtrip",
+    "gap_fill_daily_rollup",
+    "grouped_topk_bounded",
+    "hash_split_train_test",
+    "heavy_hitters_exact",
+    "incremental_rollup_maintenance",
+    "interpolate_daily_gaps",
+    "interval_overlap_sessions",
+    "json_key_melt_nested",
+    "lookup_join_get_or_create",
+    "multimodal_features",
+    "referential_integrity_audit",
+    "sessionize_events",
+    "snapshot_diff_cdc",
+    "sql_topn_revenue_report",
+    "stratified_sample_events",
+    "stream_bloom_dedup",
+    "stream_stateful_stats",
+    "text_fingerprint",
+    "trend_slope_by_series",
+    "union_by_name_harmonized",
+    "value_clean_gauntlet",
+    # -- oldest r7 rows filling the window --
+    "approx_distinct_rollup_merge",
+    "bpe_pair_counts",
+    "bpe_train_merge_rules",
+    "bpe_vocab_after_merges",
+    "corpus_stats_card",
+    "curation_quality_percentile",
+    "dedup_prefix_jaccard",
+    "drift_ks_statistic",
 )
 
 

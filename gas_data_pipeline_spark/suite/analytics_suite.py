@@ -757,18 +757,28 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed blocks would be salted exactly like salted_skew_aggregate."""
     p = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
     a, b = p.alias("a"), p.alias("b")
+    # Two lossless verifier cheapeners (round 11, after the 8x probe
+    # flagged the sibling entity_resolution_e2e): a length band in the
+    # join condition — lev(a,b) >= |len(a)-len(b)|, so |Δlen| > 8
+    # pairs can never pass and cost one subtraction instead of a DP —
+    # and THRESHOLDED Levenshtein (returns -1 above the bound), whose
+    # early-abandon DP touches only a 2k+1 diagonal band: O(len·k)
+    # instead of O(len²) per surviving pair. Identical pair set.
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 8
+            ),
         )
         .withColumn(
             "edit_distance",
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("bigint"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 8).cast("bigint"),
         )
-        .filter(F.col("edit_distance") <= 8)
+        .filter(F.col("edit_distance") >= 0)
         .select(
             F.col("a.p_partkey").alias("partkey_a"),
             F.col("b.p_partkey").alias("partkey_b"),
@@ -1948,14 +1958,22 @@ def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"
     )
     a, b = p.alias("a"), p.alias("b")
+    # Length band + thresholded Levenshtein: lossless (lev >= |Δlen|,
+    # and the bounded DP returns -1 above 8), ~O(len·k) per pair
+    # instead of O(len²) — see fuzzy_part_name_pairs.
     pairs = (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 8
+            ),
         )
-        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 8)
+        .filter(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 8) >= 0
+        )
         .select(
             F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
         )

@@ -628,9 +628,7 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(corpus).select("doc_id")
 
 
-@register(
-    "hourly_pipeline_e2e",
-    oracle=r"""
+_HOURLY_E2E_ORACLE = r"""
         WITH full_hourly AS (
             SELECT user_id, date_trunc('hour', ts) AS obs_hour,
                    CAST(count(*) AS DOUBLE) AS n_events,
@@ -682,9 +680,12 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'bronze', 'hourlyfeed', CAST(NULL AS TIMESTAMP),
                CAST((SELECT count(*) FROM half_hourly)
                     + (SELECT count(*) FROM full_hourly) AS DOUBLE)
-    """,
-)
-def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _hourly_lifecycle(
+    spark: SparkSession, sf_dir: str, atomic: bool
+) -> DataFrame:
     """The reference's whole production lifecycle under the streaming
     scheduler, end to end: fetch -> bronze -> discover/register fields
     -> melt -> series auto-register -> silver upsert (reference
@@ -736,7 +737,7 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(scratch, "ckpt")
     src = os.path.join(scratch, "incoming")
     os.makedirs(src)
-    engine = GasDataEngine(spark, root)
+    engine = GasDataEngine(spark, root, atomic_silver=atomic)
 
     ev = table(spark, sf_dir, "events")
 
@@ -822,7 +823,9 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
 
-    silver = spark.read.parquet(engine.obs_path)
+    # Resolve silver through the configured commit layer: a plain scan,
+    # or one atomic manifest resolution in versioned mode.
+    silver = engine._read_obs()
     dim = spark.read.parquet(engine.series_path).select("series_id")
     obs_rows = silver.join(dim, "series_id").select(
         F.lit("obs").alias("kind"),
@@ -844,6 +847,29 @@ def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(n_bronze)).alias("value"),
     )
     return obs_rows.unionByName(field_rows).unionByName(bronze_row)
+
+
+@register("hourly_pipeline_e2e", oracle=_HOURLY_E2E_ORACLE)
+def hourly_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/ST1 — the full scheduler lifecycle on the plain dynamic-
+    overwrite silver store; see :func:`_hourly_lifecycle`."""
+    return _hourly_lifecycle(spark, sf_dir, atomic=False)
+
+
+@register("hourly_pipeline_atomic_e2e", oracle=_HOURLY_E2E_ORACLE)
+def hourly_pipeline_atomic_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/ST1 through the VERSIONED silver store (VERDICT r10 #7):
+    the identical two-cycle ProcessingTime lifecycle — provisional
+    poll, authoritative late-revision re-poll — with
+    ``GasDataEngine(atomic_silver=True)``, so every scheduler cycle's
+    silver commit is a manifest CAS publish (pipeline/versioned.py)
+    exercised under real micro-batch triggers, and the final read is
+    one atomic snapshot resolution. Same final-state oracle as the
+    plain lifecycle: the commit layer must be behaviorally invisible
+    to the pipeline's results — cycle 2 lands as version 2 with
+    cycle 1's partitions structurally shared, and last-write-wins
+    tie-breaks are identical."""
+    return _hourly_lifecycle(spark, sf_dir, atomic=True)
 
 
 def _psi_cum_block(batch_seq: int, cum_filter: str) -> str:

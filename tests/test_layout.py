@@ -475,3 +475,38 @@ def test_kmv_overlap_estimates_in_sketch_regime(spark):
     assert r.union_est == pytest.approx(true_union, rel=0.25)
     assert r.jaccard_est == pytest.approx(true_jacc, rel=0.4)
     assert r.intersection_est == pytest.approx(overlap, rel=0.5)
+
+
+def test_probe_corpus_consolidation_writes_real_row_groups(spark, tmp_path):
+    """VERDICT r10 #6: the 8x probe corpus used to be single coalesced
+    ONE-row-group files — the exact layout that produced the r9 false
+    superlinear flag (splits lie; all but one are empty). The
+    consolidation helper must emit ~64 real row groups on big tables
+    (so spread_scan NO-OPs there and the probe measures representative
+    parallelism) while keeping tiny dims one group."""
+    import pyarrow.parquet as pq
+
+    from bench import _consolidate_with_row_groups
+    from gas_data_pipeline_spark.catalog import spread_scan
+
+    stage_big = str(tmp_path / "stage_big")
+    spark.range(200_000).selectExpr("id", "id * 2 AS v").write.parquet(stage_big)
+    out_big = str(tmp_path / "big.parquet")
+    n_rg = _consolidate_with_row_groups(stage_big, out_big)
+    assert n_rg >= 32, f"big table got only {n_rg} row groups"
+    # Representative layout => the row-group gate says "enough" and
+    # the spread is a no-op even when maxPartitionBytes inflates the
+    # split count.
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        df = spark.read.parquet(out_big)
+        assert spread_scan(df, partitions=8) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    stage_dim = str(tmp_path / "stage_dim")
+    spark.range(40).write.parquet(stage_dim)
+    out_dim = str(tmp_path / "dim.parquet")
+    assert _consolidate_with_row_groups(stage_dim, out_dim) == 1
+    assert pq.ParquetFile(out_dim).metadata.num_rows == 40

@@ -18,8 +18,18 @@ def _specs():
 
 QUERIES, ORACLES = _specs()
 
+# Round-robin sharding for the sf0.1 gate (the serial run bottlenecks
+# on the N^2 dedup oracles' DuckDB time): SPARK_GRAFT_PARITY_SHARD=i/n
+# runs every n-th query starting at i, so 4 concurrent pytest
+# processes cover all queries in ~1/3 the wall. Unset = everything.
+_NAMES = sorted(QUERIES)
+_SHARD = __import__("os").environ.get("SPARK_GRAFT_PARITY_SHARD")
+if _SHARD:
+    _i, _n = (int(x) for x in _SHARD.split("/"))
+    _NAMES = _NAMES[_i::_n]
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+
+@pytest.mark.parametrize("name", _NAMES)
 def test_query_parity(name, spark, duck):
     fn = QUERIES[name]
     df = fn(spark, SF_DIR)
