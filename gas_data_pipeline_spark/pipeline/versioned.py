@@ -341,7 +341,13 @@ def vacuum(
             try:
                 hist = read_manifest(root, v)
             except json.JSONDecodeError:
-                continue  # corrupt snapshot: nothing extra to retain
+                # Corrupt snapshot INSIDE the retention window (a
+                # pre-atomic-write crash artifact): keeping the file
+                # would poison every pinned read of that version with
+                # a JSONDecodeError until it ages out of the window —
+                # remove it now, same treatment as the expired ones.
+                os.remove(_manifest_path(root, v))
+                continue
             if hist is not None:
                 live |= {p.split("/", 1)[0] for p in hist["partitions"].values()}
         now = time.time()

@@ -1445,6 +1445,41 @@ def test_versioned_vacuum_tolerates_corrupt_history_manifest(spark, scratch):
     assert not os.path.exists(os.path.join(scratch, "manifest-v1.json"))
 
 
+def test_versioned_vacuum_expires_corrupt_retained_manifest(spark, scratch):
+    """Round-11 self-review: a corrupt history manifest INSIDE the
+    retention window must be expired too — keeping it would poison
+    every pinned read of that version with a JSONDecodeError until it
+    aged out of the window, while the docstring promises broken
+    snapshots are removed. Intact retained snapshots are unaffected."""
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+        vacuum,
+    )
+
+    t0 = "2024-01-01 00:00:00"
+    for val, ing in (
+        (1.0, "2024-01-01 01:00:00"),
+        (2.0, "2024-01-01 02:00:00"),
+        (3.0, "2024-01-01 03:00:00"),
+    ):
+        upsert_observations_versioned(
+            spark,
+            _vs_batch(spark, [("s1", t0, val, ing, int(val))]),
+            scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    with open(os.path.join(scratch, "manifest-v2.json"), "w") as fh:
+        fh.write('{"version": 2, "partiti')  # truncated mid-write
+    vacuum(scratch, retain_last_n=2, min_age_seconds=0)
+    # The corrupt in-window snapshot is gone, not kept as a landmine...
+    assert not os.path.exists(os.path.join(scratch, "manifest-v2.json"))
+    # ...and the current snapshot still reads clean.
+    assert read_observations_versioned(spark, scratch).collect()[0].value == 3.0
+
+
 def test_versioned_upsert_with_retry_lands_both_writers(spark, scratch):
     """VERDICT r10 #4: the Iceberg client loop — a writer fenced by an
     interleaved commit re-reads the new snapshot, re-merges, and its
