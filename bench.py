@@ -166,6 +166,10 @@ SCALE_PROBE_QUERIES = (
     # frozen-quantizer delta absorption: training is a bounded sample,
     # routing is a zero-shuffle scan — should read scan-bound.
     "ann_index_incremental",
+    # pinned-version read after a full-overwrite commit (registered
+    # round 11, 2.2 s at sf0.1): two versioned upserts + one history
+    # snapshot read — should scale like the atomic upsert it wraps.
+    "silver_versioned_time_travel",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

@@ -69,8 +69,10 @@ def _load_all() -> None:
 # anchors stay; rotating IN:
 #   - hourly_pipeline_atomic_e2e — REGISTERED this round (VERDICT r10
 #     #7: the full two-cycle ProcessingTime lifecycle through the
-#     VERSIONED silver store), earning its first driver row in its
-#     own round;
+#     VERSIONED silver store) and silver_versioned_time_travel
+#     (pinned-version read of a superseded snapshot — the history
+#     side of the same commit protocol), each earning its first
+#     driver row in its own round;
 #   - 2 touched-this-round re-certifications:
 #     silver_upsert_atomic_versioned (the commit path moved into
 #     publish_version and vacuum gained retention — results identical
@@ -83,7 +85,7 @@ def _load_all() -> None:
 #     row (last rows-only rows are r9; exact twins remain green and
 #     the ground-truth bounds live in pytest);
 #   - ALL 26 remaining r5-era rows (the stalest anywhere after the
-#     r10 window) plus the 8 alphabetically-first r7-era rows to
+#     r10 window) plus the 7 alphabetically-first r7-era rows to
 #     fill the window. After this window runs, the stalest driver
 #     row anywhere is r7-era.
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -97,8 +99,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_gie_delete_reload",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # -- registered this round: first driver row --
+    # -- registered this round: first driver rows --
     "hourly_pipeline_atomic_e2e",
+    "silver_versioned_time_travel",
     # -- touched this round: re-certification --
     "silver_upsert_atomic_versioned",
     "hourly_pipeline_e2e",
@@ -142,7 +145,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_stats_card",
     "curation_quality_percentile",
     "dedup_prefix_jaccard",
-    "drift_ks_statistic",
 )
 
 

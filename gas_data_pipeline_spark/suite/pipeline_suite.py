@@ -146,6 +146,67 @@ def silver_upsert_atomic_versioned(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "silver_versioned_time_travel",
+    oracle="""
+        SELECT series_id, observation_time, value
+        FROM (
+            SELECT 'NG_EVENTS_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+            WHERE event_id % 2 = 0
+        ) WHERE rn = 1
+    """,
+)
+def silver_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the versioned silver store (pipeline/versioned.py:
+    every commit keeps its manifest as ``manifest-v<N>.json``, so any
+    past snapshot stays readable until vacuumed past retention — the
+    Iceberg ``VERSION AS OF`` contract): commit the even-id half (v1),
+    then the FULL batch (v2, which rewrites every partition v1 touched),
+    then read ``version=1`` back. The pinned read must reproduce the
+    even-half dedup EXACTLY — none of v2's odd-id rows may leak in, and
+    none of v1's rows may be lost to v2's overwrite, because v2's data
+    landed in its own version directory and v1's manifest still points
+    at v1's files (structural sharing cuts the other way too: a v2
+    commit touching NO v1 partition would share v1's directories).
+    The current snapshot is proven separately by
+    silver_upsert_atomic_versioned; this query pins the history side
+    of the same commit protocol."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+
+    def page(df):
+        return df.select(
+            F.concat(
+                F.lit("NG_EVENTS_"), F.col("user_id").cast("string")
+            ).alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+            F.col("value").cast("double").alias("value"),
+            F.col("ts").alias("ingestion_time"),
+            F.col("event_id"),
+        )
+
+    order = ["ingestion_time", "event_id"]
+    upsert_observations_versioned(
+        spark, page(e.filter(F.col("event_id") % 2 == 0)), root, order_cols=order
+    )
+    upsert_observations_versioned(spark, page(e), root, order_cols=order)
+    return read_observations_versioned(spark, root, version=1).select(
+        "series_id", "observation_time", "value"
+    )
+
+
+@register(
     "export_csv_roundtrip",
     oracle="""
         SELECT o_orderkey, o_orderstatus, o_totalprice
