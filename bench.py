@@ -170,6 +170,12 @@ SCALE_PROBE_QUERIES = (
     # round 11, 2.2 s at sf0.1): two versioned upserts + one history
     # snapshot read — should scale like the atomic upsert it wraps.
     "silver_versioned_time_travel",
+    # the lifecycle through the VERSIONED store (registered round 11,
+    # ~8.5 s at sf0.1 — now the most expensive query): same fixed
+    # ProcessingTime overhead as the plain lifecycle plus the
+    # per-cycle manifest commit; the probe's job is the scale term
+    # under that constant.
+    "hourly_pipeline_atomic_e2e",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so
