@@ -198,8 +198,13 @@ def _consolidate_with_row_groups(stage_dir: str, out_path: str) -> int:
     """Merge a Spark-written parquet directory into ONE file whose
     row-group count reflects real scan parallelism: ~64 row groups on
     anything big (>= 256 rows each, so dims stay one group and the
-    footer stays small). Returns the row-group count written."""
-    import pyarrow as pa
+    footer stays small). Returns the row-group count written.
+
+    Streams part files through one ParquetWriter instead of
+    concatenating the whole table in memory (round-11 review: the
+    concat held 8 copies of the biggest table in driver RAM at once —
+    an O(full-table) spike that scales with the probe factor).
+    Row count comes from the footers, so sizing needs no data read."""
     import pyarrow.parquet as pq
 
     parts = sorted(
@@ -207,21 +212,58 @@ def _consolidate_with_row_groups(stage_dir: str, out_path: str) -> int:
         for f in os.listdir(stage_dir)
         if f.endswith(".parquet")
     )
-    data = pa.concat_tables([pq.read_table(p) for p in parts])
-    rg_rows = max(256, -(-data.num_rows // 64))
+    total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+    rg_rows = max(256, -(-total_rows // 64))
     # Spark writes INT96 timestamps by default, which pyarrow reads as
     # ns — and a plain rewrite would emit TIMESTAMP(NANOS), which
     # Spark 4 refuses to read back as `timestamp` (the streaming
     # queries give readStream an explicit micros schema). Coerce to
     # micros: the same ns→us truncation the catalog applies to the
     # base corpus, so values agree.
-    pq.write_table(
-        data,
-        out_path,
-        row_group_size=rg_rows,
-        coerce_timestamps="us",
-        allow_truncated_timestamps=True,
+    import pyarrow as pa
+
+    # Resolve the post-coercion schema once so every chunk written
+    # matches the writer's schema exactly (ns -> us on timestamps).
+    raw_schema = pq.ParquetFile(parts[0]).schema_arrow
+    sink_schema = pa.schema(
+        [
+            (f.name, pa.timestamp("us") if pa.types.is_timestamp(f.type) else f.type)
+            for f in raw_schema
+        ]
     )
+    writer = pq.ParquetWriter(out_path, sink_schema)
+    # Buffer rows ACROSS part boundaries so the row-group grain is
+    # exactly rg_rows regardless of how Spark sharded the stage dir
+    # (a per-part write_table would hand every tiny dim one row group
+    # per part file). Peak memory: one rg_rows-row chunk per table.
+    pending: list = []
+    pending_rows = 0
+
+    def _flush() -> None:
+        nonlocal pending, pending_rows
+        if pending:
+            writer.write_table(pa.concat_tables(pending), row_group_size=rg_rows)
+            pending, pending_rows = [], 0
+
+    try:
+        for p in parts:
+            # safe=False: ns -> us truncates like the old
+            # coerce_timestamps/allow_truncated_timestamps write path
+            # (and like the catalog's read of the base corpus).
+            t = pq.read_table(p, memory_map=True).cast(sink_schema, safe=False)
+            pending.append(t)
+            pending_rows += t.num_rows
+            while pending_rows >= rg_rows:
+                combined = pa.concat_tables(pending)
+                writer.write_table(
+                    combined.slice(0, rg_rows), row_group_size=rg_rows
+                )
+                rest = combined.slice(rg_rows)
+                pending = [rest] if rest.num_rows else []
+                pending_rows = rest.num_rows
+        _flush()
+    finally:
+        writer.close()
     return pq.ParquetFile(out_path).num_row_groups
 
 

@@ -129,11 +129,50 @@ def spread_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = partitions or sc.defaultParallelism
     floor = max(2, target // 2)
-    if df.rdd.getNumPartitions() < floor:
+    nsplits = df.rdd.getNumPartitions()
+    if nsplits < floor:
         return df.repartition(target)
-    if _scan_row_groups(df, floor) < floor:
+    groups = _scan_row_groups(df, floor)
+    if groups is None:
+        # Footers unreadable (no pyarrow driver for this filesystem, an
+        # unhandled scheme, credentials): the true grain is UNKNOWN.
+        # Fail safe toward the repartition only while the shuffle is
+        # provably cheap — the split count bounds the scan bytes from
+        # above (each split <= maxPartitionBytes), so a small
+        # splits*maxPartitionBytes product caps the shuffle cost. Above
+        # the cap, assume the splits are honest: a multi-GB scan is
+        # almost never one coalesced row group, and unconditionally
+        # shuffling it on EVERY query (the failure mode of treating
+        # unreadable as "repartition") costs far more than the rare
+        # under-parallelized hit.
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        )
+        return df.repartition(target) if _cheap_shuffle(nsplits, raw) else df
+    if groups < floor:
         return df.repartition(target)
     return df
+
+
+# The unknown-grain fail-safe budget: a shuffle bounded by this many
+# bytes (splits x maxPartitionBytes upper-bounds the scan) is "free
+# enough" to pay for the chance the footers hide one coalesced row
+# group; anything bigger trusts the split count.
+_UNKNOWN_GRAIN_SHUFFLE_BUDGET = 2 * 1024**3
+
+
+def _cheap_shuffle(nsplits: int, max_partition_bytes: str) -> bool:
+    """True when ``nsplits`` splits of at most ``max_partition_bytes``
+    each (Spark size-string: plain bytes or a k/m/g[b] suffix) fit the
+    unknown-grain shuffle budget."""
+    raw = max_partition_bytes.strip().lower()
+    m = re.match(r"(\d+)", raw)
+    mpb = int(m.group(1)) if m else 128 * 1024**2
+    for suffix, mult in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if raw.rstrip("b").endswith(suffix):
+            mpb *= mult
+            break
+    return nsplits * mpb <= _UNKNOWN_GRAIN_SHUFFLE_BUDGET
 
 
 # Footer results keyed by (path, mtime, size): the gate runs per
@@ -177,22 +216,36 @@ def _row_group_count(uri: str) -> int | None:
         # Hadoop's s3a/s3n schemes are S3 to pyarrow.
         canonical = re.sub(r"^s3[an]://", "s3://", uri)
         filesystem, fpath = pafs.FileSystem.from_uri(canonical)
+        # Remote footers are the EXPENSIVE ones (a network round trip
+        # per parse) — cache them like local files, keyed by the
+        # remote (mtime, size) so an overwritten object re-parses.
+        info = filesystem.get_file_info(fpath)
+        key = (info.mtime, info.size)
+        hit = _FOOTER_CACHE.get(uri)
+        if hit is not None and hit[0] == key:
+            return hit[1]
         with filesystem.open_input_file(fpath) as fh:
-            return pq.ParquetFile(fh).num_row_groups
+            n = pq.ParquetFile(fh).num_row_groups
+        if len(_FOOTER_CACHE) >= _FOOTER_CACHE_CAP:
+            _FOOTER_CACHE.clear()
+        _FOOTER_CACHE[uri] = (key, n)
+        return n
     except Exception:
         return None
 
 
-def _scan_row_groups(df: DataFrame, floor: int) -> int:
+def _scan_row_groups(df: DataFrame, floor: int) -> int | None:
     """Achievable read parallelism of ``df``'s scan: total parquet row
     groups across its input files. Returns ``floor`` (meaning "enough,
     don't repartition") when the check doesn't apply — non-file or
     non-parquet sources, >= floor files (per-file parallelism already
-    suffices). An UNREADABLE footer on a small parquet scan returns 0
-    (repartition): assuming "enough" there re-opens the coarse-row-
-    group hole on exactly the filesystems where the r9 probe flag
-    lived, and the repartition it forces costs one cheap shuffle of a
-    small input (ADVICE r10)."""
+    suffices). Returns ``None`` when a footer is UNREADABLE (no
+    pyarrow driver for the filesystem, unhandled scheme, credentials):
+    the grain is unknown, and the caller decides by shuffle cost —
+    assuming "enough" unconditionally re-opens the coarse-row-group
+    hole exactly where the r9 probe flag lived (ADVICE r10), while
+    assuming "repartition" unconditionally taxes every multi-GB
+    few-file scan with a full shuffle per query."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -210,6 +263,6 @@ def _scan_row_groups(df: DataFrame, floor: int) -> int:
     for f in files:
         n = _row_group_count(f)
         if n is None:
-            return 0
+            return None
         total += n
     return total

@@ -323,6 +323,12 @@ def vacuum(
     snapshot."""
     import time
 
+    # No committed store under root: nothing to reclaim — and do NOT
+    # take (or create) the commit lock first, which would plant a stray
+    # .commit.lock in a directory vacuum was only asked to inspect and
+    # raise FileNotFoundError on a root that doesn't exist at all.
+    if not os.path.exists(_manifest_path(root)):
+        return []
     with _commit_lock(root):
         m = read_manifest(root)
         if m is None:
@@ -333,6 +339,18 @@ def vacuum(
             for entry in os.listdir(root)
             if (hm := hpat.match(entry)) and int(hm.group(1)) != m["version"]
         )
+        # A history manifest numbered ABOVE the live version is a
+        # crashed commit's orphan: _commit_manifest writes the history
+        # snapshot BEFORE the live manifest, so a crash between the two
+        # leaves manifest-v<N+1>.json with the table still at v<N>.
+        # It must not occupy a retention slot (with retain_last_n=2 a
+        # phantom v5 would evict the REAL previous snapshot v3 from the
+        # window and let its dirs be reclaimed under a pinned reader) —
+        # expire it like any other broken snapshot.
+        orphans = [v for v in hist_versions if v > m["version"]]
+        hist_versions = [v for v in hist_versions if v < m["version"]]
+        for v in orphans:
+            os.remove(_manifest_path(root, v))
         retained = hist_versions[len(hist_versions) - (retain_last_n - 1):] if (
             retain_last_n > 1
         ) else []
@@ -340,7 +358,7 @@ def vacuum(
         for v in retained:
             try:
                 hist = read_manifest(root, v)
-            except json.JSONDecodeError:
+            except (ValueError, OSError):
                 # Corrupt snapshot INSIDE the retention window (a
                 # pre-atomic-write crash artifact): keeping the file
                 # would poison every pinned read of that version with

@@ -736,6 +736,41 @@ def value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_part_name_pairs(spark: SparkSession, sf_dir: str, cols) -> DataFrame:
+    """The shared blocked-fuzzy-match kernel for the part table:
+    candidate pairs blocked on (brand, size), verified by Levenshtein
+    with two LOSSLESS cheapeners (round 11, after the 8x probe flagged
+    entity_resolution_e2e) — a length band in the join condition
+    (lev(a,b) >= |Δlen|, so |Δlen| > 8 pairs can never pass and cost
+    one subtraction instead of a DP) and THRESHOLDED
+    ``levenshtein(a, b, 8)`` (returns -1 above the bound; the
+    early-abandon DP touches only a 2k+1 diagonal band: O(len·k)
+    instead of O(len²) per surviving pair). One definition so the
+    "identical pair set" invariant between fuzzy_part_name_pairs and
+    entity_resolution_e2e cannot silently diverge when the band or
+    threshold is tuned. ``edit_distance`` is available to callers;
+    ``cols`` picks the output shape."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 8
+            ),
+        )
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 8).cast("bigint"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+        .select(*cols)
+    )
+
+
 @register(
     "fuzzy_part_name_pairs",
     oracle="""
@@ -754,37 +789,18 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH dedup, but with an exact Levenshtein verifier (JVM built-in,
     codegen'd; never a Python UDF). Blocking keeps the join quadratic
     only within blocks; at 100 TB the block key is the shuffle key, so
-    skewed blocks would be salted exactly like salted_skew_aggregate."""
-    p = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
-    a, b = p.alias("a"), p.alias("b")
-    # Two lossless verifier cheapeners (round 11, after the 8x probe
-    # flagged the sibling entity_resolution_e2e): a length band in the
-    # join condition — lev(a,b) >= |len(a)-len(b)|, so |Δlen| > 8
-    # pairs can never pass and cost one subtraction instead of a DP —
-    # and THRESHOLDED Levenshtein (returns -1 above the bound), whose
-    # early-abandon DP touches only a 2k+1 diagonal band: O(len·k)
-    # instead of O(len²) per surviving pair. Identical pair set.
-    return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & (
-                F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 8
-            ),
-        )
-        .withColumn(
-            "edit_distance",
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 8).cast("bigint"),
-        )
-        .filter(F.col("edit_distance") >= 0)
-        .select(
+    skewed blocks would be salted exactly like salted_skew_aggregate.
+    Verifier kernel shared with entity_resolution_e2e — see
+    :func:`_banded_part_name_pairs`."""
+    return _banded_part_name_pairs(
+        spark,
+        sf_dir,
+        [
             F.col("a.p_partkey").alias("partkey_a"),
             F.col("b.p_partkey").alias("partkey_b"),
             F.col("a.p_brand").alias("brand"),
-            "edit_distance",
-        )
+            F.col("edit_distance"),
+        ],
     )
 
 
@@ -1957,26 +1973,16 @@ def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"
     )
-    a, b = p.alias("a"), p.alias("b")
-    # Length band + thresholded Levenshtein: lossless (lev >= |Δlen|,
-    # and the bounded DP returns -1 above 8), ~O(len·k) per pair
-    # instead of O(len²) — see fuzzy_part_name_pairs.
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & (
-                F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 8
-            ),
-        )
-        .filter(
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 8) >= 0
-        )
-        .select(
-            F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
-        )
+    # Length band + thresholded Levenshtein (lossless, O(len·k) per
+    # pair) — ONE definition shared with fuzzy_part_name_pairs, see
+    # :func:`_banded_part_name_pairs`.
+    pairs = _banded_part_name_pairs(
+        spark,
+        sf_dir,
+        [
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+        ],
     )
     labels = connected_components(pairs, "id_a", "id_b")
     labeled = (

@@ -1480,6 +1480,94 @@ def test_versioned_vacuum_expires_corrupt_retained_manifest(spark, scratch):
     assert read_observations_versioned(spark, scratch).collect()[0].value == 3.0
 
 
+def test_versioned_vacuum_phantom_future_manifest_not_retained(spark, scratch):
+    """Round-11 review: _commit_manifest writes manifest-v<N>.json
+    BEFORE the live manifest, so a crash between the two leaves an
+    orphan history manifest numbered ABOVE the live version. It must
+    not occupy a retention slot — with retain_last_n=2 a phantom v5
+    would evict the REAL previous snapshot from the window and let a
+    pinned reader's dirs be reclaimed. The phantom is expired; the
+    real previous snapshot stays readable."""
+    import json
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+        vacuum,
+    )
+
+    t0 = "2024-01-01 00:00:00"
+    for val, ing in ((1.0, "2024-01-01 01:00:00"), (2.0, "2024-01-01 02:00:00")):
+        upsert_observations_versioned(
+            spark,
+            _vs_batch(spark, [("s1", t0, val, ing, int(val))]),
+            scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    # Simulate the crashed commit: a well-formed history manifest for
+    # a version the table never reached (live is still v2).
+    with open(os.path.join(scratch, "manifest-v5.json"), "w") as fh:
+        json.dump({"version": 5, "partitions": {}}, fh)
+    vacuum(scratch, retain_last_n=2, min_age_seconds=0)
+    assert not os.path.exists(os.path.join(scratch, "manifest-v5.json"))
+    # v1 (the genuine previous snapshot) kept its slot and its dirs.
+    assert os.path.exists(os.path.join(scratch, "manifest-v1.json"))
+    assert read_observations_versioned(spark, scratch, version=1).collect()[
+        0
+    ].value == 1.0
+
+
+def test_versioned_vacuum_tolerates_non_utf8_manifest(spark, scratch):
+    """Round-11 review: disk corruption is not always truncation — a
+    retained history manifest with invalid UTF-8 raises
+    UnicodeDecodeError (a ValueError, NOT json.JSONDecodeError) from
+    the text-mode read; vacuum must expire it like any other broken
+    snapshot instead of becoming unrunnable."""
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        upsert_observations_versioned,
+        vacuum,
+    )
+
+    t0 = "2024-01-01 00:00:00"
+    for val, ing in (
+        (1.0, "2024-01-01 01:00:00"),
+        (2.0, "2024-01-01 02:00:00"),
+        (3.0, "2024-01-01 03:00:00"),
+    ):
+        upsert_observations_versioned(
+            spark,
+            _vs_batch(spark, [("s1", t0, val, ing, int(val))]),
+            scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    with open(os.path.join(scratch, "manifest-v2.json"), "wb") as fh:
+        fh.write(b'{"version": 2, \xff\xfe garbage')  # invalid UTF-8
+    vacuum(scratch, retain_last_n=2, min_age_seconds=0)
+    assert not os.path.exists(os.path.join(scratch, "manifest-v2.json"))
+
+
+def test_versioned_vacuum_noop_without_a_store(tmp_path):
+    """Round-11 review: vacuum on a root with no committed store (or
+    no directory at all) is a no-op returning [] — it must not plant a
+    stray .commit.lock in a directory it was only asked to inspect,
+    and must not raise on a nonexistent root (the original code did
+    both once the lock moved ahead of the manifest read)."""
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import vacuum
+
+    missing = str(tmp_path / "never_created")
+    assert vacuum(missing) == []
+    assert not os.path.exists(missing)
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    assert vacuum(empty) == []
+    assert os.listdir(empty) == []
+
+
 def test_versioned_upsert_with_retry_lands_both_writers(spark, scratch):
     """VERDICT r10 #4: the Iceberg client loop — a writer fenced by an
     interleaved commit re-reads the new snapshot, re-merges, and its

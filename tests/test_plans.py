@@ -704,23 +704,42 @@ def test_versioned_upsert_is_single_exchange(spark, tmp_path):
     assert plan.count("Exchange") == 1, plan
 
 
-def test_scan_row_groups_unreadable_footer_forces_repartition(spark, tmp_path, monkeypatch):
-    """ADVICE r10: on filesystems where footers can't be opened the
-    old code answered 'enough parallelism' — exactly where the coarse-
-    row-group hole lives on real clusters. Unreadable now means 0
-    (repartition), and the cheap shuffle only ever applies to small
-    scans (the >= floor-files short-circuit still wins at scale)."""
+def test_scan_row_groups_unreadable_footer_bounded_failsafe(spark, tmp_path, monkeypatch):
+    """ADVICE r10 + round-11 review: on filesystems where footers
+    can't be opened the original code answered 'enough parallelism' —
+    exactly where the coarse-row-group hole lives on real clusters —
+    and the first fix over-corrected to an UNCONDITIONAL repartition,
+    taxing every multi-GB few-file scan with a full shuffle per query.
+    Unreadable now means UNKNOWN (None), and the caller repartitions
+    only while splits x maxPartitionBytes bounds the shuffle under the
+    budget; bigger scans trust their split counts."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from gas_data_pipeline_spark import catalog
 
     p = str(tmp_path / "t.parquet")
-    pq.write_table(pa.table({"v": list(range(10_000))}), p)
+    pq.write_table(
+        pa.table({"v": list(range(200_000))}), p, row_group_size=25_000
+    )
     df = spark.read.parquet(p)
     monkeypatch.setattr(catalog, "_row_group_count", lambda uri: None)
-    assert catalog._scan_row_groups(df, floor=16) == 0
-    assert catalog.spread_scan(df, partitions=8) is not df
+    assert catalog._scan_row_groups(df, floor=16) is None
+    # Small scan (bytes bounded under the budget): fail-safe fires.
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        df_small = spark.read.parquet(p)
+        assert catalog.spread_scan(df_small, partitions=8) is not df_small
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # The budget decision itself, both sides of the line (the >2 GiB
+    # branch can't be materialized with a test-sized file):
+    assert catalog._cheap_shuffle(16, "134217728b")          # 2 GiB: in
+    assert not catalog._cheap_shuffle(17, "134217728b")      # over: out
+    assert not catalog._cheap_shuffle(1000, "4m")            # 4 GB: out
+    assert catalog._cheap_shuffle(100, "64k")                # 6.4 MB: in
+    assert not catalog._cheap_shuffle(3, "1gb")              # 3 GiB: out
 
 
 def test_row_group_footer_cache_hits_and_invalidates(tmp_path):
