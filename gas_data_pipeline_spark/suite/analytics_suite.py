@@ -674,33 +674,62 @@ def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands: runs of consecutive active days per user via
-    the day-minus-row_number grouping trick (each island maps to a
-    constant). Distinct-days first shrinks the window input to at most
-    users x days rows; the row_number window and both aggregates all
-    partition on user_id, so one exchange serves the whole plan.
-    Complements sessionize_events (timestamp-gap sessions) with
-    calendar-grain streaks."""
-    from pyspark.sql.window import Window
-
+    """Gaps-and-islands: runs of consecutive active days per user, in
+    ONE exchange. ``collect_set(day)`` partial-aggregates map-side (the
+    dedup happens before the shuffle, so repeated same-day events never
+    travel), the single exchange is on user_id, and the island split is
+    a JVM-side higher-order fold over the sorted day array: positions
+    where day[i-1]+1 != day[i] start a new streak; each start pairs
+    with the next start to bound its island. Per-user state is bounded
+    by calendar span (days, not events), so the array is safe at any
+    event volume. Replaces the r2-era two-exchange plan (distinct on
+    (user, day), then a row_number window on user). Complements
+    sessionize_events (timestamp-gap sessions) with calendar-grain
+    streaks."""
     ev = table(spark, sf_dir, "events")
-    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    g = d.withColumn(
-        "grp",
-        F.datediff("day", F.lit("1970-01-01").cast("date"))
-        - F.row_number().over(w),
+    days = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set(F.to_date("ts"))).alias("days")
     )
-    return (
-        g.groupBy("user_id", "grp")
-        .agg(
-            F.min("day").cast("timestamp").alias("streak_start"),
-            F.max("day").cast("timestamp").alias("streak_end"),
-            F.count(F.lit(1)).alias("streak_days"),
-        )
-        .filter(F.col("streak_days") >= 2)
-        .select("user_id", "streak_start", "streak_end", "streak_days")
+    d = F.col("days")
+    # 1-based positions that begin an island (first day, or a gap > 1
+    # behind it). element_at is 1-based; i-1 >= 1 whenever i >= 2.
+    # Materialized as a column so the transform below reads it once per
+    # row instead of re-evaluating the filter inline at every use.
+    days = days.withColumn(
+        "starts",
+        F.filter(
+            F.sequence(F.lit(1), F.size(d)),
+            lambda i: (i == 1)
+            | (F.datediff(F.element_at(d, i), F.element_at(d, i - 1)) != 1),
+        ),
     )
+    starts = F.col("starts")
+    # Island j spans positions [starts[j], starts[j+1] - 1] (last island
+    # runs to the end of the array).
+    streaks = F.transform(
+        starts,
+        lambda s, j: F.struct(
+            F.element_at(d, s).cast("timestamp").alias("streak_start"),
+            F.element_at(
+                d,
+                F.when(
+                    j + 2 <= F.size(starts),
+                    F.element_at(starts, (j + 2).cast("int")) - 1,
+                )
+                .otherwise(F.size(d))
+                .cast("int"),
+            ).cast("timestamp").alias("streak_end"),
+        ),
+    )
+    out = days.select("user_id", F.explode(streaks).alias("s")).select(
+        "user_id",
+        F.col("s.streak_start"),
+        F.col("s.streak_end"),
+        (F.datediff("s.streak_end", "s.streak_start") + 1)
+        .cast("bigint")
+        .alias("streak_days"),
+    )
+    return out.filter(F.col("streak_days") >= 2)
 
 
 @register(

@@ -283,6 +283,19 @@ def test_scd2_single_key_exchange(spark):
     assert "Window" in plan
 
 
+def test_event_day_streaks_single_exchange_no_window(spark):
+    """Gaps-and-islands in ONE exchange: collect_set(day) dedups
+    map-side (partial_collect_set before the shuffle), the island
+    split is a higher-order fold over the per-user sorted day array —
+    no row_number window, no second keyed exchange. The r2-era plan
+    paid two (distinct on (user, day), then a window on user)."""
+    plan = _plan(spark, "event_day_streaks")
+    assert plan.count("Exchange") == 1
+    assert "partial_collect_set" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
 def test_pagination_is_take_ordered_with_offset(spark):
     """VERDICT r2 #3: LIMIT/OFFSET pagination must plan as
     TakeOrderedAndProject (distributed partial top-k, bounded by
