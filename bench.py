@@ -170,6 +170,12 @@ SCALE_PROBE_QUERIES = (
     # round 11, 2.2 s at sf0.1): two versioned upserts + one history
     # snapshot read — should scale like the atomic upsert it wraps.
     "silver_versioned_time_travel",
+    # changelog/CDC read between snapshots (registered round 11):
+    # three versioned commits plus two manifest-pruned diffs — the
+    # second diff's claim is the scale story (only the one churned
+    # partition is listed or read), so the whole query should scale
+    # like the upserts that feed it, never like a full-table diff.
+    "silver_versioned_changelog",
     # the lifecycle through the VERSIONED store (registered round 11,
     # ~8.5 s at sf0.1 — now the most expensive query): same fixed
     # ProcessingTime overhead as the plain lifecycle plus the

@@ -85,9 +85,12 @@ def _load_all() -> None:
 #     row (last rows-only rows are r9; exact twins remain green and
 #     the ground-truth bounds live in pytest);
 #   - ALL 26 remaining r5-era rows (the stalest anywhere after the
-#     r10 window) plus the 7 alphabetically-first r7-era rows to
-#     fill the window. After this window runs, the stalest driver
-#     row anywhere is r7-era.
+#     r10 window) plus the 6 alphabetically-first r7-era rows to
+#     fill the window (a 7th, dedup_prefix_jaccard, yielded its slot
+#     to silver_versioned_changelog — the changelog/CDC read on the
+#     versioned store, registered later in round 11, so it too earns
+#     its first driver row in its own round). After this window runs,
+#     the stalest driver row anywhere is r7-era.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
@@ -102,6 +105,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- registered this round: first driver rows --
     "hourly_pipeline_atomic_e2e",
     "silver_versioned_time_travel",
+    "silver_versioned_changelog",
     # -- touched this round: re-certification --
     "silver_upsert_atomic_versioned",
     "hourly_pipeline_e2e",
@@ -144,7 +148,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_vocab_after_merges",
     "corpus_stats_card",
     "curation_quality_percentile",
-    "dedup_prefix_jaccard",
 )
 
 

@@ -207,6 +207,137 @@ def silver_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "silver_versioned_changelog",
+    oracle="""
+        WITH page AS (
+            SELECT 'NG_EVENTS_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   ts AS ingestion_time,
+                   event_id
+            FROM events
+        ),
+        v1 AS (
+            SELECT * FROM (
+                SELECT p.*, row_number() OVER (
+                           PARTITION BY series_id, observation_time
+                           ORDER BY ingestion_time DESC, event_id DESC
+                       ) AS rn
+                FROM page p WHERE event_id % 2 = 0
+            ) WHERE rn = 1
+        ),
+        v2 AS (
+            SELECT * FROM (
+                SELECT p.*, row_number() OVER (
+                           PARTITION BY series_id, observation_time
+                           ORDER BY ingestion_time DESC, event_id DESC
+                       ) AS rn
+                FROM page p
+            ) WHERE rn = 1
+        ),
+        leg1 AS (
+            SELECT CAST(1 AS BIGINT) AS from_version,
+                   COALESCE(o.series_id, n.series_id) AS series_id,
+                   COALESCE(o.observation_time, n.observation_time)
+                       AS observation_time,
+                   CASE WHEN o.event_id IS NULL THEN 'insert'
+                        WHEN n.event_id IS NULL THEN 'delete'
+                        ELSE 'update' END AS change_type,
+                   CASE WHEN o.event_id IS NULL OR n.event_id IS NULL
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(
+                            (CASE WHEN o.value IS DISTINCT FROM n.value
+                                  THEN 1 ELSE 0 END)
+                          + (CASE WHEN o.ingestion_time IS DISTINCT FROM
+                                       n.ingestion_time THEN 1 ELSE 0 END)
+                          + (CASE WHEN o.event_id IS DISTINCT FROM n.event_id
+                                  THEN 1 ELSE 0 END)
+                          + (CASE WHEN CAST(o.observation_time AS DATE)
+                                       IS DISTINCT FROM
+                                       CAST(n.observation_time AS DATE)
+                                  THEN 1 ELSE 0 END)
+                        AS BIGINT) END AS n_changed_cols
+            FROM v1 o
+            FULL OUTER JOIN v2 n
+              ON o.series_id = n.series_id
+             AND o.observation_time = n.observation_time
+            WHERE o.event_id IS NULL OR n.event_id IS NULL
+               OR o.value IS DISTINCT FROM n.value
+               OR o.ingestion_time IS DISTINCT FROM n.ingestion_time
+               OR o.event_id IS DISTINCT FROM n.event_id
+        ),
+        leg2 AS (
+            SELECT CAST(2 AS BIGINT) AS from_version,
+                   series_id, observation_time,
+                   'update' AS change_type,
+                   CAST(1 AS BIGINT) AS n_changed_cols
+            FROM v2
+            WHERE CAST(observation_time AS DATE) =
+                  (SELECT min(CAST(ts AS DATE)) FROM events)
+        )
+        SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+    """,
+)
+def silver_versioned_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog (CDC) read on the versioned silver store — Iceberg's
+    incremental scan built on the manifests the store already keeps
+    (pipeline/versioned.py:changelog_versioned). Three commits: v1 =
+    the even-id half, v2 = the full batch, v3 = ONLY the earliest
+    date's rows with their values bumped. Leg 1 (v1 -> v2) derives the
+    insert/update feed of the full-batch overwrite; leg 2 (v2 -> v3)
+    is the scale story: the manifests agree on every partition except
+    the bumped date, so the changelog prunes to that single partition
+    at the METADATA level — at 100 TB an hourly commit's changelog
+    reads the churned dates, never the table (the skip is pinned by
+    inputFiles in tests/test_pipeline.py). Row diff = one full-outer
+    key join per leg over the churned subset only
+    (pipeline/diff.snapshot_diff)."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        changelog_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+
+    def page(df):
+        return df.select(
+            F.concat(
+                F.lit("NG_EVENTS_"), F.col("user_id").cast("string")
+            ).alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+            F.col("value").cast("double").alias("value"),
+            F.col("ts").alias("ingestion_time"),
+            F.col("event_id"),
+        )
+
+    order = ["ingestion_time", "event_id"]
+    upsert_observations_versioned(
+        spark, page(e.filter(F.col("event_id") % 2 == 0)), root, order_cols=order
+    )
+    upsert_observations_versioned(spark, page(e), root, order_cols=order)
+    # v3 touches exactly one partition: the earliest date, values
+    # bumped so every winner row changes in place. The min is a
+    # metadata-sized scalar (one aggregate row), not a data collect.
+    min_day = e.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    bumped = page(e.filter(F.to_date("ts") == F.lit(min_day))).withColumn(
+        "value", F.col("value") + F.lit(100.0)
+    )
+    upsert_observations_versioned(spark, bumped, root, order_cols=order)
+
+    def leg(from_v, to_v):
+        return changelog_versioned(spark, root, from_v, to_v).select(
+            F.lit(from_v).cast("bigint").alias("from_version"),
+            "series_id",
+            "observation_time",
+            "change_type",
+            "n_changed_cols",
+        )
+
+    return leg(1, 2).unionByName(leg(2, 3))
+
+
+@register(
     "export_csv_roundtrip",
     oracle="""
         SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -1182,6 +1182,91 @@ def test_versioned_structural_sharing_and_pruning(spark, scratch):
     assert [(r.series_id, r.value) for r in pruned] == [("s1", 20.0)]
 
 
+def test_versioned_changelog_reads_only_churned_partitions(spark, scratch):
+    """Changelog between snapshots prunes at the MANIFEST level: a
+    partition whose entry is identical in both versions is structurally
+    shared (same immutable dir) and must never be listed or read — the
+    Iceberg incremental-scan contract. Only the churned date's files
+    may appear among the scan's input files."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        changelog_versioned,
+        upsert_observations_versioned,
+    )
+
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    up(
+        _vs_batch(
+            spark,
+            [
+                ("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1),
+                ("s2", "2024-01-02 00:00:00", 2.0, "2024-01-02 01:00:00", 2),
+            ],
+        )
+    )
+    # v2 touches only 2024-01-01: one in-place update, one new key.
+    up(
+        _vs_batch(
+            spark,
+            [
+                ("s1", "2024-01-01 00:00:00", 5.0, "2024-01-01 02:00:00", 3),
+                ("s3", "2024-01-01 06:00:00", 7.0, "2024-01-01 02:00:00", 4),
+            ],
+        )
+    )
+    cl = changelog_versioned(spark, scratch, 1, 2)
+    rows = {(r.series_id, r.change_type, r.n_changed_cols) for r in cl.collect()}
+    # s1: value, ingestion_time, event_id moved (obs_date did not) -> 3.
+    assert rows == {("s1", "update", 3), ("s3", "insert", 0)}
+    files = cl.inputFiles()
+    assert files and all("__pdate=2024-01-01" in f for f in files)
+    # The untouched 2024-01-02 partition never enters the scan.
+    assert not any("__pdate=2024-01-02" in f for f in files)
+
+
+def test_versioned_changelog_empty_current_and_missing(spark, scratch):
+    """Identical versions produce an empty changelog (schema intact),
+    to_version=None resolves the current snapshot, and a missing or
+    vacuumed version fails like a pinned time-travel read."""
+    import pytest as _pytest
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        changelog_versioned,
+        upsert_observations_versioned,
+    )
+
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1)]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [("s1", "2024-01-01 00:00:00", 2.0, "2024-01-01 02:00:00", 2)]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    empty = changelog_versioned(spark, scratch, 2, 2)
+    assert empty.count() == 0
+    assert set(empty.columns) == {
+        "series_id",
+        "observation_time",
+        "change_type",
+        "n_changed_cols",
+    }
+    explicit = {
+        (r.series_id, r.change_type) for r in changelog_versioned(spark, scratch, 1, 2).collect()
+    }
+    current = {
+        (r.series_id, r.change_type) for r in changelog_versioned(spark, scratch, 1).collect()
+    }
+    assert explicit == current == {("s1", "update")}
+    with _pytest.raises(FileNotFoundError):
+        changelog_versioned(spark, scratch, 1, 99)
+
+
 def test_versioned_vacuum_keeps_referenced_versions(spark, scratch):
     """vacuum deletes only version dirs no current-manifest entry
     references; a partially-superseded version survives."""
