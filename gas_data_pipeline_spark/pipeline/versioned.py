@@ -121,7 +121,9 @@ def _commit_manifest(root: str, manifest: dict) -> None:
     _write_atomic(_manifest_path(root), manifest)
 
 
-def publish_version(root: str, version: int, partitions: dict) -> dict:
+def publish_version(
+    root: str, version: int, partitions: dict, schema: dict | None = None
+) -> dict:
     """The commit protocol, isolated from the merge: fence-read +
     atomic publish under ONE exclusive flock. A writer that merged
     against a stale snapshot is refused (``ConcurrentCommitError``) —
@@ -145,8 +147,38 @@ def publish_version(root: str, version: int, partitions: dict) -> dict:
                 "snapshot"
             )
         manifest = {"version": version, "partitions": partitions}
+        if schema is not None:
+            manifest["schema"] = schema
         _commit_manifest(root, manifest)
     return manifest
+
+
+def _evolve_schema(prev: dict | None, written) -> dict:
+    """Manifest-level schema evolution (the Iceberg shape): the
+    committed snapshot's schema is the PREVIOUS manifest schema plus
+    any fields this commit's written data added, by name. It must be
+    metadata, not whatever file a multi-directory scan happens to list
+    first: structural sharing mixes version directories in one read,
+    and without a declared schema a commit that ADDS a column silently
+    loses it whenever the scan's schema anchor is an older shared
+    partition (found by round-11 self-review; pinned by
+    test_versioned_schema_evolution_*). On a name collision with a
+    differing type the NEW field wins — the merge's unionByName
+    already computed that promotion for the written files, and Spark
+    4's parquet reader widens old files to the promoted type
+    (int->long, float->double) at scan time.
+
+    Returns the evolved schema as a JSON-able dict
+    (``StructType.jsonValue``); ``written`` is the DataFrame whose
+    files landed in this version's directory."""
+    new_fields = [
+        f for f in written.schema.jsonValue()["fields"] if f["name"] != _PDATE
+    ]
+    if prev is None:
+        return {"type": "struct", "fields": new_fields}
+    by_name = {f["name"]: f for f in new_fields}
+    merged = [by_name.pop(f["name"], f) for f in prev["fields"]]
+    return {"type": "struct", "fields": merged + list(by_name.values())}
 
 
 def upsert_observations_versioned(
@@ -199,16 +231,14 @@ def upsert_observations_versioned(
         w = Window.partitionBy(PARTITION_COL, *KEYS).orderBy(
             *[F.col(c).desc() for c in ("__prio", *order_cols)]
         )
-        (
+        final = (
             merged.repartition(F.col(PARTITION_COL))
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__prio")
             .withColumn(_PDATE, F.col(PARTITION_COL).cast("string"))
-            .write.mode("overwrite")
-            .partitionBy(_PDATE)
-            .parquet(vdir)
         )
+        final.write.mode("overwrite").partitionBy(_PDATE).parquet(vdir)
         # Audit before publish: every affected partition the merge
         # produced must exist on disk (an empty merge result for a
         # date means the date vanished — point its entry nowhere).
@@ -221,7 +251,10 @@ def upsert_observations_versioned(
         # Optimistic-concurrency fence (Iceberg's CAS, single-node
         # form) — see :func:`publish_version`. Single-writer
         # deployments never contend here.
-        return publish_version(root, version, partitions)
+        schema = _evolve_schema(
+            current.get("schema") if current else None, final
+        )
+        return publish_version(root, version, partitions, schema=schema)
     finally:
         cached.unpersist()
 
@@ -265,6 +298,19 @@ def read_observations_versioned(
     m = read_manifest(root, version)
     if m is None or not m["partitions"]:
         raise FileNotFoundError(f"no committed snapshot under {root}")
+    # The snapshot's DECLARED schema (manifest metadata, evolved at
+    # commit), applied to the scan: structural sharing mixes version
+    # directories with different file schemas in one read, and without
+    # this a column added by a later commit silently vanishes whenever
+    # the scan anchors its schema on an older shared partition. Files
+    # that predate an added column yield nulls for it — standard
+    # parquet missing-column semantics. Pre-schema manifests (older
+    # stores) fall back to the file-anchored read.
+    reader = spark.read
+    if m.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
     items = sorted(m["partitions"].items())
     if start is not None:
         items = [(d, p) for d, p in items if d >= str(start)[:10]]
@@ -272,10 +318,10 @@ def read_observations_versioned(
         items = [(d, p) for d, p in items if d <= str(end)[:10]]
     if not items:
         return (
-            spark.read.parquet(os.path.join(root, next(iter(m["partitions"].values()))))
+            reader.parquet(os.path.join(root, next(iter(m["partitions"].values()))))
             .limit(0)
         )
-    df = spark.read.parquet(*[os.path.join(root, p) for _, p in items])
+    df = reader.parquet(*[os.path.join(root, p) for _, p in items])
     out = df
     if start is not None:
         out = out.filter(F.col("observation_time") >= start)
@@ -320,19 +366,34 @@ def changelog_versioned(
             "never published)"
         )
     po, pn = old_m["partitions"], new_m["partitions"]
+    if not (po or pn):
+        # Both snapshots empty (an empty first batch commits a
+        # partitionless manifest): there is no anchor file to borrow a
+        # schema from — fail like a read of an empty store would.
+        raise FileNotFoundError(f"no data partitions under {root}")
     churned = sorted(d for d in set(po) | set(pn) if po.get(d) != pn.get(d))
 
-    def _side(parts: dict) -> DataFrame:
+    def _side(m: dict) -> DataFrame:
+        # Each side reads under its OWN snapshot's declared schema
+        # (when present): a side's churned dirs can span several older
+        # versions with different file schemas, and the diff's column
+        # resolution must not depend on which file anchors the scan.
+        reader = spark.read
+        if m.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        parts = m["partitions"]
         paths = [os.path.join(root, parts[d]) for d in churned if d in parts]
         if paths:
-            return spark.read.parquet(*paths)
+            return reader.parquet(*paths)
         # No churned partition on this side (pure inserts/deletes, or
         # an empty changelog): an empty frame with the store schema so
         # the diff's column resolution still works.
         anchor = next(iter((pn or po).values()))
-        return spark.read.parquet(os.path.join(root, anchor)).limit(0)
+        return reader.parquet(os.path.join(root, anchor)).limit(0)
 
-    return snapshot_diff(_side(po), _side(pn), keys=list(KEYS))
+    return snapshot_diff(_side(old_m), _side(new_m), keys=list(KEYS))
 
 
 def vacuum(

@@ -1182,6 +1182,53 @@ def test_versioned_structural_sharing_and_pruning(spark, scratch):
     assert [(r.series_id, r.value) for r in pruned] == [("s1", 20.0)]
 
 
+def test_versioned_schema_evolution_added_column_survives_sharing(spark, scratch):
+    """A commit that ADDS a column must keep it visible in every later
+    read, even though structural sharing mixes old-schema and
+    new-schema version directories in one scan (round-11 self-review:
+    the scan anchored its schema on whichever file listed first, so
+    the added column silently vanished whenever an older shared
+    partition won). The snapshot's schema is manifest metadata now:
+    old files yield nulls for the added column, the pinned v1 read
+    keeps v1's own schema, and a later commit WITHOUT the column must
+    not un-evolve it."""
+    from pyspark.sql import functions as F
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    up(_vs_batch(spark, [("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1)]))
+    # v2 adds quality_flag and touches a DIFFERENT date, so v1's
+    # partition is shared into the v2 snapshot unrewritten.
+    up(
+        _vs_batch(
+            spark, [("s2", "2024-02-01 00:00:00", 2.0, "2024-02-01 01:00:00", 2)]
+        ).withColumn("quality_flag", F.lit("good"))
+    )
+    cur = read_observations_versioned(spark, scratch)
+    assert "quality_flag" in cur.columns
+    got = {(r.series_id, r.quality_flag) for r in cur.collect()}
+    assert got == {("s1", None), ("s2", "good")}
+    # The pinned v1 snapshot replays v1's OWN schema — no column from
+    # the future.
+    assert "quality_flag" not in read_observations_versioned(
+        spark, scratch, version=1
+    ).columns
+    # v3 without the column (a third date): the table schema stays
+    # evolved — schema evolution is monotone across commits that
+    # simply don't mention the column.
+    up(_vs_batch(spark, [("s3", "2024-03-01 00:00:00", 3.0, "2024-03-01 01:00:00", 3)]))
+    v3 = read_observations_versioned(spark, scratch)
+    assert "quality_flag" in v3.columns
+    got = {(r.series_id, r.quality_flag) for r in v3.collect()}
+    assert got == {("s1", None), ("s2", "good"), ("s3", None)}
+
+
 def test_versioned_changelog_reads_only_churned_partitions(spark, scratch):
     """Changelog between snapshots prunes at the MANIFEST level: a
     partition whose entry is identical in both versions is structurally
@@ -1265,6 +1312,31 @@ def test_versioned_changelog_empty_current_and_missing(spark, scratch):
     assert explicit == current == {("s1", "update")}
     with _pytest.raises(FileNotFoundError):
         changelog_versioned(spark, scratch, 1, 99)
+
+
+def test_versioned_changelog_empty_store_raises(spark, scratch):
+    """An empty FIRST batch commits a partitionless manifest; a
+    changelog over two such snapshots has no anchor file to borrow a
+    schema from and must fail like a read of an empty store — not
+    with a bare StopIteration."""
+    import pytest as _pytest
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        changelog_versioned,
+        upsert_observations_versioned,
+    )
+
+    empty = _vs_batch(
+        spark, [("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1)]
+    ).limit(0)
+    upsert_observations_versioned(
+        spark, empty, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    upsert_observations_versioned(
+        spark, empty, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    with _pytest.raises(FileNotFoundError):
+        changelog_versioned(spark, scratch, 1, 2)
 
 
 def test_versioned_vacuum_keeps_referenced_versions(spark, scratch):
