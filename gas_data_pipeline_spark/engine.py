@@ -179,14 +179,19 @@ class GasDataEngine:
                 keys=["series_id"],
             )
             # SNK2 — idempotent last-write-wins upsert (atomic
-            # manifest-commit variant when configured).
+            # manifest-commit variant when configured). The atomic
+            # path goes through the client retry loop: a scheduler
+            # cycle fenced by a concurrent committer re-reads the new
+            # snapshot and re-merges instead of failing the whole
+            # ingest (the raw upsert raises — correct for callers that
+            # manage their own retry, wrong as the engine default).
             if self.atomic_silver:
                 from gas_data_pipeline_spark.pipeline.versioned import (
-                    upsert_observations_versioned,
+                    upsert_with_retry,
                 )
 
                 f_obs = pool.submit(
-                    upsert_observations_versioned,
+                    upsert_with_retry,
                     self.spark,
                     observations,
                     self.obs_path,

@@ -16,6 +16,13 @@ At 100 TB step 2 never touches unaffected partitions, and the shuffle
 is keyed on the same (series, time) the MERGE would need — no extra
 cost vs Delta MERGE; only atomicity is weaker (single-writer assumed,
 like the reference's ``max_instances=1`` scheduler).
+
+Schema evolution is NOT a contract of this plain layer: a batch that
+adds a column rewrites only its affected partitions, and a root-level
+``spark.read.parquet`` anchors its schema on one file's footer — the
+added column is visible only if a new-schema file anchors the scan.
+Use :mod:`gas_data_pipeline_spark.pipeline.versioned`, which declares
+the evolved schema as manifest metadata, when columns can drift.
 """
 
 from __future__ import annotations

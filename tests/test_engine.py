@@ -466,3 +466,45 @@ def test_engine_atomic_silver_lifecycle(spark):
 
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
+
+
+def test_engine_atomic_ingest_retries_on_fence(spark, monkeypatch):
+    """The engine's atomic path goes through upsert_with_retry: a
+    scheduler cycle fenced by a concurrent committer re-merges against
+    the new snapshot instead of failing the ingest. Simulated by
+    making the first underlying commit attempt raise the fence error
+    and asserting the ingest still lands its rows."""
+    import tempfile
+
+    from gas_data_pipeline_spark.engine import GasDataEngine
+    from gas_data_pipeline_spark.pipeline import versioned
+
+    root = tempfile.mkdtemp(prefix="gas_atomic_retry_")
+    try:
+        real = versioned.upsert_observations_versioned
+        calls = {"n": 0}
+
+        def flaky(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise versioned.ConcurrentCommitError("simulated race")
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(
+            versioned, "upsert_observations_versioned", flaky
+        )
+        eng = GasDataEngine(spark, root, atomic_silver=True)
+        eng.ingest_batch(
+            _wide_batch(spark),
+            "GAS_QUALITY",
+            "national_gas",
+            ["site_id"],
+            "observed_at",
+        )
+        assert calls["n"] == 2  # fenced once, retried, committed
+        assert versioned.read_manifest(eng.obs_path)["version"] == 1
+        assert eng.get_data(limit=10).count() > 0
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
