@@ -176,6 +176,11 @@ SCALE_PROBE_QUERIES = (
     # partition is listed or read), so the whole query should scale
     # like the upserts that feed it, never like a full-table diff.
     "silver_versioned_changelog",
+    # manifest-declared schema evolution (registered round 11): a
+    # full-batch commit plus a single-partition schema-adding commit
+    # and one declared-schema snapshot read — should scale like the
+    # upserts (the schema is metadata; the read adds no file work).
+    "silver_versioned_schema_evolution",
     # the lifecycle through the VERSIONED store (registered round 11,
     # ~8.5 s at sf0.1 — now the most expensive query): same fixed
     # ProcessingTime overhead as the plain lifecycle plus the

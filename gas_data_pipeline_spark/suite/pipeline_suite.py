@@ -338,6 +338,78 @@ def silver_versioned_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "silver_versioned_schema_evolution",
+    oracle="""
+        WITH page AS (
+            SELECT 'NG_EVENTS_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   ts AS ingestion_time,
+                   event_id
+            FROM events
+        ),
+        v AS (
+            SELECT * FROM (
+                SELECT p.*, row_number() OVER (
+                           PARTITION BY series_id, observation_time
+                           ORDER BY ingestion_time DESC, event_id DESC
+                       ) AS rn
+                FROM page p
+            ) WHERE rn = 1
+        )
+        SELECT series_id, observation_time, value,
+               CASE WHEN CAST(observation_time AS DATE) =
+                         (SELECT min(CAST(ts AS DATE)) FROM events)
+                    THEN CASE WHEN value >= 50 THEN 'good' ELSE 'poor' END
+                    ELSE NULL END AS quality_flag
+        FROM v
+    """,
+)
+def silver_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution as manifest metadata on the versioned store:
+    v1 commits the full batch under the base schema; v2 adds a
+    quality_flag column but touches ONLY the earliest date, so every
+    other partition is structurally shared into the v2 snapshot
+    unrewritten. The current read must surface the added column —
+    computed values on the churned date, nulls on the shared old-schema
+    partitions — because the snapshot's schema is DECLARED in the
+    manifest (evolved at commit), not anchored on whichever file the
+    multi-directory scan lists first (round-11 self-review: the
+    file-anchored read silently dropped the column whenever an old
+    shared partition won; pipeline/versioned.py:_evolve_schema)."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+
+    def page(df):
+        return df.select(
+            F.concat(
+                F.lit("NG_EVENTS_"), F.col("user_id").cast("string")
+            ).alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+            F.col("value").cast("double").alias("value"),
+            F.col("ts").alias("ingestion_time"),
+            F.col("event_id"),
+        )
+
+    order = ["ingestion_time", "event_id"]
+    upsert_observations_versioned(spark, page(e), root, order_cols=order)
+    min_day = e.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    evolved = page(e.filter(F.to_date("ts") == F.lit(min_day))).withColumn(
+        "quality_flag",
+        F.when(F.col("value") >= 50, F.lit("good")).otherwise(F.lit("poor")),
+    )
+    upsert_observations_versioned(spark, evolved, root, order_cols=order)
+    return read_observations_versioned(spark, root).select(
+        "series_id", "observation_time", "value", "quality_flag"
+    )
+
+
+@register(
     "export_csv_roundtrip",
     oracle="""
         SELECT o_orderkey, o_orderstatus, o_totalprice
