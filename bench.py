@@ -484,6 +484,28 @@ def run_scale_probe(spark, queries, sf_dir: str) -> dict:
     }
 
 
+def _cpu_ref_seconds() -> float:
+    """Fixed single-thread reference workload — times the HOST, not the
+    engine. Identical git trees have measured 215 s and 324 s suite
+    totals as the shared box degraded over hours (BENCH_HISTORY ts
+    1786831601 vs 1786851205: median per-query ratio 1.28, p10-p90
+    0.82-1.89, zero plan changes); without a per-run machine factor on
+    disk that reads as a code regression. ~0.5 s of sha256 plus a
+    pure-python loop, deterministic work, no allocation growth."""
+    import hashlib
+
+    start = time.perf_counter()
+    h = hashlib.sha256()
+    block = b"\xab" * 65536
+    for _ in range(2000):  # ~130 MB hashed
+        h.update(block)
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1315423911 + i) & 0xFFFFFFFFFFFF
+    assert acc >= 0 and len(h.digest()) == 32
+    return round(time.perf_counter() - start, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     probe_only = "--scale-probe" in sys.argv[1:]
@@ -495,11 +517,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm-up: touch every table + JIT/codegen paths once.
+    # Warm-up: touch every table + JIT/codegen paths once. A bare
+    # count() prunes every column (parquet answers it from metadata),
+    # which leaves the big data pages COLD — the first query to
+    # actually read documents.text / embeddings.vec then pays
+    # multi-second first-touch IO, and WHICH query pays it shifts with
+    # alphabetical position and cache state (observed: the same query
+    # bimodal 2.7 s vs 16.5 s across runs). Hash every column through
+    # one JVM-side aggregate so the warm-up reads the same pages the
+    # suite will.
+    from pyspark.sql import functions as F
+
     for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).count()
+            df = spark.read.parquet(path)
+            df.select(
+                F.sum(F.xxhash64(F.to_json(F.struct(*df.columns))))
+            ).collect()
     # Start the Python UDF worker pool so the first Arrow-UDF query
     # isn't billed its cold-start.
     from pyspark.sql import functions as F
@@ -595,6 +630,10 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "passes": n_passes,
+        # Host-speed canary (see _cpu_ref_seconds): compare across
+        # BENCH_HISTORY entries before reading any suite delta as a
+        # plan change.
+        "cpu_ref_sec": _cpu_ref_seconds(),
     }
     probe = None
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
@@ -620,6 +659,7 @@ def main() -> None:
                     "sf": sf,
                     "value": total,
                     "passes": n_passes,
+                    "cpu_ref_sec": payload["cpu_ref_sec"],
                     "queries": payload["queries"],
                 },
                 fh,
@@ -627,7 +667,13 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: stdout still carries everything
-    summary = {"metric": "suite_seconds", "value": total, "unit": "sec", "sf": sf}
+    summary = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpu_ref_sec": payload["cpu_ref_sec"],
+    }
     if probe is not None:
         summary["scale_probe"] = {
             "factor": probe["factor"],
