@@ -168,11 +168,20 @@ def _evolve_schema(prev: dict | None, written) -> dict:
     4's parquet reader widens old files to the promoted type
     (int->long, float->double) at scan time.
 
+    Every stored field is declared NULLABLE: a column added after v1
+    is genuinely null on every structurally-shared older partition, a
+    batch-derived ``nullable: false`` would be a lie the moment the
+    schema outlives one commit, and Spark's file-source read path
+    relaxes user schemas to nullable regardless — the manifest must
+    not record stricter metadata than any read can honor.
+
     Returns the evolved schema as a JSON-able dict
     (``StructType.jsonValue``); ``written`` is the DataFrame whose
     files landed in this version's directory."""
     new_fields = [
-        f for f in written.schema.jsonValue()["fields"] if f["name"] != _PDATE
+        dict(f, nullable=True)
+        for f in written.schema.jsonValue()["fields"]
+        if f["name"] != _PDATE
     ]
     if prev is None:
         return {"type": "struct", "fields": new_fields}

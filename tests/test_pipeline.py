@@ -1227,6 +1227,16 @@ def test_versioned_schema_evolution_added_column_survives_sharing(spark, scratch
     assert "quality_flag" in v3.columns
     got = {(r.series_id, r.quality_flag) for r in v3.collect()}
     assert got == {("s1", None), ("s2", "good"), ("s3", None)}
+    # The declared schema must not record stricter nullability than a
+    # read can honor: the column came from a non-nullable literal, but
+    # it IS null on every shared pre-evolution partition.
+    from gas_data_pipeline_spark.pipeline.versioned import read_manifest
+
+    fields = read_manifest(scratch)["schema"]["fields"]
+    assert all(f["nullable"] for f in fields)
+    # Null-predicate semantics over the evolved column stay correct.
+    assert v3.filter(F.col("quality_flag").isNull()).count() == 2
+    assert v3.filter(F.col("quality_flag").isNotNull()).count() == 1
 
 
 def test_versioned_changelog_reads_only_churned_partitions(spark, scratch):
