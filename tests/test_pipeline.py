@@ -1827,6 +1827,41 @@ def test_versioned_multiprocess_cas_exactly_one_publishes(scratch):
     assert os.path.isdir(os.path.join(scratch, winner_dir))
 
 
+def test_versioned_multiprocess_retry_both_writers_land(scratch):
+    """The Iceberg client loop across REAL processes: two racers each
+    stage a different date and publish-with-rebase — the fenced one
+    must re-read the winner's manifest, re-apply its own partition on
+    top, and land as the next version. Both exit 0; the final manifest
+    is v2 and carries BOTH writers' partitions (in-process,
+    upsert_with_retry proves the same loop with the Spark merge; this
+    makes the cross-process composition empirical)."""
+    import time as _time
+
+    from gas_data_pipeline_spark.pipeline.versioned import read_manifest
+
+    os.makedirs(scratch, exist_ok=True)
+    dates = {"v1-aaaaaaa1": "2024-01-01", "v1-aaaaaaa2": "2024-01-02"}
+    procs = [
+        _run_worker(["race-retry", scratch, vtag, d], wait=False)
+        for vtag, d in dates.items()
+    ]
+    deadline = _time.time() + 30
+    while not all(
+        os.path.exists(os.path.join(scratch, f"{vtag}.staged"))
+        for vtag in dates
+    ):
+        assert _time.time() < deadline, "workers never staged"
+        _time.sleep(0.005)
+    open(os.path.join(scratch, "go"), "w").close()
+    codes = [p.wait(timeout=60) for p in procs]
+    assert codes == [0, 0], f"both retry-writers must publish, got {codes}"
+    m = read_manifest(scratch)
+    assert m["version"] == 2
+    assert {
+        d: p.split("/", 1)[0] for d, p in m["partitions"].items()
+    } == {d: vtag for vtag, d in dates.items()}
+
+
 def test_versioned_flock_released_on_writer_death(scratch):
     """The docstring claim 'the kernel releases the lock on the
     holder's death, so a crashed committer never wedges the table',

@@ -20,6 +20,14 @@ Spark-side tests. Modes:
 ``hold-lock <root>``
     acquire the commit flock, touch ``<root>/locked``, sleep forever
     (until the parent SIGKILLs this process mid-"commit").
+
+``race-retry <root> <vtag> <date>``
+    the Iceberg client loop ACROSS processes: stage ``<date>`` under
+    ``<vtag>``, wait for ``go``, then publish-with-rebase — on a fence,
+    re-read the winner's manifest, re-apply this writer's partition on
+    top, and retry the next version. Both racers must eventually
+    publish (exit 0; 5 = retries exhausted), leaving a final manifest
+    that carries BOTH writers' partitions.
 """
 
 from __future__ import annotations
@@ -34,6 +42,7 @@ from gas_data_pipeline_spark.pipeline.versioned import (  # noqa: E402
     ConcurrentCommitError,
     _commit_lock,
     publish_version,
+    read_manifest,
 )
 
 
@@ -55,6 +64,26 @@ def main() -> int:
             return 0
         except ConcurrentCommitError:
             return 7
+    if mode == "race-retry":
+        vtag, date = sys.argv[3], sys.argv[4]
+        os.makedirs(os.path.join(root, vtag, f"__pdate={date}"))
+        open(os.path.join(root, f"{vtag}.staged"), "w").close()
+        deadline = time.time() + 30
+        while not os.path.exists(os.path.join(root, "go")):
+            if time.time() > deadline:
+                return 3
+            time.sleep(0.001)
+        for _attempt in range(5):
+            cur = read_manifest(root)
+            version = (cur["version"] + 1) if cur else 1
+            parts = dict(cur["partitions"]) if cur else {}
+            parts[date] = f"{vtag}/__pdate={date}"
+            try:
+                publish_version(root, version, parts)
+                return 0
+            except ConcurrentCommitError:
+                continue  # rebase: re-read the winner's manifest
+        return 5
     if mode == "hold-lock":
         with _commit_lock(root):
             open(os.path.join(root, "locked"), "w").close()
