@@ -66,6 +66,16 @@ _PDATE = "__pdate"
 _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
+class SchemaEvolutionError(ValueError):
+    """Raised at commit when a batch redeclares an existing column with
+    a type that is neither the stored type nor a safe widening of it.
+    Publishing such a manifest would be worse than failing: the
+    declared schema is applied to EVERY structurally-shared partition
+    at scan time, and parquet files written as e.g. ``long`` cannot be
+    read under a declared ``double`` (or any narrowing) — the snapshot
+    would be unreadable or silently wrong. Fail the commit instead."""
+
+
 class ConcurrentCommitError(RuntimeError):
     """Raised when the optimistic-concurrency fence refuses a publish:
     another writer committed between this writer's snapshot read and
@@ -135,7 +145,15 @@ def publish_version(
     (pinned by the kill-mid-commit test in tests/test_pipeline.py).
     On a distributed filesystem this function is where a table
     format's CAS (Iceberg metastore swap / Delta log conditional put)
-    slots in."""
+    slots in.
+
+    ``schema=None`` carries the CURRENT manifest's schema forward
+    (read under the same flock) rather than dropping the key: this is
+    the public commit API (used directly by the cross-process race
+    worker), and a schema-less publish over a schema-bearing snapshot
+    would silently revert readers to the file-anchored scan —
+    reintroducing the added-column-vanishes bug the declared schema
+    exists to fix (ADVICE r11)."""
     with _commit_lock(root):
         now = read_manifest(root)
         now_version = now["version"] if now else 0
@@ -146,11 +164,59 @@ def publish_version(
                 f"v{now_version}; retry the upsert against the current "
                 "snapshot"
             )
+        if schema is None and now is not None:
+            schema = now.get("schema")
         manifest = {"version": version, "partitions": partitions}
         if schema is not None:
             manifest["schema"] = schema
         _commit_manifest(root, manifest)
     return manifest
+
+
+# Scan-time-safe widenings for the manifest schema: a file written
+# with the KEY type reads correctly under a declared VALUE-or-later
+# type in the same chain (Spark 4 parquet vectorized reader upcasts
+# integrals and float->double). Anything off-chain (long->double,
+# string->anything, narrowings) is NOT safe under a declared schema.
+_WIDENING_CHAINS = {
+    "byte": ["byte", "short", "integer", "long"],
+    "short": ["short", "integer", "long"],
+    "integer": ["integer", "long"],
+    "long": ["long"],
+    "float": ["float", "double"],
+    "double": ["double"],
+}
+
+_DECIMAL = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _wider_type(prev_t, new_t):
+    """Resolve a type collision between the stored manifest type and a
+    new commit's type: return the WIDER of the two when one is a safe
+    scan-time widening of the other (files written at either type read
+    correctly under the wider declaration), else None (incompatible).
+    Decimal growth counts when scale is preserved and integer digits
+    only grow — dropping scale or integer digits would corrupt values."""
+    if prev_t == new_t:
+        return prev_t
+    if isinstance(prev_t, str) and isinstance(new_t, str):
+        chain = _WIDENING_CHAINS.get(prev_t)
+        if chain and new_t in chain:
+            return new_t
+        chain = _WIDENING_CHAINS.get(new_t)
+        if chain and prev_t in chain:
+            return prev_t
+        mp, mn = _DECIMAL.match(prev_t), _DECIMAL.match(new_t)
+        if mp and mn:
+            (pp, ps), (np_, ns) = (
+                (int(mp.group(1)), int(mp.group(2))),
+                (int(mn.group(1)), int(mn.group(2))),
+            )
+            if ns == ps and np_ >= pp:
+                return new_t
+            if ns == ps and pp >= np_:
+                return prev_t
+    return None
 
 
 def _evolve_schema(prev: dict | None, written) -> dict:
@@ -163,10 +229,16 @@ def _evolve_schema(prev: dict | None, written) -> dict:
     loses it whenever the scan's schema anchor is an older shared
     partition (found by round-11 self-review; pinned by
     test_versioned_schema_evolution_*). On a name collision with a
-    differing type the NEW field wins — the merge's unionByName
-    already computed that promotion for the written files, and Spark
-    4's parquet reader widens old files to the promoted type
-    (int->long, float->double) at scan time.
+    differing type the WIDER of the two wins, and only when one type
+    is a safe scan-time widening of the other (int->long,
+    float->double, decimal precision growth at fixed scale): a commit
+    touching only non-overlapping partitions never runs the
+    unionByName promotion, so "new field wins" unconditionally would
+    let e.g. a long->double or a narrowing redeclaration publish a
+    manifest the structurally-shared older parquet files cannot be
+    read under. Off-chain collisions raise
+    :class:`SchemaEvolutionError` at commit instead of publishing an
+    unreadable snapshot (ADVICE r11, medium).
 
     Every stored field is declared NULLABLE: a column added after v1
     is genuinely null on every structurally-shared older partition, a
@@ -186,7 +258,21 @@ def _evolve_schema(prev: dict | None, written) -> dict:
     if prev is None:
         return {"type": "struct", "fields": new_fields}
     by_name = {f["name"]: f for f in new_fields}
-    merged = [by_name.pop(f["name"], f) for f in prev["fields"]]
+    merged = []
+    for pf in prev["fields"]:
+        nf = by_name.pop(pf["name"], None)
+        if nf is None:
+            merged.append(pf)
+            continue
+        wider = _wider_type(pf["type"], nf["type"])
+        if wider is None:
+            raise SchemaEvolutionError(
+                f"column {pf['name']!r}: committed type {pf['type']!r} "
+                f"and new type {nf['type']!r} are not in a scan-time "
+                "widening chain; publishing would make structurally-"
+                "shared partitions unreadable under the declared schema"
+            )
+        merged.append(dict(nf, type=wider))
     return {"type": "struct", "fields": merged + list(by_name.values())}
 
 

@@ -658,6 +658,7 @@ def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH d AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            WHERE ts IS NOT NULL
         ),
         g AS (
             SELECT user_id, day,
@@ -687,9 +688,14 @@ def event_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize_events (timestamp-gap sessions) with calendar-grain
     streaks."""
     ev = table(spark, sf_dir, "events")
+    # collect_set drops null days, so an all-null-ts user yields an
+    # EMPTY array — and F.sequence(1, 0) below would be the DESCENDING
+    # [1, 0], whose i=0 element evades the i==1 short-circuit and
+    # throws at element_at(d, 0). Drop empty arrays before the fold
+    # (ADVICE r11; oracle mirrors with WHERE ts IS NOT NULL).
     days = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_set(F.to_date("ts"))).alias("days")
-    )
+    ).filter(F.size("days") > 0)
     d = F.col("days")
     # 1-based positions that begin an island (first day, or a gap > 1
     # behind it). element_at is 1-based; i-1 >= 1 whenever i >= 2.

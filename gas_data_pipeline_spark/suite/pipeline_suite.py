@@ -320,8 +320,15 @@ def silver_versioned_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bumped so every winner row changes in place. The min is a
     # metadata-sized scalar (one aggregate row), not a data collect.
     min_day = e.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    # Null/NaN-proof bump (ADVICE r11): a null value would make
+    # value+100 stay null, comparing EQUAL under eqNullSafe — the diff
+    # would drop the row while the leg-2 oracle (which declares every
+    # min-day winner an update) keeps it. nanvl+coalesce guarantees
+    # every winner's value genuinely changes, data notwithstanding.
     bumped = page(e.filter(F.to_date("ts") == F.lit(min_day))).withColumn(
-        "value", F.col("value") + F.lit(100.0)
+        "value",
+        F.coalesce(F.nanvl(F.col("value"), F.lit(0.0)), F.lit(0.0))
+        + F.lit(100.0),
     )
     upsert_observations_versioned(spark, bumped, root, order_cols=order)
 

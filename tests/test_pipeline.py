@@ -1239,6 +1239,126 @@ def test_versioned_schema_evolution_added_column_survives_sharing(spark, scratch
     assert v3.filter(F.col("quality_flag").isNotNull()).count() == 1
 
 
+def test_versioned_schema_collision_widening_and_refusal(spark, scratch):
+    """ADVICE r11 (medium): on a name collision with a differing type
+    the manifest must keep the WIDER type when the two sit in a
+    scan-time widening chain, and REFUSE the commit otherwise. A
+    commit touching only non-overlapping partitions never runs the
+    unionByName promotion, so 'new field wins' unconditionally would
+    publish e.g. a long->double manifest the structurally-shared older
+    parquet files cannot be read under."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        SchemaEvolutionError,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    # v1: extra declared INT, on date 1.
+    up(
+        _vs_batch(
+            spark, [("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1)]
+        ).withColumn("extra", F.lit(7).cast("int"))
+    )
+    assert {
+        f["name"]: f["type"] for f in read_manifest(scratch)["schema"]["fields"]
+    }["extra"] == "integer"
+    # v2: extra as LONG on a DIFFERENT date (no union with v1's files):
+    # the manifest must widen to long, and the mixed-directory read
+    # must upcast v1's int files under the declared long.
+    up(
+        _vs_batch(
+            spark, [("s2", "2024-02-01 00:00:00", 2.0, "2024-02-01 01:00:00", 2)]
+        ).withColumn("extra", F.lit(9).cast("long"))
+    )
+    assert {
+        f["name"]: f["type"] for f in read_manifest(scratch)["schema"]["fields"]
+    }["extra"] == "long"
+    got = {(r.series_id, r.extra) for r in read_observations_versioned(
+        spark, scratch
+    ).collect()}
+    assert got == {("s1", 7), ("s2", 9)}
+    # v3: extra back to INT (narrower, third date): the declared type
+    # must STAY long — the new narrower files read fine under it.
+    up(
+        _vs_batch(
+            spark, [("s3", "2024-03-01 00:00:00", 3.0, "2024-03-01 01:00:00", 3)]
+        ).withColumn("extra", F.lit(11).cast("int"))
+    )
+    assert {
+        f["name"]: f["type"] for f in read_manifest(scratch)["schema"]["fields"]
+    }["extra"] == "long"
+    got = {(r.series_id, r.extra) for r in read_observations_versioned(
+        spark, scratch
+    ).collect()}
+    assert got == {("s1", 7), ("s2", 9), ("s3", 11)}
+    # v4: extra as STRING (off every widening chain) — the commit must
+    # be REFUSED, leaving the table at v3 with the long schema.
+    with pytest.raises(SchemaEvolutionError):
+        up(
+            _vs_batch(
+                spark,
+                [("s4", "2024-04-01 00:00:00", 4.0, "2024-04-01 01:00:00", 4)],
+            ).withColumn("extra", F.lit("oops"))
+        )
+    m = read_manifest(scratch)
+    assert m["version"] == 3
+    assert {f["name"]: f["type"] for f in m["schema"]["fields"]}["extra"] == "long"
+
+
+def test_versioned_wider_type_resolution_table():
+    """The widening-chain resolver behind schema evolution: wider side
+    wins inside a chain (either direction of declaration), decimals
+    grow precision at fixed scale only, everything off-chain is
+    incompatible (None)."""
+    from gas_data_pipeline_spark.pipeline.versioned import _wider_type
+
+    assert _wider_type("integer", "long") == "long"
+    assert _wider_type("long", "integer") == "long"
+    assert _wider_type("byte", "integer") == "integer"
+    assert _wider_type("float", "double") == "double"
+    assert _wider_type("double", "float") == "double"
+    assert _wider_type("decimal(10,2)", "decimal(18,2)") == "decimal(18,2)"
+    assert _wider_type("decimal(18,2)", "decimal(10,2)") == "decimal(18,2)"
+    assert _wider_type("string", "string") == "string"
+    # Off-chain: narrowed scale, long->double, string->long, complex.
+    assert _wider_type("decimal(10,2)", "decimal(18,4)") is None
+    assert _wider_type("long", "double") is None
+    assert _wider_type("string", "long") is None
+    assert _wider_type({"type": "array", "elementType": "long"}, "long") is None
+
+
+def test_publish_version_schema_none_carries_forward(spark, scratch):
+    """ADVICE r11 (low): publish_version(schema=None) — the public
+    commit API used by the cross-process race worker — must carry the
+    current manifest's schema forward, not drop the key and revert
+    readers to the file-anchored scan."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        publish_version,
+        read_manifest,
+        upsert_observations_versioned,
+    )
+
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1)]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    m1 = read_manifest(scratch)
+    assert m1.get("schema") is not None
+    publish_version(scratch, 2, dict(m1["partitions"]), schema=None)
+    m2 = read_manifest(scratch)
+    assert m2["version"] == 2
+    assert m2["schema"] == m1["schema"]
+
+
 def test_versioned_changelog_reads_only_churned_partitions(spark, scratch):
     """Changelog between snapshots prunes at the MANIFEST level: a
     partition whose entry is identical in both versions is structurally

@@ -586,3 +586,29 @@ def test_incremental_histogram_psi_equals_batch(spark, vals, cut):
     # the incremental PSI must equal the batch self-PSI (zero).
     assert incr["psi"] == pytest.approx(batch["psi"], abs=1e-9)
     assert incr["n_cur"] == len(vals)
+
+
+def test_event_day_streaks_tolerates_all_null_ts_users(spark, tmp_path):
+    """ADVICE r11: a user whose every ts is null yields an EMPTY
+    collect_set day array; F.sequence(1, 0) is the DESCENDING [1, 0],
+    whose i=0 element evades the i==1 short-circuit and throws 'SQL
+    array indices start at 1', failing the whole query. Empty arrays
+    are dropped before the fold now: the null-only user vanishes,
+    everyone else's streaks are untouched."""
+    from gas_data_pipeline_spark.suite.analytics_suite import event_day_streaks
+
+    rows = [
+        (1, None, 100, "a", 1.0, "{}"),
+        (2, None, 100, "a", 1.0, "{}"),
+        (3, "2024-01-01 10:00:00", 200, "a", 1.0, "{}"),
+        (4, "2024-01-02 10:00:00", 200, "a", 1.0, "{}"),
+        (5, None, 200, "a", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = event_day_streaks(spark, str(tmp_path)).collect()
+    assert {r.user_id for r in got} == {200}
+    assert got[0].streak_days == 2

@@ -75,3 +75,38 @@ def test_scale_probe_names_are_registered():
     from gas_data_pipeline_spark.registry import all_queries
 
     assert set(bench.SCALE_PROBE_QUERIES) <= set(all_queries())
+
+
+def test_bench_normalized_deltas_factor_out_host_speed(tmp_path, monkeypatch):
+    """VERDICT r11 #5: cpu_ref_sec must be USED, not just recorded. A
+    uniformly slower host (every query AND the canary x1.4) normalizes
+    to ~1.0 with zero flags; a genuine single-query regression on the
+    SAME host flags at its raw ratio. Sub-0.3 s queries are excluded
+    (variance swamps signal), and no comparable history returns None."""
+    import json
+
+    import bench
+
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    prev = {
+        "ts": 1,
+        "sf": 0.1,
+        "cpu_ref_sec": 0.3,
+        "queries": {"q_big": 4.0, "q_mid": 1.0, "q_tiny": 0.05},
+    }
+    hist.write_text(json.dumps(prev) + "\n")
+    monkeypatch.setattr(bench, "_REPO_ROOT", str(tmp_path))
+    # Uniform 1.4x host drift: normalized median 1.0, nothing flagged.
+    out = bench._normalized_deltas(
+        {"q_big": 5.6, "q_mid": 1.4, "q_tiny": 0.07}, 0.42, 0.1
+    )
+    assert out["canary_ratio"] == 1.4
+    assert abs(out["median_normalized_ratio"] - 1.0) < 1e-6
+    assert out["normalized_regressions"] == {}
+    assert "q_tiny" not in json.dumps(out)  # below the 0.3 s floor
+    # Same host, q_big alone 2x: flagged at its normalized ratio.
+    out = bench._normalized_deltas({"q_big": 8.0, "q_mid": 1.0}, 0.3, 0.1)
+    assert list(out["normalized_regressions"]) == ["q_big"]
+    assert abs(out["normalized_regressions"]["q_big"] - 2.0) < 1e-6
+    # No same-sf history with a canary: explicitly no comparison.
+    assert bench._normalized_deltas({"q_big": 4.0}, 0.3, 0.01) is None
