@@ -61,6 +61,18 @@ from gas_data_pipeline_spark.pipeline.silver import KEYS, PARTITION_COL
 
 _MANIFEST = "manifest.json"
 _PDATE = "__pdate"
+# Business-key columns whose per-partition min/max ride in the
+# manifest (the file-stats half of Iceberg's manifests — the
+# reference's B-tree on (series_id, observation_time) analog,
+# db_queries.sql:79-80). The date key prunes time; series_id is the
+# other axis every read filters on.
+STATS_COLS = ("series_id",)
+# Distrust footer min/max beyond this length: parquet writers may
+# truncate or drop statistics for long binary values, and a truncated
+# max understates the real bound — pruning on it would wrongly skip a
+# partition. Business keys are short; anything longer loses stats,
+# never correctness (absent stats = partition kept).
+_STATS_MAX_LEN = 1024
 # Hive's on-disk name for a null partition value — what partitionBy
 # writes when observation_time (hence obs_date) is null.
 _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
@@ -132,7 +144,11 @@ def _commit_manifest(root: str, manifest: dict) -> None:
 
 
 def publish_version(
-    root: str, version: int, partitions: dict, schema: dict | None = None
+    root: str,
+    version: int,
+    partitions: dict,
+    schema: dict | None = None,
+    stats: dict | None = None,
 ) -> dict:
     """The commit protocol, isolated from the merge: fence-read +
     atomic publish under ONE exclusive flock. A writer that merged
@@ -153,7 +169,15 @@ def publish_version(
     worker), and a schema-less publish over a schema-bearing snapshot
     would silently revert readers to the file-anchored scan —
     reintroducing the added-column-vanishes bug the declared schema
-    exists to fix (ADVICE r11)."""
+    exists to fix (ADVICE r11).
+
+    ``stats`` maps partition date -> ``{col: [min, max]}`` (see
+    :func:`_partition_stats`). ``stats=None`` carries forward the
+    previous manifest's stats ONLY for partitions whose directory
+    entry is unchanged — a direct caller that rewrote a partition
+    without recomputing stats must not publish stale bounds the new
+    files may violate (wrong pruning is silent data loss; no stats is
+    merely no pruning)."""
     with _commit_lock(root):
         now = read_manifest(root)
         now_version = now["version"] if now else 0
@@ -166,9 +190,19 @@ def publish_version(
             )
         if schema is None and now is not None:
             schema = now.get("schema")
+        if stats is None and now is not None:
+            prev_parts = now["partitions"]
+            prev_stats = now.get("stats", {})
+            stats = {
+                d: prev_stats[d]
+                for d in partitions
+                if d in prev_stats and partitions[d] == prev_parts.get(d)
+            }
         manifest = {"version": version, "partitions": partitions}
         if schema is not None:
             manifest["schema"] = schema
+        if stats:
+            manifest["stats"] = stats
         _commit_manifest(root, manifest)
     return manifest
 
@@ -276,6 +310,61 @@ def _evolve_schema(prev: dict | None, written) -> dict:
     return {"type": "struct", "fields": merged + list(by_name.values())}
 
 
+def _partition_stats(pdir: str) -> dict:
+    """Per-partition column stats from parquet FOOTERS only — no data
+    pages are read (Iceberg collects file stats the same way: the
+    writer already paid for them). Returns ``{col: [min, max]}`` for
+    every STATS_COLS column whose min/max is present and trustworthy
+    in EVERY row group of every file; a column missing stats anywhere
+    is omitted (absent stats disable pruning for it, never break it).
+    Values must be JSON-able — string keys pass through, anything else
+    is omitted (the manifest is JSON and comparison semantics across
+    a JSON round-trip are only safe for strings)."""
+    import pyarrow.parquet as pq
+
+    try:
+        files = sorted(
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return {}
+    if not files:
+        return {}
+    lo: dict[str, str] = {}
+    hi: dict[str, str] = {}
+    ok = {c: True for c in STATS_COLS}
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            return {}
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in STATS_COLS:
+            j = idx.get(c)
+            if j is None or not ok[c]:
+                ok[c] = False
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(j).statistics
+                if st is None or not st.has_min_max:
+                    ok[c] = False
+                    break
+                mn, mx = st.min, st.max
+                if not (
+                    isinstance(mn, str)
+                    and isinstance(mx, str)
+                    and len(mn) <= _STATS_MAX_LEN
+                    and len(mx) <= _STATS_MAX_LEN
+                ):
+                    ok[c] = False
+                    break
+                lo[c] = mn if c not in lo else min(lo[c], mn)
+                hi[c] = mx if c not in hi else max(hi[c], mx)
+    return {c: [lo[c], hi[c]] for c in STATS_COLS if ok[c] and c in lo}
+
+
 def upsert_observations_versioned(
     spark: SparkSession,
     batch: DataFrame,
@@ -290,6 +379,7 @@ def upsert_observations_versioned(
     current = read_manifest(root)
     version = (current["version"] + 1) if current else 1
     partitions = dict(current["partitions"]) if current else {}
+    stats = dict(current.get("stats", {})) if current else {}
 
     batch = batch.withColumn(PARTITION_COL, F.to_date("observation_time")).withColumn(
         "__prio", F.lit(1)
@@ -341,15 +431,27 @@ def upsert_observations_versioned(
             pdir = f"{vtag}/{_PDATE}={d}"
             if os.path.isdir(os.path.join(root, pdir)):
                 partitions[d] = pdir
+                # Business-key min/max from the freshly written files'
+                # FOOTERS (no data pages): structural sharing keeps the
+                # untouched partitions' stats as-is, exactly like their
+                # directory entries.
+                pstats = _partition_stats(os.path.join(root, pdir))
+                if pstats:
+                    stats[d] = pstats
+                else:
+                    stats.pop(d, None)
             else:
                 partitions.pop(d, None)
+                stats.pop(d, None)
         # Optimistic-concurrency fence (Iceberg's CAS, single-node
         # form) — see :func:`publish_version`. Single-writer
         # deployments never contend here.
         schema = _evolve_schema(
             current.get("schema") if current else None, final
         )
-        return publish_version(root, version, partitions, schema=schema)
+        return publish_version(
+            root, version, partitions, schema=schema, stats=stats
+        )
     finally:
         cached.unpersist()
 
@@ -385,11 +487,23 @@ def read_observations_versioned(
     version: int | None = None,
     start=None,
     end=None,
+    series_ids=None,
 ) -> DataFrame:
     """Snapshot read. ``version=None`` resolves the current manifest
     atomically; a pinned version replays that historical snapshot
     (until vacuumed). ``start``/``end`` prune at the MANIFEST level —
-    unselected partitions are never even listed."""
+    unselected partitions are never even listed.
+
+    ``series_ids`` (a string or list of strings) prunes on the
+    manifest's per-partition column STATS the same way: a partition
+    whose recorded ``series_id`` [min, max] excludes every requested
+    id is skipped before any file listing (the file-stats half of
+    Iceberg's manifests — the reference's B-tree on (series_id,
+    observation_time), db_queries.sql:79-80, re-expressed as commit
+    metadata). Partitions without stats (pre-stats manifests, footer
+    gaps) are kept — absent stats degrade to no pruning, never to
+    wrong results. The row-level ``isin`` filter still applies on top,
+    so pruning is a pure IO optimization."""
     m = read_manifest(root, version)
     if m is None or not m["partitions"]:
         raise FileNotFoundError(f"no committed snapshot under {root}")
@@ -411,6 +525,20 @@ def read_observations_versioned(
         items = [(d, p) for d, p in items if d >= str(start)[:10]]
     if end is not None:
         items = [(d, p) for d, p in items if d <= str(end)[:10]]
+    if series_ids is not None:
+        wanted = (
+            [series_ids] if isinstance(series_ids, str) else list(series_ids)
+        )
+        stats = m.get("stats", {})
+
+        def _may_contain(date: str) -> bool:
+            bounds = stats.get(date, {}).get("series_id")
+            if bounds is None:
+                return True  # no stats recorded: never prune on faith
+            lo, hi = bounds
+            return any(lo <= s <= hi for s in wanted)
+
+        items = [(d, p) for d, p in items if _may_contain(d)]
     if not items:
         return (
             reader.parquet(os.path.join(root, next(iter(m["partitions"].values()))))
@@ -422,6 +550,11 @@ def read_observations_versioned(
         out = out.filter(F.col("observation_time") >= start)
     if end is not None:
         out = out.filter(F.col("observation_time") <= end)
+    if series_ids is not None:
+        wanted = (
+            [series_ids] if isinstance(series_ids, str) else list(series_ids)
+        )
+        out = out.filter(F.col("series_id").isin(wanted))
     return out
 
 

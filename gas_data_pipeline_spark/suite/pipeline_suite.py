@@ -345,6 +345,81 @@ def silver_versioned_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "silver_versioned_stats_prune",
+    oracle="""
+        WITH page AS (
+            SELECT 'B' || strftime(CAST(ts AS DATE), '%Y%m%d')
+                       || '_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   ts AS ingestion_time,
+                   event_id
+            FROM events
+        ),
+        v AS (
+            SELECT * FROM (
+                SELECT p.*, row_number() OVER (
+                           PARTITION BY series_id, observation_time
+                           ORDER BY ingestion_time DESC, event_id DESC
+                       ) AS rn
+                FROM page p
+            ) WHERE rn = 1
+        ),
+        d0 AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+        SELECT series_id, observation_time, value
+        FROM v
+        WHERE series_id IN (
+            SELECT 'B' || strftime(d, '%Y%m%d') || '_1' FROM d0
+            UNION ALL
+            SELECT 'B' || strftime(d, '%Y%m%d') || '_5' FROM d0
+        )
+    """,
+)
+def silver_versioned_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned read on the versioned silver store (VERDICT r11
+    #2): every commit records per-partition min/max for the business
+    keys from the written files' FOOTERS (pipeline/versioned.py:
+    _partition_stats — the file-stats half of Iceberg's manifests, the
+    reference's B-tree on (series_id, observation_time) analog,
+    db_queries.sql:79-80). Series ids here embed their date
+    ('B<yyyymmdd>_<user>'), so each date partition's recorded range is
+    DISJOINT from every other's, and a read filtered to two min-date
+    series prunes every other partition before any file listing — at
+    100 TB a series-predicate read touches the matching partitions'
+    files only, never the table (the skip is pinned by inputFiles in
+    tests/test_pipeline.py). The row-level isin still applies on top,
+    so the result is exact whether or not stats exist."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+    page = e.select(
+        F.concat(
+            F.lit("B"),
+            F.date_format(F.to_date("ts"), "yyyyMMdd"),
+            F.lit("_"),
+            F.col("user_id").cast("string"),
+        ).alias("series_id"),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+    upsert_observations_versioned(
+        spark, page, root, order_cols=["ingestion_time", "event_id"]
+    )
+    # The min date is a metadata-sized scalar (one aggregate row).
+    d0 = e.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    wanted = [f"B{d0.strftime('%Y%m%d')}_{u}" for u in (1, 5)]
+    return read_observations_versioned(
+        spark, root, series_ids=wanted
+    ).select("series_id", "observation_time", "value")
+
+
+@register(
     "silver_versioned_schema_evolution",
     oracle="""
         WITH page AS (

@@ -1334,6 +1334,105 @@ def test_versioned_wider_type_resolution_table():
     assert _wider_type({"type": "array", "elementType": "long"}, "long") is None
 
 
+def test_versioned_stats_prune_skips_nonmatching_partitions(spark, scratch):
+    """VERDICT r11 #2: manifest entries carry per-partition min/max
+    for the business keys (collected from parquet FOOTERS at commit),
+    and a series-filtered read prunes non-matching partitions before
+    any file listing — pinned by inputFiles. Absent stats degrade to
+    no pruning; the row filter still applies, so results are exact
+    either way."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    # Two dates with disjoint series ranges: A_* on Jan, B_* on Feb.
+    up(
+        _vs_batch(
+            spark,
+            [
+                ("A_1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1),
+                ("A_9", "2024-01-01 02:00:00", 2.0, "2024-01-01 03:00:00", 2),
+            ],
+        )
+    )
+    up(
+        _vs_batch(
+            spark,
+            [
+                ("B_1", "2024-02-01 00:00:00", 3.0, "2024-02-01 01:00:00", 3),
+                ("B_9", "2024-02-01 02:00:00", 4.0, "2024-02-01 03:00:00", 4),
+            ],
+        )
+    )
+    m = read_manifest(scratch)
+    assert m["stats"]["2024-01-01"]["series_id"] == ["A_1", "A_9"]
+    assert m["stats"]["2024-02-01"]["series_id"] == ["B_1", "B_9"]
+    # A read filtered to an A-series must list ONLY the Jan partition.
+    df = read_observations_versioned(spark, scratch, series_ids="A_9")
+    files = df.inputFiles()
+    assert files and all("__pdate=2024-01-01" in f for f in files)
+    assert {r.series_id for r in df.collect()} == {"A_9"}
+    # Multiple ids spanning both ranges keep both partitions.
+    df = read_observations_versioned(spark, scratch, series_ids=["A_1", "B_1"])
+    assert {r.series_id for r in df.collect()} == {"A_1", "B_1"}
+    assert len({f.split("/__pdate=")[1][:10] for f in df.inputFiles()}) == 2
+    # An id outside every range prunes EVERYTHING at the metadata
+    # level: empty result, no partition listed.
+    df = read_observations_versioned(spark, scratch, series_ids="Z_0")
+    assert df.count() == 0
+    # Stats-less manifest (pre-stats store): pruning degrades to the
+    # row filter — same rows, both partitions listed.
+    import json as _json
+
+    m2 = dict(m)
+    m2.pop("stats")
+    with open(os.path.join(scratch, "manifest.json"), "w") as fh:
+        _json.dump(m2, fh)
+    df = read_observations_versioned(spark, scratch, series_ids="A_9")
+    assert {r.series_id for r in df.collect()} == {"A_9"}
+    assert len({f.split("/__pdate=")[1][:10] for f in df.inputFiles()}) == 2
+
+
+def test_publish_version_stats_carry_forward_only_unchanged(spark, scratch):
+    """publish_version(stats=None) carries stats forward ONLY for
+    partitions whose directory entry is unchanged: a direct caller
+    that repointed a partition must not inherit bounds the new files
+    may violate (stale stats would misprune — silent data loss)."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        publish_version,
+        read_manifest,
+        upsert_observations_versioned,
+    )
+
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(
+            spark,
+            [
+                ("A_1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1),
+                ("B_1", "2024-02-01 00:00:00", 2.0, "2024-02-01 01:00:00", 2),
+            ],
+        ),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    m1 = read_manifest(scratch)
+    assert set(m1["stats"]) == {"2024-01-01", "2024-02-01"}
+    # Repoint Feb at a different dir (simulating a direct rewrite),
+    # keep Jan as-is; publish without stats.
+    parts = dict(m1["partitions"])
+    parts["2024-02-01"] = parts["2024-02-01"].replace("v1-", "v9-")
+    publish_version(scratch, 2, parts, schema=None, stats=None)
+    m2 = read_manifest(scratch)
+    assert "2024-01-01" in m2.get("stats", {})  # unchanged entry: kept
+    assert "2024-02-01" not in m2.get("stats", {})  # repointed: dropped
+
+
 def test_publish_version_schema_none_carries_forward(spark, scratch):
     """ADVICE r11 (low): publish_version(schema=None) — the public
     commit API used by the cross-process race worker — must carry the
