@@ -181,6 +181,19 @@ SCALE_PROBE_QUERIES = (
     # and one declared-schema snapshot read — should scale like the
     # upserts (the schema is metadata; the read adds no file work).
     "silver_versioned_schema_evolution",
+    # stats-pruned read after a multi-date commit (registered round
+    # 12, 2.5 s at sf0.1): one versioned upsert + one manifest-stats-
+    # pruned snapshot read — the stats are footer metadata collected
+    # at commit, so the query should scale like the upsert that feeds
+    # it, and the read side should get CHEAPER relative to table size
+    # as pruning bites.
+    "silver_versioned_stats_prune",
+    # compaction-as-a-commit (registered round 12, 5.1 s at sf0.1):
+    # one fragmented full-batch upsert + a rewrite of the fragmented
+    # partitions + a full snapshot read — every stage is scan-bound in
+    # the affected partitions, so the whole query should scale like
+    # the upsert family.
+    "silver_versioned_compaction",
     # the lifecycle through the VERSIONED store (registered round 11,
     # ~8.5 s at sf0.1 — now the most expensive query): same fixed
     # ProcessingTime overhead as the plain lifecycle plus the

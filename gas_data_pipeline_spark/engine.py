@@ -277,18 +277,34 @@ class GasDataEngine:
     # Read path (reference §3.1: GET /v2/data; §3.3: get_history)
     # ------------------------------------------------------------------
 
-    def _read_obs(self) -> DataFrame:
+    def _read_obs(
+        self, series_id: str | None = None, start=None, end=None
+    ) -> DataFrame:
         """The observation store, resolved through the configured
         commit layer: a plain parquet scan, or the current manifest
         snapshot when ``atomic_silver`` (one atomic resolution — a
-        concurrent upsert never yields a mixed read)."""
+        concurrent upsert never yields a mixed read). Under the
+        versioned store the optional predicates prune at the MANIFEST
+        level — a date range selects partition entries and a series id
+        consults the per-partition column stats BEFORE any file
+        listing (round 12: get_data previously read every partition
+        and filtered at row level, so the metadata prune never fired
+        on the API's hottest path). Row-level filters still apply
+        inside, so callers that also filter are merely redundant,
+        never wrong."""
         if not self.atomic_silver:
             return self.spark.read.parquet(self.obs_path)
         from gas_data_pipeline_spark.pipeline.versioned import (
             read_observations_versioned,
         )
 
-        return read_observations_versioned(self.spark, self.obs_path)
+        return read_observations_versioned(
+            self.spark,
+            self.obs_path,
+            start=start,
+            end=end,
+            series_ids=series_id,
+        )
 
     def get_data(
         self,
@@ -309,7 +325,7 @@ class GasDataEngine:
         broadcast. ``nested=True`` returns the API's response shape —
         one row per series with an ordered ``points`` array (A1)."""
         limit = min(limit, 5000)  # routes.py:20 cap
-        obs = self._read_obs()
+        obs = self._read_obs(series_id=series_id, start=start, end=end)
         meta = self.spark.read.parquet(self.series_path)
         if series_id is not None:
             obs = obs.filter(F.col("series_id") == series_id)

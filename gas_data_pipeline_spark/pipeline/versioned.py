@@ -319,7 +319,16 @@ def _partition_stats(pdir: str) -> dict:
     is omitted (absent stats disable pruning for it, never break it).
     Values must be JSON-able — string keys pass through, anything else
     is omitted (the manifest is JSON and comparison semantics across
-    a JSON round-trip are only safe for strings)."""
+    a JSON round-trip are only safe for strings).
+
+    Single-node contract note (same class as vacuum's mtime aging):
+    footers are read serially on the driver — O(part files of the
+    AFFECTED partitions) metadata reads per commit, which is the
+    hourly-commit shape (a handful of dates). A cluster port that
+    commits thousands of files at once should collect these bounds in
+    the WRITE tasks instead (Iceberg's shape: each task reports its
+    file's stats with the file handle) or read footers in a
+    parallelized job; the manifest format here would not change."""
     import pyarrow.parquet as pq
 
     try:
@@ -556,6 +565,136 @@ def read_observations_versioned(
         )
         out = out.filter(F.col("series_id").isin(wanted))
     return out
+
+
+def compact_versioned(
+    spark: SparkSession,
+    root: str,
+    min_files: int = 2,
+    sort_within: bool = True,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Layout-only commit (Iceberg's ``rewrite_data_files``): rewrite
+    every partition whose directory holds >= ``min_files`` part files
+    into a fresh version directory — ``ceil(partition_bytes /
+    target_bytes)`` files per partition (never fewer tasks than that,
+    so a TB-sized date partition compacts across the cluster instead
+    of through one task — the bin-pack half of Iceberg's rewrite),
+    rows optionally sorted by the business keys within each output
+    file for scan locality — and publish the result as a normal
+    snapshot. Content is EXACTLY preserved (pinned by the compaction
+    query's oracle and tests/test_pipeline.py), so:
+
+    - readers pinned on pre-compaction versions keep working until
+      retention expires them (structural sharing: unrewritten
+      partitions' entries still point at their old dirs);
+    - stats are recomputed from the new files' footers (same values —
+      min/max are order-independent — but the new footers are the
+      authoritative source, and partitions that predate stats gain
+      them here);
+    - the schema key carries forward (``publish_version(schema=None)``
+      semantics);
+    - the publish goes through the same CAS fence as any writer — a
+      compaction racing an upsert loses cleanly and can simply re-run.
+
+    Fragmentation is the steady state of an incremental writer at
+    scale: one date partition spans many files once
+    ``maxRecordsPerFile`` / AQE splits the merge write, and every
+    commit that misses the date leaves them. Compaction cost is the
+    rewritten partitions only, never the table. Returns the committed
+    manifest (the CURRENT one when nothing is fragmented — a no-op
+    publishes nothing)."""
+    current = read_manifest(root)
+    if current is None or not current["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    fragmented = {}
+    n_out = {}
+    for d, rel in current["partitions"].items():
+        pdir = os.path.join(root, rel)
+        try:
+            files = [
+                f for f in os.listdir(pdir) if f.endswith(".parquet")
+            ]
+        except OSError:
+            files = []
+        if len(files) >= min_files:
+            fragmented[d] = rel
+            size = sum(
+                os.path.getsize(os.path.join(pdir, f)) for f in files
+            )
+            n_out[d] = max(1, -(-size // target_bytes))
+    if not fragmented:
+        return current
+    version = current["version"] + 1
+    vtag = f"v{version}-{uuid.uuid4().hex[:8]}"
+    vdir = os.path.join(root, vtag)
+    reader = spark.read
+    if current.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(current["schema"]))
+    df = reader.parquet(
+        *[os.path.join(root, rel) for rel in fragmented.values()]
+    )
+    # PARTITION_COL rides in the data files (the physical dirs key on
+    # the shadow column), so the partition identity reconstructs from
+    # content — null dates land back under the Hive default partition.
+    out = df.withColumn(_PDATE, F.col(PARTITION_COL).cast("string"))
+    # Output-file bucketing: hash the business keys into each date's
+    # n_out buckets so the exchange spreads a big partition over
+    # ceil(bytes/target) tasks — one output file per (date, bucket).
+    # The per-date fan-out map is manifest-sized (one literal entry
+    # per fragmented date), the same embed discipline as the model
+    # seams. Null dates miss the map; coalesce sends them to bucket 0.
+    fan = F.create_map(
+        *[
+            lit
+            for d in sorted(n_out)
+            for lit in (F.lit(d), F.lit(int(n_out[d])))
+        ]
+    )
+    out = out.withColumn(
+        "__cbucket",
+        F.coalesce(
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in KEYS]),
+                fan[F.col(PARTITION_COL).cast("string")],
+            ),
+            F.lit(0),
+        ),
+    )
+    # EXPLICIT partition count: an unsized repartition lets AQE
+    # coalesce the (small-bytes, many-buckets) exchange back into one
+    # task, silently undoing the fan-out. The count is the global
+    # bin total — the same number Iceberg's rewrite would plan as
+    # file-group tasks. Hash collisions may co-locate buckets in a
+    # task (fewer, larger files — never lost parallelism beyond the
+    # collision factor).
+    out = out.repartition(
+        int(sum(n_out.values())), F.col(PARTITION_COL), F.col("__cbucket")
+    )
+    if sort_within:
+        out = out.sortWithinPartitions(PARTITION_COL, *KEYS)
+    out.drop("__cbucket").write.mode("overwrite").partitionBy(
+        _PDATE
+    ).parquet(vdir)
+    partitions = dict(current["partitions"])
+    stats = dict(current.get("stats", {}))
+    for d in fragmented:
+        pdir = f"{vtag}/{_PDATE}={d}"
+        if os.path.isdir(os.path.join(root, pdir)):
+            partitions[d] = pdir
+            pstats = _partition_stats(os.path.join(root, pdir))
+            if pstats:
+                stats[d] = pstats
+            else:
+                stats.pop(d, None)
+        # A fragmented partition that produced no output would mean
+        # data loss — leave its entry on the OLD dir so nothing
+        # vanishes (cannot happen for non-empty inputs; belt only).
+    return publish_version(
+        root, version, partitions, schema=None, stats=stats
+    )
 
 
 def changelog_versioned(

@@ -67,12 +67,15 @@ def _load_all() -> None:
 # Round-12 rotation (VERDICT r11 #1): CORRECTNESS_r11.json landed 46
 # exact + 4 rows-only green (zero failures), so the window rotates.
 # The 9 anchors stay; rotating IN:
-#   - 3 first driver rows: silver_versioned_schema_evolution
+#   - 4 first driver rows: silver_versioned_schema_evolution
 #     (registered r11, parity-gated, tail-only until now — builder
 #     residual #5), silver_versioned_stats_prune (REGISTERED this
-#     round: manifest column-stats pruning, VERDICT r11 #2) and
+#     round: manifest column-stats pruning, VERDICT r11 #2),
 #     gie_rest_datasource_melt (REGISTERED this round: SRC6 as a
-#     per-country-partitioned Python DataSource, VERDICT r11 #8);
+#     per-country-partitioned Python DataSource, VERDICT r11 #8) and
+#     silver_versioned_compaction (REGISTERED this round: layout-only
+#     rewrite commit — its slot came from dedup_cluster_stats, the
+#     alphabetically-last r8 filler, which rotates next round);
 #   - 4 touched-this-round re-certifications:
 #     silver_versioned_changelog (null/NaN-proof bump, ADVICE r11),
 #     event_day_streaks (empty-day-array guard, ADVICE r11 — also an
@@ -80,7 +83,7 @@ def _load_all() -> None:
 #     quality_classifier_filter (the fit is now sample-bounded, so
 #     the whole trained trajectory changed — VERDICT r11 #3);
 #   - ALL 27 remaining r7-era rows (the stalest anywhere after the
-#     r11 window) plus the 7 alphabetically-first r8-era rows to fill
+#     r11 window) plus the 6 alphabetically-first r8-era rows to fill
 #     the window. After this window runs, the stalest driver row
 #     anywhere is r8-era.
 # Rotating OUT: the r11 greens (re-proven last round) and the 4
@@ -101,6 +104,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "silver_versioned_schema_evolution",
     "silver_versioned_stats_prune",
     "gie_rest_datasource_melt",
+    "silver_versioned_compaction",
     # -- touched this round: re-certification --
     "silver_versioned_changelog",
     "event_day_streaks",
@@ -141,7 +145,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ccnet_perplexity_buckets",
     "cms_heavy_hitters_merge",
     "contamination_source_matrix",
-    "dedup_cluster_stats",
 )
 
 

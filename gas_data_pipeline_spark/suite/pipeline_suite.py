@@ -345,6 +345,71 @@ def silver_versioned_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "silver_versioned_compaction",
+    oracle="""
+        SELECT series_id, observation_time, value
+        FROM (
+            SELECT 'NG_EVENTS_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def silver_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction as a COMMIT on the versioned store (round 12 —
+    Iceberg's rewrite_data_files; pipeline/versioned.py:
+    compact_versioned): the initial commit is forced to fragment
+    (maxRecordsPerFile caps the merge write, the state an incremental
+    writer reaches at scale once dates span many files), compaction
+    rewrites the fragmented partitions into one sorted file each and
+    publishes the layout change as a normal CAS-fenced snapshot —
+    content exactly preserved (this oracle), old versions still
+    time-travelable (structural sharing), stats refreshed from the new
+    footers. Cost is the rewritten partitions only, never the table.
+    File-count and pinned-read invariants live in
+    tests/test_pipeline.py."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        compact_versioned,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+    page = e.select(
+        F.concat(
+            F.lit("NG_EVENTS_"), F.col("user_id").cast("string")
+        ).alias("series_id"),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+    key = "spark.sql.files.maxRecordsPerFile"
+    old = spark.conf.get(key, "0")
+    spark.conf.set(key, "500")
+    try:
+        upsert_observations_versioned(
+            spark, page, root, order_cols=["ingestion_time", "event_id"]
+        )
+    finally:
+        spark.conf.set(key, old)
+    # Small target so the bin-pack fan-out (ceil(bytes/target) output
+    # files per partition — the at-scale parallelism story) actually
+    # engages on test-sized partitions instead of degenerating to one
+    # task per date.
+    compact_versioned(spark, root, target_bytes=256 * 1024)
+    return read_observations_versioned(spark, root).select(
+        "series_id", "observation_time", "value"
+    )
+
+
+@register(
     "silver_versioned_stats_prune",
     oracle="""
         WITH page AS (

@@ -508,3 +508,45 @@ def test_engine_atomic_ingest_retries_on_fence(spark, monkeypatch):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_get_data_prunes_partitions_at_manifest_level(spark):
+    """Round 12: get_data's date/series predicates must reach the
+    manifest BEFORE any file listing under the atomic default — a
+    date-ranged read lists only the matching date partitions, and a
+    series predicate consults the per-partition column stats. The
+    row-level filters still apply, so results are exact either way."""
+    import tempfile
+
+    from gas_data_pipeline_spark.engine import GasDataEngine
+
+    root = tempfile.mkdtemp(prefix="gas_prune_")
+    try:
+        eng = GasDataEngine(spark, root)
+        eng.ingest_batch(
+            _wide_batch(spark),
+            "GAS_QUALITY",
+            "national_gas",
+            ["site_id"],
+            "observed_at",
+        )
+        dates = sorted(
+            str(r[0])
+            for r in eng._read_obs()
+            .select(F.to_date("observation_time"))
+            .distinct()
+            .collect()
+        )
+        assert len(dates) >= 2, "fixture must span several dates"
+        d0 = dates[0]
+        df = eng.get_data(start=f"{d0} 00:00:00", end=f"{d0} 23:59:59")
+        files = eng._read_obs(start=f"{d0} 00:00:00", end=f"{d0} 23:59:59").inputFiles()
+        assert files and all(f"__pdate={d0}" in f for f in files)
+        assert df.count() > 0
+        # A series id outside every partition's recorded range lists
+        # NOTHING (stats prune), and the API result is exactly empty.
+        none = eng._read_obs(series_id="zzz_no_such_series")
+        assert none.inputFiles() == [] or none.count() == 0
+        assert eng.get_data(series_id="zzz_no_such_series").count() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

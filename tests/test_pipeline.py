@@ -2125,3 +2125,159 @@ def test_versioned_flock_released_on_writer_death(scratch):
     os.makedirs(os.path.join(scratch, "v1-cafecafe", "__pdate=2024-01-01"))
     publish_version(scratch, 1, {"2024-01-01": "v1-cafecafe/__pdate=2024-01-01"})
     assert read_manifest(scratch)["version"] == 1
+
+
+def test_versioned_compaction_rewrites_only_fragmented(spark, scratch):
+    """compact_versioned is a layout-only commit: fragmented
+    partitions collapse to one sorted file each, untouched partitions
+    keep their OLD directories (structural sharing — never rewritten,
+    never listed), content is identical, the pre-compaction version
+    stays time-travelable, and stats survive the rewrite."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        compact_versioned,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    key = "spark.sql.files.maxRecordsPerFile"
+    old = spark.conf.get(key, "0")
+    rows = [
+        ("A_%d" % i, "2024-01-01 %02d:00:00" % (i % 24), float(i),
+         "2024-01-01 01:00:00", i)
+        for i in range(40)
+    ]
+    spark.conf.set(key, "10")  # force >= 4 files in the Jan partition
+    try:
+        upsert_observations_versioned(
+            spark, _vs_batch(spark, rows), scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    finally:
+        spark.conf.set(key, old)
+    # A second, unfragmented partition that compaction must NOT touch.
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(
+            spark, [("B_1", "2024-02-01 00:00:00", 1.0, "2024-02-01 01:00:00", 99)]
+        ),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    m2 = read_manifest(scratch)
+    jan_dir = os.path.join(scratch, m2["partitions"]["2024-01-01"])
+    n_before = sum(1 for f in os.listdir(jan_dir) if f.endswith(".parquet"))
+    assert n_before >= 4, "fixture failed to fragment"
+    before = sorted(
+        map(tuple, read_observations_versioned(spark, scratch).collect())
+    )
+
+    m3 = compact_versioned(spark, scratch, min_files=2)
+    assert m3["version"] == 3
+    # Jan rewritten to ONE file under the new version dir; Feb's entry
+    # untouched (same old dir).
+    assert m3["partitions"]["2024-01-01"].startswith("v3-")
+    assert m3["partitions"]["2024-02-01"] == m2["partitions"]["2024-02-01"]
+    jan_new = os.path.join(scratch, m3["partitions"]["2024-01-01"])
+    assert sum(1 for f in os.listdir(jan_new) if f.endswith(".parquet")) == 1
+    # Content exactly preserved; stats refreshed and present.
+    after = sorted(
+        map(tuple, read_observations_versioned(spark, scratch).collect())
+    )
+    assert after == before
+    assert m3["stats"]["2024-01-01"]["series_id"][0].startswith("A_")
+    # The pre-compaction snapshot is still readable (time travel).
+    pinned = sorted(
+        map(tuple, read_observations_versioned(spark, scratch, version=2).collect())
+    )
+    assert pinned == before
+    # Re-compacting a compacted store is a no-op (no new version).
+    assert compact_versioned(spark, scratch, min_files=2)["version"] == 3
+
+
+def test_versioned_compaction_bin_packs_to_target_bytes(spark, scratch):
+    """The at-scale half of compaction: a partition bigger than
+    target_bytes splits over ceil(bytes/target) output files (hash of
+    the business keys -> bucket -> task), so a TB-sized date compacts
+    across the cluster instead of through one task. Content identical
+    either way."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        compact_versioned,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    key = "spark.sql.files.maxRecordsPerFile"
+    old = spark.conf.get(key, "0")
+    rows = [
+        ("S_%03d" % i, "2024-01-01 %02d:00:00" % (i % 24), float(i),
+         "2024-01-01 01:00:00", i)
+        for i in range(400)
+    ]
+    spark.conf.set(key, "50")
+    try:
+        upsert_observations_versioned(
+            spark, _vs_batch(spark, rows), scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    finally:
+        spark.conf.set(key, old)
+    before = sorted(
+        map(tuple, read_observations_versioned(spark, scratch).collect())
+    )
+    m1 = read_manifest(scratch)
+    pdir = os.path.join(scratch, m1["partitions"]["2024-01-01"])
+    total = sum(
+        os.path.getsize(os.path.join(pdir, f))
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+    # Target a quarter of the partition: expect >= 2 output files (hash
+    # buckets can co-locate in a task, so ceil is an upper bound on
+    # file count, parallelism is the contract).
+    m2 = compact_versioned(spark, scratch, target_bytes=max(1, total // 4))
+    new_dir = os.path.join(scratch, m2["partitions"]["2024-01-01"])
+    n_files = sum(1 for f in os.listdir(new_dir) if f.endswith(".parquet"))
+    assert 2 <= n_files <= 4
+    after = sorted(
+        map(tuple, read_observations_versioned(spark, scratch).collect())
+    )
+    assert after == before
+
+
+def test_widening_chain_is_scan_readable(spark, tmp_path):
+    """Every pair _WIDENING_CHAINS admits must actually be readable:
+    files written at the NARROW type scanned under a declared WIDER
+    schema yield the same values — this is the physical fact that
+    makes _evolve_schema's wider-side-wins resolution safe. If a
+    Spark upgrade ever dropped one of these upcasts, this test (not a
+    production read) should be what breaks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType, _parse_datatype_string
+
+    from gas_data_pipeline_spark.pipeline.versioned import _WIDENING_CHAINS
+
+    pairs = [
+        (narrow, wide)
+        for narrow, chain in _WIDENING_CHAINS.items()
+        for wide in chain
+        if wide != narrow
+    ] + [("decimal(10,2)", "decimal(18,2)"), ("decimal(10,2)", "decimal(22,2)")]
+    for i, (narrow, wide) in enumerate(pairs):
+        d = str(tmp_path / f"w{i}")
+        spark.range(3).select(
+            F.col("id"), F.col("id").cast(narrow).alias("x")
+        ).write.parquet(d)
+        sch = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("x", _parse_datatype_string(wide)),
+            ]
+        )
+        got = sorted(
+            (r.id, float(r.x)) for r in spark.read.schema(sch).parquet(d).collect()
+        )
+        assert got == [(0, 0.0), (1, 1.0), (2, 2.0)], (narrow, wide)
