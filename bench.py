@@ -194,6 +194,15 @@ SCALE_PROBE_QUERIES = (
     # the affected partitions, so the whole query should scale like
     # the upsert family.
     "silver_versioned_compaction",
+    # copy-on-write DELETE (registered round 12, 3.3 s at sf0.1): one
+    # full-batch upsert + a predicate scan + a rewrite of the matched
+    # date's partition — every stage scan-bound in affected bytes.
+    "silver_versioned_delete",
+    # changelog-fed rollup maintenance (registered round 12, 4.7 s at
+    # sf0.1): two upserts + a signed churn-pruned delta + one
+    # churn-sized merge join — the claim is that no stage rescans
+    # facts beyond the churned partitions.
+    "silver_versioned_incremental_rollup",
     # the lifecycle through the VERSIONED store (registered round 11,
     # ~8.5 s at sf0.1 — now the most expensive query): same fixed
     # ProcessingTime overhead as the plain lifecycle plus the

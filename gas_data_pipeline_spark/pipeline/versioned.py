@@ -697,6 +697,140 @@ def compact_versioned(
     )
 
 
+def delete_versioned(spark: SparkSession, root: str, predicate) -> dict:
+    """Row-level DELETE as a commit (Delta/Iceberg copy-on-write
+    DELETE): partitions containing matches rewrite WITHOUT the matched
+    rows into a fresh version directory; untouched partitions stay
+    structurally shared, a partition whose every row matches vanishes
+    from the manifest (its files survive for time travel until
+    retention expires them), and the publish goes through the same CAS
+    fence as any writer.
+
+    Null-safe three-valued logic the way SQL DELETE means it: only
+    rows where ``predicate`` evaluates TRUE are removed — a NULL
+    predicate keeps the row (a bare ``filter(~pred)`` would silently
+    delete every null-eval row).
+
+    Cost: one scan to find the affected partitions (manifest-pruned
+    readers can't know where arbitrary-predicate matches live — the
+    same reason Iceberg's copy-on-write DELETE plans a scan; a
+    predicate on a stats column prunes that scan like any read) plus a
+    rewrite of exactly those partitions. The matched-dates collect is
+    metadata-sized (distinct partition values). A no-match delete
+    publishes nothing and returns the current manifest."""
+    current = read_manifest(root)
+    if current is None or not current["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    pred = F.coalesce(predicate, F.lit(False))
+    full = read_observations_versioned(spark, root)
+    hit_dates = {
+        str(r[0]) if r[0] is not None else _NULL_PART
+        for r in full.filter(pred).select(PARTITION_COL).distinct().collect()
+    }
+    if not hit_dates:
+        return current
+    version = current["version"] + 1
+    vtag = f"v{version}-{uuid.uuid4().hex[:8]}"
+    vdir = os.path.join(root, vtag)
+    reader = spark.read
+    if current.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(current["schema"]))
+    paths = [
+        os.path.join(root, current["partitions"][d])
+        for d in sorted(hit_dates)
+        if d in current["partitions"]
+    ]
+    survivors = (
+        reader.parquet(*paths)
+        .filter(~pred)
+        .withColumn(_PDATE, F.col(PARTITION_COL).cast("string"))
+        .repartition(F.col(PARTITION_COL))
+    )
+    survivors.write.mode("overwrite").partitionBy(_PDATE).parquet(vdir)
+    partitions = dict(current["partitions"])
+    stats = dict(current.get("stats", {}))
+    for d in sorted(hit_dates):
+        pdir = f"{vtag}/{_PDATE}={d}"
+        if os.path.isdir(os.path.join(root, pdir)):
+            partitions[d] = pdir
+            pstats = _partition_stats(os.path.join(root, pdir))
+            if pstats:
+                stats[d] = pstats
+            else:
+                stats.pop(d, None)
+        else:
+            # Every row of the partition matched: the date is gone.
+            partitions.pop(d, None)
+            stats.pop(d, None)
+    return publish_version(
+        root, version, partitions, schema=None, stats=stats
+    )
+
+
+def _churned_sides(
+    spark: SparkSession, root: str, from_version: int, to_version: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """The metadata-pruned two-sided read both changelog flavors
+    share: resolve both manifests, keep only CHURNED partitions
+    (entry differs, appeared, or vanished — identical entries are the
+    same immutable directory and are skipped without being listed),
+    and read each side under its OWN snapshot's declared schema.
+    Raises ``FileNotFoundError`` when either manifest is missing or
+    both snapshots are empty — same contract as a pinned read."""
+    old_m = read_manifest(root, from_version)
+    new_m = read_manifest(root, to_version)
+    if old_m is None or new_m is None:
+        missing = from_version if old_m is None else to_version
+        raise FileNotFoundError(
+            f"no committed snapshot v{missing} under {root} (vacuumed or "
+            "never published)"
+        )
+    po, pn = old_m["partitions"], new_m["partitions"]
+    if not (po or pn):
+        raise FileNotFoundError(f"no data partitions under {root}")
+    churned = sorted(d for d in set(po) | set(pn) if po.get(d) != pn.get(d))
+
+    def _side(m: dict) -> DataFrame:
+        reader = spark.read
+        if m.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        parts = m["partitions"]
+        paths = [os.path.join(root, parts[d]) for d in churned if d in parts]
+        if paths:
+            return reader.parquet(*paths)
+        anchor = next(iter((pn or po).values()))
+        return reader.parquet(os.path.join(root, anchor)).limit(0)
+
+    return _side(old_m), _side(new_m)
+
+
+def changelog_delta_versioned(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """The SIGNED flavor of the changelog — the retract/add feed
+    incremental aggregate maintenance consumes
+    (pipeline/diff.snapshot_delta: deletes emit -1 rows, inserts +1,
+    updates the pair), computed over the CHURNED partitions only via
+    the same manifest-metadata pruning as :func:`changelog_versioned`.
+    Feeding :func:`pipeline.diff.apply_delta_to_rollup` with this
+    keeps a downstream rollup in lockstep with the table at the cost
+    of the churn between commits, never a fact rescan — the
+    materialized-view half of the table format."""
+    from gas_data_pipeline_spark.pipeline.diff import snapshot_delta
+
+    cols = cols or ["value"]
+    old_df, new_df = _churned_sides(spark, root, from_version, to_version)
+    return snapshot_delta(old_df, new_df, keys=list(KEYS), cols=cols)
+
+
 def changelog_versioned(
     spark: SparkSession,
     root: str,
@@ -721,46 +855,13 @@ def changelog_versioned(
     ``to_version=None`` means the current snapshot. Raises
     ``FileNotFoundError`` when either manifest is missing (expired by
     :func:`vacuum` or never committed) — same contract as a pinned
-    time-travel read."""
+    time-travel read. The churned-partition resolution and the
+    per-side declared-schema reads live in :func:`_churned_sides`,
+    shared with the signed flavor."""
     from gas_data_pipeline_spark.pipeline.diff import snapshot_diff
 
-    old_m = read_manifest(root, from_version)
-    new_m = read_manifest(root, to_version)
-    if old_m is None or new_m is None:
-        missing = from_version if old_m is None else to_version
-        raise FileNotFoundError(
-            f"no committed snapshot v{missing} under {root} (vacuumed or "
-            "never published)"
-        )
-    po, pn = old_m["partitions"], new_m["partitions"]
-    if not (po or pn):
-        # Both snapshots empty (an empty first batch commits a
-        # partitionless manifest): there is no anchor file to borrow a
-        # schema from — fail like a read of an empty store would.
-        raise FileNotFoundError(f"no data partitions under {root}")
-    churned = sorted(d for d in set(po) | set(pn) if po.get(d) != pn.get(d))
-
-    def _side(m: dict) -> DataFrame:
-        # Each side reads under its OWN snapshot's declared schema
-        # (when present): a side's churned dirs can span several older
-        # versions with different file schemas, and the diff's column
-        # resolution must not depend on which file anchors the scan.
-        reader = spark.read
-        if m.get("schema") is not None:
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(m["schema"]))
-        parts = m["partitions"]
-        paths = [os.path.join(root, parts[d]) for d in churned if d in parts]
-        if paths:
-            return reader.parquet(*paths)
-        # No churned partition on this side (pure inserts/deletes, or
-        # an empty changelog): an empty frame with the store schema so
-        # the diff's column resolution still works.
-        anchor = next(iter((pn or po).values()))
-        return reader.parquet(os.path.join(root, anchor)).limit(0)
-
-    return snapshot_diff(_side(old_m), _side(new_m), keys=list(KEYS))
+    old_df, new_df = _churned_sides(spark, root, from_version, to_version)
+    return snapshot_diff(old_df, new_df, keys=list(KEYS))
 
 
 def vacuum(

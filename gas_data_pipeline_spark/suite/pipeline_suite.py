@@ -345,6 +345,164 @@ def silver_versioned_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "silver_versioned_delete",
+    oracle="""
+        WITH v AS (
+            SELECT * FROM (
+                SELECT 'NG_EVENTS_' || CAST(user_id AS VARCHAR) AS series_id,
+                       date_trunc('hour', ts) AS observation_time,
+                       CAST(value AS DOUBLE) AS value,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        ),
+        d0 AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+        SELECT series_id, observation_time, value
+        FROM v
+        WHERE NOT COALESCE(
+            CAST(observation_time AS DATE) = (SELECT d FROM d0)
+            AND value < 50.0, FALSE)
+    """,
+)
+def silver_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE as a commit (round 12 — Delta/Iceberg
+    copy-on-write DELETE; pipeline/versioned.py:delete_versioned):
+    commit the full batch, then delete min-date rows with value < 50.
+    Only the matched date's partition rewrites (one scan finds the
+    affected partitions, the rewrite touches exactly those —
+    structural sharing keeps every other date's directory); the
+    pre-delete snapshot stays time-travelable; NULL-evaluating
+    predicates KEEP their rows (SQL DELETE three-valued logic, which
+    the oracle mirrors with NOT COALESCE(pred, FALSE)). The publish is
+    the same CAS-fenced manifest swap as any writer's."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+    page = e.select(
+        F.concat(
+            F.lit("NG_EVENTS_"), F.col("user_id").cast("string")
+        ).alias("series_id"),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+    upsert_observations_versioned(
+        spark, page, root, order_cols=["ingestion_time", "event_id"]
+    )
+    min_day = e.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    delete_versioned(
+        spark,
+        root,
+        (F.to_date("observation_time") == F.lit(min_day))
+        & (F.col("value") < 50.0),
+    )
+    return read_observations_versioned(spark, root).select(
+        "series_id", "observation_time", "value"
+    )
+
+
+@register(
+    "silver_versioned_incremental_rollup",
+    oracle="""
+        WITH v2 AS (
+            SELECT * FROM (
+                SELECT 'NG_EVENTS_' || CAST(user_id AS VARCHAR) AS series_id,
+                       date_trunc('hour', ts) AS observation_time,
+                       CAST(value AS DOUBLE) AS value,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        )
+        SELECT series_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM v2
+        GROUP BY series_id
+    """,
+)
+def silver_versioned_incremental_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The materialized-view half of the table format (round 12):
+    a per-series count/sum rollup built from snapshot v1 (the even-id
+    half) is maintained to v2 (the full batch) by folding the SIGNED
+    changelog between the two commits
+    (pipeline/versioned.py:changelog_delta_versioned — the
+    retract/add feed over CHURNED partitions only, manifest-pruned) —
+    no fact rescan ever happens, yet the oracle is the full recompute
+    over v2 and the maintained result must be indistinguishable from
+    it. At 100 TB an hourly commit's rollup refresh costs the churn:
+    the delta feed aggregates map-side to group grain before one
+    churn-sized merge join (pipeline/diff.apply_delta_to_rollup).
+    Sums ride decimal so addition order can't drift from the
+    recompute."""
+    from gas_data_pipeline_spark.pipeline.diff import apply_delta_to_rollup
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        changelog_delta_versioned,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+
+    def page(df):
+        return df.select(
+            F.concat(
+                F.lit("NG_EVENTS_"), F.col("user_id").cast("string")
+            ).alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+            F.col("value").cast("double").alias("value"),
+            F.col("ts").alias("ingestion_time"),
+            F.col("event_id"),
+        )
+
+    order = ["ingestion_time", "event_id"]
+    upsert_observations_versioned(
+        spark, page(e.filter(F.col("event_id") % 2 == 0)), root, order_cols=order
+    )
+    upsert_observations_versioned(spark, page(e), root, order_cols=order)
+
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    rollup_v1 = (
+        read_observations_versioned(spark, root, version=1)
+        .withColumn("sum_value", dec("value"))
+        .groupBy("series_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    deltas = changelog_delta_versioned(
+        spark, root, 1, 2, cols=["value"]
+    ).withColumn("sum_value", dec("value"))
+    maintained = apply_delta_to_rollup(
+        rollup_v1,
+        deltas,
+        group_cols=["series_id"],
+        sum_cols=["sum_value"],
+        count_col="n_rows",
+    )
+    return maintained.select(
+        "series_id",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "silver_versioned_compaction",
     oracle="""
         SELECT series_id, observation_time, value

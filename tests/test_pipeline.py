@@ -2197,6 +2197,61 @@ def test_versioned_compaction_rewrites_only_fragmented(spark, scratch):
     assert compact_versioned(spark, scratch, min_files=2)["version"] == 3
 
 
+def test_versioned_delete_rewrites_only_matched_partitions(spark, scratch):
+    """Copy-on-write DELETE: only partitions containing matches
+    rewrite; a fully-matched partition vanishes from the manifest; a
+    NULL-evaluating predicate keeps its rows (SQL three-valued
+    DELETE); the pre-delete snapshot stays time-travelable; a
+    no-match delete publishes nothing."""
+    from pyspark.sql import functions as F
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    rows = [
+        # Jan: values straddle the threshold -> partial delete.
+        ("A_1", "2024-01-01 00:00:00", 10.0, "2024-01-01 01:00:00", 1),
+        ("A_2", "2024-01-01 01:00:00", 90.0, "2024-01-01 01:00:00", 2),
+        # Feb: every row matches -> partition vanishes.
+        ("B_1", "2024-02-01 00:00:00", 5.0, "2024-02-01 01:00:00", 3),
+        # Mar: no row matches -> directory untouched.
+        ("C_1", "2024-03-01 00:00:00", 99.0, "2024-03-01 01:00:00", 4),
+        # Apr: NULL value -> predicate NULL -> row KEPT, dir untouched.
+        ("D_1", "2024-04-01 00:00:00", None, "2024-04-01 01:00:00", 5),
+    ]
+    upsert_observations_versioned(
+        spark, _vs_batch(spark, rows), scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    m1 = read_manifest(scratch)
+    m2 = delete_versioned(spark, scratch, F.col("value") < 50.0)
+    assert m2["version"] == 2
+    got = {(r.series_id, r.value) for r in read_observations_versioned(
+        spark, scratch
+    ).collect()}
+    assert got == {("A_2", 90.0), ("C_1", 99.0), ("D_1", None)}
+    # Jan rewritten, Feb gone, Mar/Apr structurally shared unchanged.
+    assert m2["partitions"]["2024-01-01"].startswith("v2-")
+    assert "2024-02-01" not in m2["partitions"]
+    assert m2["partitions"]["2024-03-01"] == m1["partitions"]["2024-03-01"]
+    assert m2["partitions"]["2024-04-01"] == m1["partitions"]["2024-04-01"]
+    # Jan's stats reflect the survivors only.
+    assert m2["stats"]["2024-01-01"]["series_id"] == ["A_2", "A_2"]
+    # Pre-delete snapshot intact (time travel).
+    v1 = {(r.series_id, r.value) for r in read_observations_versioned(
+        spark, scratch, version=1
+    ).collect()}
+    assert ("B_1", 5.0) in v1 and len(v1) == 5
+    # No-match delete: no new version.
+    assert delete_versioned(
+        spark, scratch, F.col("value") > 1e9
+    )["version"] == 2
+
+
 def test_versioned_compaction_bin_packs_to_target_bytes(spark, scratch):
     """The at-scale half of compaction: a partition bigger than
     target_bytes splits over ceil(bytes/target) output files (hash of
