@@ -194,6 +194,12 @@ SCALE_PROBE_QUERIES = (
     # the affected partitions, so the whole query should scale like
     # the upsert family.
     "silver_versioned_compaction",
+    # the composed table-format lifecycle (registered round 12, 7.4 s
+    # at sf0.1): full commit + fragmented schema-evolving commit +
+    # copy-on-write delete + bin-packed compaction + declared-schema
+    # read — the probe's job is a superlinear term hiding in the
+    # composition (each stage is individually probed too).
+    "silver_versioned_lifecycle_e2e",
     # copy-on-write DELETE (registered round 12, 3.3 s at sf0.1): one
     # full-batch upsert + a predicate scan + a rewrite of the matched
     # date's partition — every stage scan-bound in affected bytes.

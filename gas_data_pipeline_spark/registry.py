@@ -89,11 +89,12 @@ def _load_all() -> None:
 # Rotating OUT: the r11 greens (re-proven last round) and the 4
 # rows-only approximations (refreshed r11; their exact twins and
 # pytest-pinned recall/error bounds keep covering them).
-# TAIL NOTE for the r13 rotation: silver_versioned_delete and
-# silver_versioned_incremental_rollup registered AFTER this window
-# was sized (late round 12) — parity-gated at sf0.01+sf0.1 and
-# probed, they sit in the tail and should earn first driver rows
-# next round (the same path silver_versioned_schema_evolution took).
+# TAIL NOTE for the r13 rotation: silver_versioned_delete,
+# silver_versioned_incremental_rollup and silver_versioned_lifecycle_e2e
+# registered AFTER this window was sized (late round 12) —
+# parity-gated at sf0.01+sf0.1 and probed, they sit in the tail and
+# should earn first driver rows next round (the same path
+# silver_versioned_schema_evolution took).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",

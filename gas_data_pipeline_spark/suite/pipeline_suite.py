@@ -345,6 +345,112 @@ def silver_versioned_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "silver_versioned_lifecycle_e2e",
+    oracle="""
+        WITH page AS (
+            SELECT 'NG_EVENTS_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   ts AS ingestion_time,
+                   event_id
+            FROM events
+        ),
+        v AS (
+            SELECT * FROM (
+                SELECT p.*, row_number() OVER (
+                           PARTITION BY series_id, observation_time
+                           ORDER BY ingestion_time DESC, event_id DESC
+                       ) AS rn
+                FROM page p
+            ) WHERE rn = 1
+        ),
+        d0 AS (SELECT min(CAST(ts AS DATE)) AS d FROM events),
+        d1 AS (
+            SELECT min(CAST(ts AS DATE)) AS d FROM events
+            WHERE CAST(ts AS DATE) > (SELECT d FROM d0)
+        )
+        SELECT series_id, observation_time, value,
+               CASE WHEN CAST(observation_time AS DATE) = (SELECT d FROM d0)
+                    THEN CASE WHEN value >= 50 THEN 'good' ELSE 'poor' END
+                    ELSE NULL END AS quality_flag
+        FROM v
+        WHERE NOT COALESCE(
+            CAST(observation_time AS DATE) = (SELECT d FROM d1)
+            AND value < 50.0, FALSE)
+    """,
+)
+def silver_versioned_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE table format composed in one lifecycle (round 12):
+    v1 = full-batch commit, v2 = schema-evolving single-date commit
+    (quality_flag on the earliest date, written FRAGMENTED — the
+    incremental-writer steady state; every other partition
+    structurally shared under the manifest-declared evolved schema),
+    v3 = copy-on-write DELETE (second date's sub-50 values; only that
+    partition rewrites), v4 = bin-packed COMPACTION (layout only,
+    rewriting exactly the fragmented evolved partition). The final
+    read must surface all four commits composed —
+    evolved column with computed values on d0 and nulls elsewhere,
+    d1's deletions applied, compaction invisible — which is exactly
+    what this oracle states declaratively over the raw events. The
+    'changelog across a compaction is EMPTY' invariant and the
+    per-version time-travel ladder are pinned in
+    tests/test_pipeline.py."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        compact_versioned,
+        delete_versioned,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+
+    def page(df):
+        return df.select(
+            F.concat(
+                F.lit("NG_EVENTS_"), F.col("user_id").cast("string")
+            ).alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+            F.col("value").cast("double").alias("value"),
+            F.col("ts").alias("ingestion_time"),
+            F.col("event_id"),
+        )
+
+    order = ["ingestion_time", "event_id"]
+    upsert_observations_versioned(spark, page(e), root, order_cols=order)
+    d0 = e.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    d1 = (
+        e.filter(F.to_date("ts") > F.lit(d0))
+        .agg(F.min(F.to_date("ts")))
+        .collect()[0][0]
+    )
+    evolved = page(e.filter(F.to_date("ts") == F.lit(d0))).withColumn(
+        "quality_flag",
+        F.when(F.col("value") >= 50, F.lit("good")).otherwise(F.lit("poor")),
+    )
+    # Fragment ONLY the evolved commit's partition (the incremental-
+    # writer steady state, scoped so the harness cost stays the one
+    # partition compaction will rewrite — fragmenting the whole v1
+    # table measured 24.7 s at sf0.1, all harness).
+    key = "spark.sql.files.maxRecordsPerFile"
+    old = spark.conf.get(key, "0")
+    spark.conf.set(key, "200")
+    try:
+        upsert_observations_versioned(spark, evolved, root, order_cols=order)
+    finally:
+        spark.conf.set(key, old)
+    delete_versioned(
+        spark,
+        root,
+        (F.to_date("observation_time") == F.lit(d1)) & (F.col("value") < 50.0),
+    )
+    compact_versioned(spark, root, target_bytes=256 * 1024)
+    return read_observations_versioned(spark, root).select(
+        "series_id", "observation_time", "value", "quality_flag"
+    )
+
+
+@register(
     "silver_versioned_delete",
     oracle="""
         WITH v AS (

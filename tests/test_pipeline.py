@@ -2197,6 +2197,72 @@ def test_versioned_compaction_rewrites_only_fragmented(spark, scratch):
     assert compact_versioned(spark, scratch, min_files=2)["version"] == 3
 
 
+def test_versioned_changelog_across_compaction_is_empty(spark, scratch):
+    """Compaction is layout-only, and the changelog must SAY so: the
+    row diff between the pre- and post-compaction versions is empty
+    even though every rewritten partition's manifest entry churned
+    (the metadata prune selects them, the row diff then finds
+    nothing). The time-travel ladder stays intact: each version
+    replays its own state."""
+    from pyspark.sql import functions as F
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        changelog_versioned,
+        compact_versioned,
+        delete_versioned,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    key = "spark.sql.files.maxRecordsPerFile"
+    old = spark.conf.get(key, "0")
+    jan = [
+        ("A_%d" % i, "2024-01-01 %02d:00:00" % (i % 24), float(i),
+         "2024-01-01 01:00:00", i)
+        for i in range(40)
+    ]
+    spark.conf.set(key, "10")  # fragment Jan; the delete won't touch it
+    try:
+        upsert_observations_versioned(
+            spark, _vs_batch(spark, jan), scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    finally:
+        spark.conf.set(key, old)
+    feb = [
+        ("B_%d" % i, "2024-02-01 %02d:00:00" % i, float(i),
+         "2024-02-01 01:00:00", 100 + i)
+        for i in range(10)
+    ]
+    upsert_observations_versioned(  # v2
+        spark, _vs_batch(spark, feb), scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    delete_versioned(  # v3: Feb only — Jan stays fragmented
+        spark,
+        scratch,
+        (F.col("series_id").startswith("B_")) & (F.col("value") < 5.0),
+    )
+    m4 = compact_versioned(spark, scratch, min_files=2)  # v4: Jan
+    assert m4["version"] == 4
+    # The compaction changelog: churned entries, ZERO row diff.
+    assert changelog_versioned(spark, scratch, 3, 4).count() == 0
+    # The delete changelog still reports its deletions.
+    dlog = changelog_versioned(spark, scratch, 2, 3)
+    assert {r.change_type for r in dlog.collect()} == {"delete"}
+    assert dlog.count() == 5
+    # Time-travel ladder: 40 -> 50 -> 45 -> 45, v4 content == v3's.
+    assert read_observations_versioned(spark, scratch, version=1).count() == 40
+    assert read_observations_versioned(spark, scratch, version=2).count() == 50
+    v3 = sorted(map(tuple, read_observations_versioned(
+        spark, scratch, version=3).collect()))
+    v4 = sorted(map(tuple, read_observations_versioned(
+        spark, scratch, version=4).collect()))
+    assert len(v3) == 45 and v3 == v4
+    assert read_manifest(scratch)["version"] == 4
+
+
 def test_versioned_delete_rewrites_only_matched_partitions(spark, scratch):
     """Copy-on-write DELETE: only partitions containing matches
     rewrite; a fully-matched partition vanishes from the manifest; a
