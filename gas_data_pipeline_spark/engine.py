@@ -418,6 +418,84 @@ class GasDataEngine:
         )
         return df.orderBy("observation_time")
 
+    # ------------------------------------------------------------------
+    # Table maintenance (atomic store only — round 12)
+    # ------------------------------------------------------------------
+
+    def _require_atomic(self, op: str) -> None:
+        if not self.atomic_silver:
+            raise ValueError(
+                f"{op} requires the versioned store "
+                "(GasDataEngine(atomic_silver=True), the default); the "
+                "plain silver store has no snapshot/manifest layer"
+            )
+
+    def read_observations_at(self, version: int) -> DataFrame:
+        """Time travel: the observation store as of a committed
+        version (until vacuum retention expires it)."""
+        self._require_atomic("read_observations_at")
+        from gas_data_pipeline_spark.pipeline.versioned import (
+            read_observations_versioned,
+        )
+
+        return read_observations_versioned(
+            self.spark, self.obs_path, version=version
+        )
+
+    def changelog(self, from_version: int, to_version: int | None = None):
+        """CDC between committed versions (churned partitions only)."""
+        self._require_atomic("changelog")
+        from gas_data_pipeline_spark.pipeline.versioned import (
+            changelog_versioned,
+        )
+
+        return changelog_versioned(
+            self.spark, self.obs_path, from_version, to_version
+        )
+
+    def delete_observations(self, predicate: Column) -> dict:
+        """Row-level DELETE as a commit (copy-on-write; NULL-evaluating
+        predicates keep their rows). Returns the committed manifest."""
+        self._require_atomic("delete_observations")
+        from gas_data_pipeline_spark.pipeline.versioned import (
+            delete_versioned,
+        )
+
+        return delete_versioned(self.spark, self.obs_path, predicate)
+
+    def compact_silver(
+        self,
+        min_files: int = 2,
+        target_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Layout-only rewrite commit for fragmented partitions
+        (bin-packed to target_bytes). Returns the committed manifest."""
+        self._require_atomic("compact_silver")
+        from gas_data_pipeline_spark.pipeline.versioned import (
+            compact_versioned,
+        )
+
+        return compact_versioned(
+            self.spark,
+            self.obs_path,
+            min_files=min_files,
+            target_bytes=target_bytes,
+        )
+
+    def vacuum_silver(
+        self, retain_last_n: int = 1, min_age_seconds: float = 86400.0
+    ) -> list[str]:
+        """Expire snapshots outside the retention window and reclaim
+        unreferenced version directories. Returns the deleted dirs."""
+        self._require_atomic("vacuum_silver")
+        from gas_data_pipeline_spark.pipeline.versioned import vacuum
+
+        return vacuum(
+            self.obs_path,
+            retain_last_n=retain_last_n,
+            min_age_seconds=min_age_seconds,
+        )
+
     def validate_batch(
         self, batch: DataFrame, rules: dict
     ) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -550,3 +550,54 @@ def test_get_data_prunes_partitions_at_manifest_level(spark):
         assert eng.get_data(series_id="zzz_no_such_series").count() == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_engine_table_maintenance_surface(spark):
+    """Round 12: the table-format maintenance operations ride the
+    engine facade — time travel, CDC, copy-on-write delete, compaction
+    and vacuum all resolve against the engine's observation store, and
+    every one of them refuses the plain (manifest-less) path with a
+    clear error instead of corrupting it."""
+    import tempfile
+
+    from gas_data_pipeline_spark.engine import GasDataEngine
+
+    root = tempfile.mkdtemp(prefix="gas_maint_")
+    try:
+        eng = GasDataEngine(spark, root)
+        eng.ingest_batch(
+            _wide_batch(spark), "GAS_QUALITY", "national_gas",
+            ["site_id"], "observed_at",
+        )
+        n1 = eng._read_obs().count()
+        # DELETE as a commit; v1 stays time-travelable; CDC sees it.
+        m = eng.delete_observations(F.col("value") < 0)  # no-op
+        assert m["version"] == 1
+        m = eng.delete_observations(F.col("series_id").endswith("_ENERGY"))
+        assert m["version"] == 2
+        assert eng._read_obs().count() < n1
+        assert eng.read_observations_at(1).count() == n1
+        assert {r.change_type for r in eng.changelog(1, 2).collect()} == {
+            "delete"
+        }
+        # Compaction: no fragmentation here -> no-op at version 2.
+        assert eng.compact_silver()["version"] == 2
+        # Vacuum with retention keeps the pinned v1 readable.
+        eng.vacuum_silver(retain_last_n=2, min_age_seconds=0)
+        assert eng.read_observations_at(1).count() == n1
+        # The plain path refuses every maintenance op.
+        import pytest as _pytest
+
+        plain = GasDataEngine(spark, root + "_plain", atomic_silver=False)
+        for call in (
+            lambda: plain.read_observations_at(1),
+            lambda: plain.changelog(1),
+            lambda: plain.delete_observations(F.lit(True)),
+            lambda: plain.compact_silver(),
+            lambda: plain.vacuum_silver(),
+        ):
+            with _pytest.raises(ValueError, match="versioned store"):
+                call()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root + "_plain", ignore_errors=True)
