@@ -2197,6 +2197,79 @@ def test_versioned_compaction_rewrites_only_fragmented(spark, scratch):
     assert compact_versioned(spark, scratch, min_files=2)["version"] == 3
 
 
+def test_versioned_maintenance_ops_are_cas_fenced(spark, scratch):
+    """delete_versioned and compact_versioned publish through the same
+    CAS fence as any writer: a commit interleaving between their
+    manifest read and their publish gets them REFUSED
+    (ConcurrentCommitError), the interloper's snapshot stays intact,
+    and a plain re-run succeeds against the new snapshot. The
+    interference is injected at the _partition_stats seam — it runs
+    after the maintenance write, before the publish, exactly the race
+    window."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gas_data_pipeline_spark.pipeline import versioned
+
+    key = "spark.sql.files.maxRecordsPerFile"
+    old = spark.conf.get(key, "0")
+    rows = [
+        ("A_%d" % i, "2024-01-01 %02d:00:00" % (i % 24), float(i),
+         "2024-01-01 01:00:00", i)
+        for i in range(30)
+    ]
+    spark.conf.set(key, "10")
+    try:
+        versioned.upsert_observations_versioned(
+            spark, _vs_batch(spark, rows), scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    finally:
+        spark.conf.set(key, old)
+
+    real_stats = versioned._partition_stats
+
+    def interfering(fire_once: dict):
+        def _stats(pdir):
+            if not fire_once["armed"]:
+                fire_once["armed"] = True
+                m = versioned.read_manifest(scratch)
+                versioned.publish_version(
+                    scratch, m["version"] + 1, dict(m["partitions"])
+                )
+            return real_stats(pdir)
+
+        return _stats
+
+    # Compaction fenced by an interleaved commit, then re-run lands.
+    versioned._partition_stats = interfering({"armed": False})
+    try:
+        with pytest.raises(versioned.ConcurrentCommitError):
+            versioned.compact_versioned(spark, scratch, min_files=2)
+    finally:
+        versioned._partition_stats = real_stats
+    assert versioned.read_manifest(scratch)["version"] == 2
+    m3 = versioned.compact_versioned(spark, scratch, min_files=2)
+    assert m3["version"] == 3
+    n_after_compact = versioned.read_observations_versioned(
+        spark, scratch
+    ).count()
+    assert n_after_compact == 30
+
+    # Delete fenced the same way; re-run applies against the winner.
+    versioned._partition_stats = interfering({"armed": False})
+    try:
+        with pytest.raises(versioned.ConcurrentCommitError):
+            versioned.delete_versioned(spark, scratch, F.col("value") < 5.0)
+    finally:
+        versioned._partition_stats = real_stats
+    assert versioned.read_manifest(scratch)["version"] == 4
+    assert versioned.read_observations_versioned(spark, scratch).count() == 30
+    m5 = versioned.delete_versioned(spark, scratch, F.col("value") < 5.0)
+    assert m5["version"] == 5
+    assert versioned.read_observations_versioned(spark, scratch).count() == 25
+
+
 def test_versioned_changelog_across_compaction_is_empty(spark, scratch):
     """Compaction is layout-only, and the changelog must SAY so: the
     row diff between the pre- and post-compaction versions is empty
