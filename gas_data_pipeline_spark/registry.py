@@ -67,15 +67,21 @@ def _load_all() -> None:
 # Round-12 rotation (VERDICT r11 #1): CORRECTNESS_r11.json landed 46
 # exact + 4 rows-only green (zero failures), so the window rotates.
 # The 9 anchors stay; rotating IN:
-#   - 4 first driver rows: silver_versioned_schema_evolution
+#   - 7 first driver rows: silver_versioned_schema_evolution
 #     (registered r11, parity-gated, tail-only until now — builder
 #     residual #5), silver_versioned_stats_prune (REGISTERED this
 #     round: manifest column-stats pruning, VERDICT r11 #2),
 #     gie_rest_datasource_melt (REGISTERED this round: SRC6 as a
-#     per-country-partitioned Python DataSource, VERDICT r11 #8) and
-#     silver_versioned_compaction (REGISTERED this round: layout-only
-#     rewrite commit — its slot came from dedup_cluster_stats, the
-#     alphabetically-last r8 filler, which rotates next round);
+#     per-country-partitioned Python DataSource, VERDICT r11 #8),
+#     silver_versioned_compaction (layout-only rewrite commit),
+#     silver_versioned_delete (copy-on-write DELETE),
+#     silver_versioned_incremental_rollup (changelog-fed rollup
+#     maintenance) and silver_versioned_lifecycle_e2e (the composed
+#     table-format lifecycle) — the last four REGISTERED this round;
+#     their slots came from the 4 alphabetically-last r8 fillers
+#     (ccnet_perplexity_buckets, cms_heavy_hitters_merge,
+#     contamination_source_matrix, dedup_cluster_stats), which rotate
+#     next round with the rest of the r8 era;
 #   - 4 touched-this-round re-certifications:
 #     silver_versioned_changelog (null/NaN-proof bump, ADVICE r11),
 #     event_day_streaks (empty-day-array guard, ADVICE r11 — also an
@@ -83,18 +89,12 @@ def _load_all() -> None:
 #     quality_classifier_filter (the fit is now sample-bounded, so
 #     the whole trained trajectory changed — VERDICT r11 #3);
 #   - ALL 27 remaining r7-era rows (the stalest anywhere after the
-#     r11 window) plus the 6 alphabetically-first r8-era rows to fill
+#     r11 window) plus the 3 alphabetically-first r8-era rows to fill
 #     the window. After this window runs, the stalest driver row
 #     anywhere is r8-era.
 # Rotating OUT: the r11 greens (re-proven last round) and the 4
 # rows-only approximations (refreshed r11; their exact twins and
 # pytest-pinned recall/error bounds keep covering them).
-# TAIL NOTE for the r13 rotation: silver_versioned_delete,
-# silver_versioned_incremental_rollup and silver_versioned_lifecycle_e2e
-# registered AFTER this window was sized (late round 12) —
-# parity-gated at sf0.01+sf0.1 and probed, they sit in the tail and
-# should earn first driver rows next round (the same path
-# silver_versioned_schema_evolution took).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
@@ -111,6 +111,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "silver_versioned_stats_prune",
     "gie_rest_datasource_melt",
     "silver_versioned_compaction",
+    "silver_versioned_delete",
+    "silver_versioned_incremental_rollup",
+    "silver_versioned_lifecycle_e2e",
     # -- touched this round: re-certification --
     "silver_versioned_changelog",
     "event_day_streaks",
@@ -148,9 +151,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "anti_join_delete",
     "approx_distinct_portable_hll",
     "bpe_encode_corpus",
-    "ccnet_perplexity_buckets",
-    "cms_heavy_hitters_merge",
-    "contamination_source_matrix",
 )
 
 
