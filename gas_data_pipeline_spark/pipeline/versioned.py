@@ -409,8 +409,23 @@ def upsert_observations_versioned(
         ]
         merged = batch
         if old_paths:
+            # Read the survivors under the manifest's DECLARED schema,
+            # exactly like delete/compact/read do: affected partitions
+            # can live in version dirs with DIFFERENT file schemas
+            # (normal after a schema-evolving commit), and a bare
+            # file-anchored read (mergeSchema=false) anchors on one
+            # file's schema — an evolved column present only in some
+            # dirs would silently drop out of the merge and surviving
+            # rows would be rewritten WITHOUT its values (silent data
+            # loss on the next read; ADVICE r12 medium). Pre-schema
+            # manifests fall back to the file-anchored read as before.
+            reader = spark.read
+            if current is not None and current.get("schema") is not None:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(current["schema"]))
             existing = (
-                spark.read.parquet(*old_paths)
+                reader.parquet(*old_paths)
                 .withColumn("__prio", F.lit(0))
             )
             merged = batch.unionByName(existing, allowMissingColumns=True)
@@ -931,9 +946,15 @@ def vacuum(
         hist_versions = [v for v in hist_versions if v < m["version"]]
         for v in orphans:
             os.remove(_manifest_path(root, v))
-        retained = hist_versions[len(hist_versions) - (retain_last_n - 1):] if (
-            retain_last_n > 1
-        ) else []
+        # Clamp the slice start at 0: when retain_last_n - 1 exceeds
+        # len(hist_versions), the unclamped start index goes NEGATIVE
+        # and Python wraps it (3 historical versions with
+        # retain_last_n=5 would retain only the last one), expiring
+        # manifests INSIDE the requested retention window — a
+        # pinned-reader durability violation (ADVICE r12 low).
+        retained = hist_versions[
+            max(0, len(hist_versions) - (retain_last_n - 1)):
+        ] if retain_last_n > 1 else []
         live = {p.split("/", 1)[0] for p in m["partitions"].values()}
         for v in retained:
             try:

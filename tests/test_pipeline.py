@@ -1239,6 +1239,96 @@ def test_versioned_schema_evolution_added_column_survives_sharing(spark, scratch
     assert v3.filter(F.col("quality_flag").isNotNull()).count() == 1
 
 
+def test_versioned_upsert_merge_survives_mixed_schema_partitions(spark, scratch):
+    """The upsert's existing-partitions read must run under the
+    manifest's DECLARED schema, exactly like delete/compact/read
+    (ADVICE r12 medium): after a schema-evolving commit the affected
+    partitions live in version dirs with DIFFERENT file schemas, and a
+    bare file-anchored read (mergeSchema=false) anchors on one file's
+    schema — the evolved column, present only in some dirs, silently
+    drops out of the merge and surviving rows are rewritten WITHOUT
+    its values (later reads return null: silent data loss)."""
+    from pyspark.sql import functions as F
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    # v1: two dates under the base schema.
+    up(
+        _vs_batch(
+            spark,
+            [
+                ("sA", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1),
+                ("sB", "2024-01-02 00:00:00", 2.0, "2024-01-02 01:00:00", 2),
+            ],
+        )
+    )
+    # v2: evolve quality_flag, rewriting ONLY the first date — the
+    # second date stays structurally shared at v1's pre-evolution
+    # file schema.
+    up(
+        _vs_batch(
+            spark, [("sA", "2024-01-01 00:00:00", 1.5, "2024-01-01 02:00:00", 3)]
+        ).withColumn("quality_flag", F.lit("good"))
+    )
+    # v3: a flag-less upsert touching BOTH dates at NEW times — the
+    # merge must union the batch with one evolved and one
+    # pre-evolution partition and keep sA's surviving flag value.
+    up(
+        _vs_batch(
+            spark,
+            [
+                ("sA", "2024-01-01 06:00:00", 7.0, "2024-01-01 07:00:00", 4),
+                ("sB", "2024-01-02 06:00:00", 8.0, "2024-01-02 07:00:00", 5),
+            ],
+        )
+    )
+    got = {
+        (r.series_id, float(r.value), r.quality_flag)
+        for r in read_observations_versioned(spark, scratch).collect()
+    }
+    assert got == {
+        ("sA", 1.5, "good"),  # the evolved value SURVIVES the merge
+        ("sA", 7.0, None),
+        ("sB", 2.0, None),
+        ("sB", 8.0, None),
+    }
+
+
+def test_versioned_vacuum_retention_wider_than_history_keeps_all(spark, scratch):
+    """retain_last_n larger than the existing history must retain ALL
+    of it — the unclamped slice start went negative and Python-wrapped
+    (3 historical versions with retain_last_n=5 kept only the newest),
+    expiring manifests and reclaiming dirs INSIDE the requested
+    retention window (ADVICE r12 low)."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+        vacuum,
+    )
+
+    t0 = "2024-01-01 00:00:00"
+    for i in range(1, 5):  # versions 1..4 rewrite the same date
+        upsert_observations_versioned(
+            spark,
+            _vs_batch(spark, [("s1", t0, float(i), f"2024-01-01 0{i}:00:00", i)]),
+            scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    # Window of 5 > (1 current + 3 historical): nothing may expire,
+    # even with min_age_seconds=0.
+    gone = vacuum(scratch, retain_last_n=5, min_age_seconds=0)
+    assert gone == []
+    for v, want in ((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)):
+        rows = read_observations_versioned(spark, scratch, version=v).collect()
+        assert [r.value for r in rows] == [want]
+
+
 def test_versioned_schema_collision_widening_and_refusal(spark, scratch):
     """ADVICE r11 (medium): on a name collision with a differing type
     the manifest must keep the WIDER type when the two sit in a
