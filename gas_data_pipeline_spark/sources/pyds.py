@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
 )
 
 from gas_data_pipeline_spark.sources.rest import (
+    HttpStatusError,
     RestSource,
     requests_transport,
 )
@@ -79,6 +80,40 @@ def fixture_transport(url: str, params: dict) -> dict:
 
 
 GIE_AGSI_URL = "https://agsi.gie.eu/api"
+GIE_ALSI_URL = "https://alsi.gie.eu/api"
+
+
+def gie_http_transport(api_key: str, timeout_s: float = 60.0):
+    """Real GIE AGSI/ALSI transport, mirroring the reference client
+    (app/ingestion/gie/client.py:27-44): GET with QUERY params and the
+    ``x-key`` auth header — not the gas-quality JSON POST (the 'http'
+    entry used to reuse ``requests_transport()``, which POSTed an
+    unauthenticated JSON body the GIE API rejects; ADVICE r12 medium).
+    Raises :class:`HttpStatusError` on >=400 so :class:`RestSource`
+    applies the status-aware retry policy to each page fetch. The
+    ``requests`` import is deferred and optional, same posture as the
+    gas-quality transport."""
+
+    def transport(url: str, params: dict) -> dict:
+        try:
+            import requests  # deferred: optional dependency
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                "the GIE http transport needs the 'requests' package; "
+                "use the 'fixture' transport or inject a custom one"
+            ) from e
+
+        resp = requests.get(
+            url,
+            params=params,
+            headers={"x-key": api_key},
+            timeout=timeout_s,
+        )
+        if resp.status_code >= 400:
+            raise HttpStatusError(resp.status_code, url, resp.text[:200])
+        return resp.json()
+
+    return transport
 
 
 def gie_fixture_transport(url: str, params: dict) -> dict:
@@ -127,9 +162,13 @@ TRANSPORT_FACTORIES = {
     "http": lambda: requests_transport(),
 }
 
+# GIE factories take the READER OPTIONS: the real transport needs the
+# api_key option (the x-key header), and reader state must stay
+# pickle-plain — a dict of strings ships to executors, a constructed
+# session would not.
 GIE_TRANSPORT_FACTORIES = {
-    "fixture": lambda: gie_fixture_transport,
-    "http": lambda: requests_transport(),
+    "fixture": lambda options: gie_fixture_transport,
+    "http": lambda options: gie_http_transport(options["api_key"]),
 }
 
 
@@ -268,6 +307,26 @@ class GieRestReader(DataSourceReader):
                 f"unknown transport {self.transport_name!r}; "
                 f"one of {sorted(GIE_TRANSPORT_FACTORIES)}"
             )
+        dataset = options.get("dataset", "AGSI").upper()
+        if dataset not in ("AGSI", "ALSI"):
+            raise ValueError(
+                f"unknown GIE dataset {dataset!r}; one of ['AGSI', 'ALSI'] "
+                "(reference gie/client.py:28-34)"
+            )
+        self.url = GIE_AGSI_URL if dataset == "AGSI" else GIE_ALSI_URL
+        # Fail fast at PLAN time, not in an executor task: the real API
+        # rejects unauthenticated requests, so an http read without a
+        # key can never succeed (ADVICE r12 medium).
+        if self.transport_name == "http" and not options.get("api_key"):
+            raise ValueError(
+                "the GIE 'http' transport requires the 'api_key' option "
+                "(sent as the x-key header, reference gie/client.py:39-44)"
+            )
+        # Keep only the plain-string options the transport factory may
+        # need — the reader pickles to executors.
+        self.options = {
+            k: options[k] for k in ("api_key",) if k in options
+        }
 
     def partitions(self) -> list[InputPartition]:
         return [
@@ -280,33 +339,53 @@ class GieRestReader(DataSourceReader):
         reference retry policy, emit (country, gas_day, status,
         payload-json) per entry. Entries without ``gasDayStart`` pass
         through with a NULL gas_day so the DOWNSTREAM filter decides —
-        the source does not silently drop data."""
+        the source does not silently drop data.
+
+        The GIE API PAGINATES (``last_page`` in every response): a
+        multi-day window spans pages, and reading only the first would
+        silently truncate the window even though the request succeeded
+        (ADVICE r12 medium). Each page fetch goes through the retry
+        policy independently; transports without a ``last_page`` key
+        (the fixture returns the whole window at once) terminate after
+        page 1."""
         import json
 
-        transport = GIE_TRANSPORT_FACTORIES[self.transport_name]()
+        transport = GIE_TRANSPORT_FACTORIES[self.transport_name](self.options)
         src = RestSource(transport=transport)
-        payload = src.fetch(
-            GIE_AGSI_URL,
-            {
-                "country": partition.country,
-                "from": partition.start,
-                "to": partition.end,
-            },
-        )
-        for entry in payload.get("data", []):
-            yield (
-                entry.get("name"),
-                entry.get("gasDayStart"),
-                entry.get("status"),
-                json.dumps(entry),
+        page = 1
+        while True:
+            payload = src.fetch(
+                self.url,
+                {
+                    "country": partition.country,
+                    "from": partition.start,
+                    "to": partition.end,
+                    "page": page,
+                },
             )
+            for entry in payload.get("data", []):
+                yield (
+                    entry.get("name"),
+                    entry.get("gasDayStart"),
+                    entry.get("status"),
+                    json.dumps(entry),
+                )
+            try:
+                last_page = int(payload.get("last_page") or 1)
+            except (TypeError, ValueError):
+                last_page = 1
+            if page >= last_page:
+                break
+            page += 1
 
 
 class GieRestDataSource(DataSource):
     """``spark.read.format("gie_rest")`` — SRC6 as a native scan with
     per-country partitions. Options: ``countries`` (comma list),
-    ``start``/``end`` (gas-day window), ``transport``
-    (fixture | http)."""
+    ``start``/``end`` (gas-day window), ``dataset`` (AGSI | ALSI,
+    picking the endpoint like reference gie/client.py:28-34),
+    ``transport`` (fixture | http), and ``api_key`` (required for
+    http — the x-key header)."""
 
     @classmethod
     def name(cls) -> str:
