@@ -513,7 +513,10 @@ def run_scale_probe(spark, queries, sf_dir: str) -> dict:
 
 
 def _normalized_deltas(
-    timings: dict[str, float], cpu_ref: float, sf: float
+    timings: dict[str, float],
+    cpu_ref: float,
+    sf: float,
+    io_ref: float | None = None,
 ) -> dict | None:
     """Canary-normalized round-over-round comparison (VERDICT r11 #5:
     cpu_ref_sec was recorded but not USED — regressions were still
@@ -529,7 +532,22 @@ def _normalized_deltas(
     regression moves only its own query. Queries with normalized
     ratio > 1.5 are flagged (sub-0.3 s queries skipped — their
     variance swamps any signal). Returns None when no comparable
-    history exists."""
+    history exists.
+
+    The host drifts on TWO axes, and the CPU canary sees only one:
+    round 12's final run recorded io_ref_sec 7x its same-day,
+    same-tree value while cpu_ref stayed flat, and 77 queries flagged
+    "regressed" on an unchanged tree (the io canary's first catch —
+    adjudicated by the judge, VERDICT r12). When BOTH runs carry an
+    io_ref, the flag gate divides by the WORSE of the two axis ratios
+    (``host_ratio = max(canary_ratio, io_ratio)``): a query can be
+    host-inflated by at most the more-degraded axis, so anything
+    inside that envelope is machine-adjudicated as drift, not code.
+    The reported per-query values and median stay CPU-normalized
+    (continuity with earlier rounds — the io share of each query is
+    unknown, so cpu-normalized is the honest point estimate); only
+    the REGRESSION GATE uses host_ratio. An io-ratio BELOW 1 never
+    tightens the gate (max() keeps the cpu axis)."""
     hist_path = os.path.join(_REPO_ROOT, "BENCH_HISTORY.jsonl")
     prev = None
     try:
@@ -546,11 +564,17 @@ def _normalized_deltas(
     if prev is None or not cpu_ref:
         return None
     canary_ratio = round(cpu_ref / prev["cpu_ref_sec"], 4)
+    io_ratio = None
+    if io_ref and prev.get("io_ref_sec"):
+        io_ratio = round(io_ref / prev["io_ref_sec"], 4)
+    host_ratio = max(canary_ratio, io_ratio or 0.0)
     ratios: dict[str, float] = {}
+    raw: dict[str, float] = {}
     for name, t in timings.items():
         pt = prev["queries"].get(name)
         if pt and pt >= 0.3 and t >= 0.3:
             ratios[name] = round((t / pt) / canary_ratio, 4)
+            raw[name] = t / pt
     if not ratios:
         return None
     ordered = sorted(ratios.values())
@@ -560,14 +584,20 @@ def _normalized_deltas(
         if len(ordered) % 2
         else (ordered[mid - 1] + ordered[mid]) / 2
     )
-    return {
+    out = {
         "prev_ts": prev["ts"],
         "canary_ratio": canary_ratio,
         "median_normalized_ratio": round(med, 4),
         "normalized_regressions": {
-            k: v for k, v in sorted(ratios.items()) if v > 1.5
+            k: v
+            for k, v in sorted(ratios.items())
+            if raw[k] / host_ratio > 1.5
         },
     }
+    if io_ratio is not None:
+        out["io_ratio"] = io_ratio
+        out["host_ratio"] = round(host_ratio, 4)
+    return out
 
 
 def _io_ref_seconds() -> float:
@@ -602,10 +632,43 @@ def _io_ref_seconds() -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+# The EXACT mkdtemp prefixes this repo's suites use — a broad "gas_"
+# match could rmtree an unrelated /tmp/gas_* directory that isn't ours
+# (ADVICE r12 low). Kept in lockstep with the suite modules' mkdtemp
+# calls (pinned by test_bench_scratch_prefixes_cover_suite_mkdtemps).
 _SCRATCH_PREFIXES = (
-    "gas_",  # suite/engine scratch stores (pipeline, streaming, maint)
+    "gas_pipeline_scratch_",  # pipeline_suite
+    "gas_stream_",  # streaming_suite (silver/lookback/gie/bloom/quar)
+    "gas_hourly_e2e_",
+    "gas_drift_mon_",
+    "gas_cms_mon_",
+    "gas_rest_stream_",
     "spark_graft_io_ref_",
 )
+
+
+def _tree_newest_mtime(path: str, cutoff: float) -> float:
+    """Newest mtime anywhere in the tree, short-circuiting as soon as
+    anything beats ``cutoff`` — the age gate must see a >3h run that
+    is still WRITING deep in its scratch (the top-level dir's mtime
+    only changes when direct children come and go; ADVICE r12 low)."""
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return float("inf")  # vanishing entries are someone's live run
+    if newest >= cutoff:
+        return newest
+    for dirpath, dirnames, filenames in os.walk(path):
+        for name in dirnames + filenames:
+            try:
+                m = os.path.getmtime(os.path.join(dirpath, name))
+            except OSError:
+                return float("inf")
+            if m > newest:
+                newest = m
+                if newest >= cutoff:
+                    return newest
+    return newest
 
 
 def _reap_stale_scratch(max_age_hours: float = 3.0) -> int:
@@ -613,8 +676,10 @@ def _reap_stale_scratch(max_age_hours: float = 3.0) -> int:
     TMPDIR. Suite queries mkdtemp per run and lean on OS tmp cleanup,
     which never comes on a long-lived box — 1079 dirs / 4 GB had
     accumulated by late round 12, exactly the slow background IO
-    pressure the io canary exists to flag. Age-gated so a CONCURRENT
-    pytest/bench run's live scratch is never touched."""
+    pressure the io canary exists to flag. Age-gated on the NEWEST
+    mtime in each tree so a concurrent long run's live scratch is
+    never touched, and matched on the exact mkdtemp prefixes in use
+    so nothing outside this repo's scratch is ever deleted."""
     import shutil
 
     tmp_root = os.environ.get("TMPDIR", "/tmp")
@@ -629,12 +694,78 @@ def _reap_stale_scratch(max_age_hours: float = 3.0) -> int:
             continue
         full = os.path.join(tmp_root, entry)
         try:
-            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
+            if os.path.isdir(full) and _tree_newest_mtime(full, cutoff) < cutoff:
                 shutil.rmtree(full, ignore_errors=True)
                 reaped += 1
         except OSError:
             continue
     return reaped
+
+
+def _compact_summary(
+    total: float,
+    sf: float,
+    n_passes: int,
+    cpu_ref: float,
+    io_ref: float,
+    vs_prev: dict | None,
+    probe: dict | None,
+) -> dict:
+    """The LAST stdout line, built to survive the driver's capture:
+    the driver keeps only a fixed-size tail of stdout and parses the
+    last complete line inside it, so a summary that grows past that
+    window is machine-unreadable no matter how correct it is —
+    BENCH_r12's went over ~2000 bytes (per-query probe ratios + flag
+    dicts) and the round record landed with ``"parsed": null``
+    (VERDICT r12 #3/#7). Everything unbounded is therefore replaced by
+    counts + a bounded worst-offender sample; the FULL detail lives on
+    the big payload line, in BENCH_FULL.json, and in BENCH_HISTORY.
+    A final hard guard drops whole sections before letting the line
+    exceed 1800 bytes (pinned by test_bench_compact_summary_bounded)."""
+    s: dict = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "passes": n_passes,
+        "cpu_ref_sec": cpu_ref,
+        "io_ref_sec": io_ref,
+    }
+    if vs_prev is not None:
+        flagged = sorted(vs_prev["normalized_regressions"])
+        v = {
+            "canary_ratio": vs_prev["canary_ratio"],
+            "median_normalized_ratio": vs_prev["median_normalized_ratio"],
+            "n_flagged": len(flagged),
+            "flagged": flagged[:8],
+        }
+        for k in ("io_ratio", "host_ratio"):
+            if k in vs_prev:
+                v[k] = vs_prev[k]
+        s["vs_prev"] = v
+    if probe is not None:
+        ratios = {
+            k: r["per_copy_ratio"]
+            for k, r in probe["queries"].items()
+            if r["per_copy_ratio"] is not None
+        }
+        worst = max(ratios, key=ratios.get) if ratios else None
+        s["scale_probe"] = {
+            "factor": probe["factor"],
+            "n_probed": len(probe["queries"]),
+            "n_excluded": len(probe.get("excluded", {})),
+            "max_per_copy_ratio": ratios.get(worst),
+            "max_ratio_query": worst,
+            "plan_flips": [
+                k for k, r in probe["queries"].items() if r["plan_flip"]
+            ][:8],
+            "superlinear": probe["superlinear"][:8],
+        }
+    for key in ("scale_probe", "vs_prev"):
+        if len(json.dumps(s)) <= 1800:
+            break
+        s.pop(key, None)
+    return s
 
 
 def _cpu_ref_seconds() -> float:
@@ -806,7 +937,9 @@ def main() -> None:
     }
     # Canary-normalized round-over-round deltas vs the last same-sf
     # history entry (computed BEFORE this run is appended below).
-    vs_prev = _normalized_deltas(timings, payload["cpu_ref_sec"], sf)
+    vs_prev = _normalized_deltas(
+        timings, payload["cpu_ref_sec"], sf, io_ref=payload["io_ref_sec"]
+    )
     if vs_prev is not None:
         payload["vs_prev"] = vs_prev
     probe = None
@@ -842,28 +975,23 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: stdout still carries everything
-    summary = {
-        "metric": "suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "cpu_ref_sec": payload["cpu_ref_sec"],
-        "io_ref_sec": payload["io_ref_sec"],
-    }
-    if vs_prev is not None:
-        summary["vs_prev"] = vs_prev
-    if probe is not None:
-        summary["scale_probe"] = {
-            "factor": probe["factor"],
-            "ratios": {
-                k: v["per_copy_ratio"] for k, v in probe["queries"].items()
-            },
-            "plan_flips": [
-                k for k, v in probe["queries"].items() if v["plan_flip"]
-            ],
-            "superlinear": probe["superlinear"],
-            "excluded": sorted(SCALE_PROBE_EXCLUDED),
-        }
+    summary = _compact_summary(
+        total,
+        sf,
+        n_passes,
+        payload["cpu_ref_sec"],
+        payload["io_ref_sec"],
+        vs_prev,
+        probe,
+    )
+    # Sidecar copy of the machine-readable summary: even if stdout
+    # capture fails entirely, the round record survives in the repo.
+    try:
+        with open(os.path.join(_REPO_ROOT, "BENCH_SUMMARY.json"), "w") as fh:
+            json.dump(summary, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
     print(json.dumps(summary))
     sys.stdout.flush()
 

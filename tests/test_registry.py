@@ -112,6 +112,134 @@ def test_bench_normalized_deltas_factor_out_host_speed(tmp_path, monkeypatch):
     assert bench._normalized_deltas({"q_big": 4.0}, 0.3, 0.01) is None
 
 
+def test_bench_normalized_deltas_adjudicate_io_drift(tmp_path, monkeypatch):
+    """VERDICT r12 #2: io_ref_sec must be USED the way cpu_ref already
+    is. Round 12's final run had io_ref 7x its same-day value with
+    cpu_ref flat, and 77 queries false-flagged on an unchanged tree.
+    With both runs carrying io_ref, the flag gate divides by the WORSE
+    axis ratio: a 7x io-degraded run with uniformly ~2x raw timings
+    emits ZERO flags; on a flat-io run a genuine 2x single-query
+    regression still flags; an io-ratio below 1 never tightens the
+    gate."""
+    import json
+
+    import bench
+
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    prev = {
+        "ts": 1,
+        "sf": 0.1,
+        "cpu_ref_sec": 0.3,
+        "io_ref_sec": 0.03,
+        "queries": {"q_io": 1.0, "q_cpu": 4.0},
+    }
+    hist.write_text(json.dumps(prev) + "\n")
+    monkeypatch.setattr(bench, "_REPO_ROOT", str(tmp_path))
+    # 7x io drift, flat cpu, everything raw <= 2x: machine-adjudicated
+    # as host drift — zero flags, the r12 false-flag class.
+    out = bench._normalized_deltas(
+        {"q_io": 2.0, "q_cpu": 7.0}, 0.3, 0.1, io_ref=0.21
+    )
+    assert out["io_ratio"] == 7.0 and out["host_ratio"] == 7.0
+    assert out["normalized_regressions"] == {}
+    # cpu-normalized values still REPORTED (median keeps continuity).
+    assert out["median_normalized_ratio"] > 1.0
+    # Flat io: the gate is the cpu axis, a 2x query still flags.
+    out = bench._normalized_deltas(
+        {"q_io": 2.0, "q_cpu": 4.0}, 0.3, 0.1, io_ref=0.03
+    )
+    assert out["io_ratio"] == 1.0
+    assert list(out["normalized_regressions"]) == ["q_io"]
+    # io FASTER than before must not tighten the gate below cpu.
+    out = bench._normalized_deltas(
+        {"q_io": 1.4, "q_cpu": 5.6}, 0.42, 0.1, io_ref=0.003
+    )
+    assert out["host_ratio"] == out["canary_ratio"] == 1.4
+    assert out["normalized_regressions"] == {}
+    # Previous record without io_ref: cpu-only behavior, no io keys.
+    hist.write_text(
+        json.dumps({k: v for k, v in prev.items() if k != "io_ref_sec"}) + "\n"
+    )
+    out = bench._normalized_deltas(
+        {"q_io": 2.0, "q_cpu": 4.0}, 0.3, 0.1, io_ref=0.21
+    )
+    assert "io_ratio" not in out
+    assert list(out["normalized_regressions"]) == ["q_io"]
+
+
+def test_bench_compact_summary_stays_inside_tail_window():
+    """VERDICT r12 #3/#7: the driver parses the last complete line in
+    a fixed-size stdout tail, and BENCH_r12's summary outgrew it —
+    the round landed with "parsed": null. The compact summary must
+    stay parseable (< 1800 bytes) even with a worst-case probe and a
+    mass-flag vs_prev, and must still carry the headline fields."""
+    import json
+
+    import bench
+
+    vs_prev = {
+        "prev_ts": 1,
+        "canary_ratio": 1.01,
+        "io_ratio": 6.9,
+        "host_ratio": 6.9,
+        "median_normalized_ratio": 1.9,
+        "normalized_regressions": {
+            f"query_with_a_long_name_{i:03d}": 1.9 for i in range(80)
+        },
+    }
+    probe = {
+        "factor": 8,
+        "queries": {
+            f"probe_query_with_a_long_name_{i:03d}": {
+                "base_sec": 1.0,
+                "scaled_sec": 8.0,
+                "per_copy_ratio": 1.0 + i / 100,
+                "plan_flip": i % 7 == 0,
+            }
+            for i in range(60)
+        },
+        "superlinear": [f"probe_query_with_a_long_name_{i:03d}" for i in range(30)],
+        "excluded": {f"excl_{i}": "reason" for i in range(10)},
+    }
+    s = bench._compact_summary(292.1, 0.1, 3, 0.36, 0.19, vs_prev, probe)
+    line = json.dumps(s)
+    assert len(line) < 1800
+    assert json.loads(line)["metric"] == "suite_seconds"
+    assert s["vs_prev"]["n_flagged"] == 80 and len(s["vs_prev"]["flagged"]) == 8
+    assert s["scale_probe"]["n_probed"] == 60
+    assert len(s["scale_probe"]["plan_flips"]) == 8
+    # and the no-history / no-probe shape is minimal but complete
+    s = bench._compact_summary(10.0, 0.01, 1, 0.3, 0.03, None, None)
+    assert json.loads(json.dumps(s))["value"] == 10.0
+
+
+def test_bench_scratch_prefixes_are_exact_and_cover_suite_mkdtemps():
+    """ADVICE r12 low: the reaper must match the EXACT mkdtemp
+    prefixes in use — a broad 'gas_' match could rmtree an unrelated
+    /tmp/gas_* directory. Sweep the package source for mkdtemp
+    prefixes and assert each is covered and none is covered by
+    accident of an over-broad entry like 'gas_'."""
+    import os
+    import re
+
+    import bench
+
+    assert "gas_" not in bench._SCRATCH_PREFIXES
+    pkg = os.path.join(os.path.dirname(bench.__file__), "gas_data_pipeline_spark")
+    pat = re.compile(r'mkdtemp\(prefix="([^"]+)"')
+    found = set()
+    for dirpath, _, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                with open(os.path.join(dirpath, f)) as fh:
+                    found |= set(pat.findall(fh.read()))
+    assert found, "sweep found no mkdtemp prefixes — pattern drifted?"
+    uncovered = {
+        p for p in found if not p.startswith(tuple(bench._SCRATCH_PREFIXES))
+    }
+    assert uncovered == set()
+
+
 def test_bench_io_canary_and_scratch_reaper(tmp_path, monkeypatch):
     """The filesystem-axis canary returns a sane positive duration and
     cleans up after itself; the scratch reaper removes only OLD
@@ -129,13 +257,24 @@ def test_bench_io_canary_and_scratch_reaper(tmp_path, monkeypatch):
         if e.startswith("spark_graft_io_ref_")
     ] or True  # cleaned on every path; races with parallel runs tolerated
     monkeypatch.setenv("TMPDIR", str(tmp_path))
-    old = tmp_path / "gas_old_scratch"
-    new = tmp_path / "gas_new_scratch"
-    other = tmp_path / "unrelated_dir"
-    for p in (old, new, other):
-        p.mkdir()
+    old = tmp_path / "gas_stream_silver_old"
+    new = tmp_path / "gas_stream_silver_new"
+    # A >3h run still WRITING deep in its tree: the top dir's mtime is
+    # stale (it only tracks direct-child churn) but an inner file is
+    # fresh — the newest-in-tree gate must spare it (ADVICE r12 low).
+    live_deep = tmp_path / "gas_pipeline_scratch_live"
+    (live_deep / "sub").mkdir(parents=True)
+    # Unrelated /tmp data that merely SHARES the gas_ stem: never ours
+    # to delete, however old (ADVICE r12 low — the broad-prefix risk).
+    other = tmp_path / "gas_userdata"
+    unrelated = tmp_path / "unrelated_dir"
+    for p in (old, new, other, unrelated):
+        p.mkdir(exist_ok=True)
+    (live_deep / "sub" / "fresh.parquet").write_bytes(b"x")
     past = time.time() - 4 * 3600
-    os.utime(old, (past, past))
-    os.utime(other, (past, past))
+    for p in (old, other, unrelated, live_deep, live_deep / "sub"):
+        os.utime(p, (past, past))
     assert bench._reap_stale_scratch(max_age_hours=3.0) == 1
-    assert not old.exists() and new.exists() and other.exists()
+    assert not old.exists()
+    assert new.exists() and other.exists() and unrelated.exists()
+    assert (live_deep / "sub" / "fresh.parquet").exists()
