@@ -1488,6 +1488,138 @@ def test_versioned_stats_prune_skips_nonmatching_partitions(spark, scratch):
     assert len({f.split("/__pdate=")[1][:10] for f in df.inputFiles()}) == 2
 
 
+def test_versioned_stats_parallel_job_matches_serial_reader(spark, scratch):
+    """VERDICT r12 #3: commit-time stats collection moved off the
+    driver into one parallelized footer job. The job must produce
+    values IDENTICAL to the serial reference reader on every manifest
+    partition (shared per-file kernel), the commit-recorded stats must
+    equal both, and degenerate inputs (garbage parquet, empty dir,
+    missing dir) must degrade to no-stats exactly like the serial
+    path."""
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        _partition_stats,
+        _partition_stats_many,
+        read_manifest,
+        upsert_observations_versioned,
+    )
+
+    # Multi-date, multi-file commit (maxRecordsPerFile forces several
+    # files per partition so the merge path actually merges).
+    key = "spark.sql.files.maxRecordsPerFile"
+    old = spark.conf.get(key, "0")
+    spark.conf.set(key, "2")
+    try:
+        upsert_observations_versioned(
+            spark,
+            _vs_batch(
+                spark,
+                [
+                    (f"s{i}", f"2024-01-0{1 + i % 3} 0{i}:00:00", float(i),
+                     f"2024-01-0{1 + i % 3} 12:00:00", i)
+                    for i in range(9)
+                ],
+            ),
+            scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    finally:
+        spark.conf.set(key, old)
+    m = read_manifest(scratch)
+    pdirs = {d: os.path.join(scratch, rel) for d, rel in m["partitions"].items()}
+    assert len(pdirs) == 3
+    serial = {d: _partition_stats(p) for d, p in pdirs.items()}
+    parallel = _partition_stats_many(spark, pdirs)
+    assert parallel == serial
+    assert m["stats"] == {d: s for d, s in serial.items() if s}
+    # series_id bounds actually recorded (not vacuously equal-empty).
+    assert all("series_id" in s for s in serial.values())
+    # Degenerate inputs: a garbage file disqualifies its partition the
+    # same way in both readers; empty/missing dirs yield no entry.
+    bad_dir = os.path.join(scratch, "bad_part")
+    os.makedirs(bad_dir)
+    with open(os.path.join(bad_dir, "junk.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file")
+    empty_dir = os.path.join(scratch, "empty_part")
+    os.makedirs(empty_dir)
+    assert _partition_stats(bad_dir) == {}
+    got = _partition_stats_many(
+        spark,
+        {"bad": bad_dir, "empty": empty_dir, "gone": os.path.join(scratch, "nope")},
+    )
+    assert got.get("bad") == {} and "empty" not in got and "gone" not in got
+
+
+def test_versioned_time_bounds_prune_below_date_grain(spark, scratch):
+    """VERDICT r12 #4: manifest stats record observation_time min/max
+    per partition (fixed-width UTC strings), so a SUB-DAY range read
+    prunes boundary-day partitions whose recorded time span doesn't
+    overlap the window — the missing half of the reference's B-tree on
+    (series_id, observation_time). Pinned by inputFiles; absent bounds
+    degrade to date-grain pruning only, and the row filter keeps
+    results exact either way."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(
+            spark,
+            [
+                ("s1", "2024-01-01 06:00:00", 1.0, "2024-01-01 12:00:00", 1),
+                ("s2", "2024-01-01 08:00:00", 2.0, "2024-01-01 12:00:00", 2),
+                ("s1", "2024-01-02 00:00:00", 3.0, "2024-01-02 12:00:00", 3),
+                ("s2", "2024-01-02 02:00:00", 4.0, "2024-01-02 12:00:00", 4),
+            ],
+        ),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    m = read_manifest(scratch)
+    assert m["stats"]["2024-01-01"]["observation_time"] == [
+        "2024-01-01 06:00:00.000000",
+        "2024-01-01 08:00:00.000000",
+    ]
+    # start past Jan 1's recorded max: the Jan 1 partition is skipped
+    # BEFORE file listing even though date-grain pruning keeps it.
+    df = read_observations_versioned(spark, scratch, start="2024-01-01 12:00:00")
+    files = df.inputFiles()
+    assert files and all("__pdate=2024-01-02" in f for f in files)
+    assert {r.value for r in df.collect()} == {3.0, 4.0}
+    # end before Jan 1's recorded min: every partition pruned, empty
+    # result without reading anything.
+    df = read_observations_versioned(spark, scratch, end="2024-01-01 03:00:00")
+    assert df.count() == 0
+    # A window overlapping Jan 1 keeps it; the row filter trims inside.
+    df = read_observations_versioned(spark, scratch, start="2024-01-01 07:00:00")
+    assert {r.value for r in df.collect()} == {2.0, 3.0, 4.0}
+    # datetime-object bounds normalize identically to strings.
+    from datetime import datetime
+
+    df = read_observations_versioned(
+        spark, scratch, start=datetime(2024, 1, 1, 12, 0, 0)
+    )
+    assert {r.value for r in df.collect()} == {3.0, 4.0}
+    # Bound-less stats (pre-micros store): time pruning degrades to
+    # date grain, rows stay exact.
+    import json as _json
+
+    m2 = dict(m)
+    m2["stats"] = {
+        d: {k: v for k, v in s.items() if k != "observation_time"}
+        for d, s in m["stats"].items()
+    }
+    with open(os.path.join(scratch, "manifest.json"), "w") as fh:
+        _json.dump(m2, fh)
+    df = read_observations_versioned(spark, scratch, start="2024-01-01 12:00:00")
+    assert {r.value for r in df.collect()} == {3.0, 4.0}
+    assert len({f.split("/__pdate=")[1][:10] for f in df.inputFiles()}) == 2
+
+
 def test_publish_version_stats_carry_forward_only_unchanged(spark, scratch):
     """publish_version(stats=None) carries stats forward ONLY for
     partitions whose directory entry is unchanged: a direct caller
@@ -2293,9 +2425,9 @@ def test_versioned_maintenance_ops_are_cas_fenced(spark, scratch):
     manifest read and their publish gets them REFUSED
     (ConcurrentCommitError), the interloper's snapshot stays intact,
     and a plain re-run succeeds against the new snapshot. The
-    interference is injected at the _partition_stats seam — it runs
-    after the maintenance write, before the publish, exactly the race
-    window."""
+    interference is injected at the _partition_stats_many seam — it
+    runs after the maintenance write, before the publish, exactly the
+    race window."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -2317,27 +2449,27 @@ def test_versioned_maintenance_ops_are_cas_fenced(spark, scratch):
     finally:
         spark.conf.set(key, old)
 
-    real_stats = versioned._partition_stats
+    real_stats = versioned._partition_stats_many
 
     def interfering(fire_once: dict):
-        def _stats(pdir):
+        def _stats(spark_, pdirs):
             if not fire_once["armed"]:
                 fire_once["armed"] = True
                 m = versioned.read_manifest(scratch)
                 versioned.publish_version(
                     scratch, m["version"] + 1, dict(m["partitions"])
                 )
-            return real_stats(pdir)
+            return real_stats(spark_, pdirs)
 
         return _stats
 
     # Compaction fenced by an interleaved commit, then re-run lands.
-    versioned._partition_stats = interfering({"armed": False})
+    versioned._partition_stats_many = interfering({"armed": False})
     try:
         with pytest.raises(versioned.ConcurrentCommitError):
             versioned.compact_versioned(spark, scratch, min_files=2)
     finally:
-        versioned._partition_stats = real_stats
+        versioned._partition_stats_many = real_stats
     assert versioned.read_manifest(scratch)["version"] == 2
     m3 = versioned.compact_versioned(spark, scratch, min_files=2)
     assert m3["version"] == 3
@@ -2347,12 +2479,12 @@ def test_versioned_maintenance_ops_are_cas_fenced(spark, scratch):
     assert n_after_compact == 30
 
     # Delete fenced the same way; re-run applies against the winner.
-    versioned._partition_stats = interfering({"armed": False})
+    versioned._partition_stats_many = interfering({"armed": False})
     try:
         with pytest.raises(versioned.ConcurrentCommitError):
             versioned.delete_versioned(spark, scratch, F.col("value") < 5.0)
     finally:
-        versioned._partition_stats = real_stats
+        versioned._partition_stats_many = real_stats
     assert versioned.read_manifest(scratch)["version"] == 4
     assert versioned.read_observations_versioned(spark, scratch).count() == 30
     m5 = versioned.delete_versioned(spark, scratch, F.col("value") < 5.0)
