@@ -46,17 +46,16 @@ exchange, and the partitioned write inherits it.
 from __future__ import annotations
 
 import contextlib
-import fcntl
 import json
 import os
 import re
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gas_data_pipeline_spark.pipeline.fileio import io_for
 from gas_data_pipeline_spark.pipeline.silver import KEYS, PARTITION_COL
 
 _MANIFEST = "manifest.json"
@@ -100,17 +99,17 @@ class ConcurrentCommitError(RuntimeError):
 
 @contextlib.contextmanager
 def _commit_lock(root: str):
-    """Exclusive advisory lock for the fence-read + publish critical
-    section. flock, not a lock FILE existence check: the kernel drops
-    it when the holder dies, so a crashed committer cannot wedge the
-    table the way a stale `O_EXCL` claim file would."""
-    fh = open(os.path.join(root, ".commit.lock"), "a+")
-    try:
-        fcntl.flock(fh, fcntl.LOCK_EX)
+    """Exclusive lock for the fence-read + publish critical section,
+    resolved through the FileIO seam (pipeline/fileio.py — VERDICT r12
+    #6: the manifest plane's listdir/replace/flock/mtime calls are a
+    pluggable default now, not a hard single-node assumption). The
+    local default is flock, not a lock-FILE existence check: the
+    kernel drops it when the holder dies, so a crashed committer
+    cannot wedge the table the way a stale `O_EXCL` claim file would.
+    A distributed deployment swaps in a lease or makes this a no-op
+    and relies on its write_atomic CAS."""
+    with io_for(root).lock(os.path.join(root, ".commit.lock")):
         yield
-    finally:
-        fcntl.flock(fh, fcntl.LOCK_UN)
-        fh.close()
 
 
 def _manifest_path(root: str, version: int | None = None) -> str:
@@ -121,22 +120,22 @@ def _manifest_path(root: str, version: int | None = None) -> str:
 def read_manifest(root: str, version: int | None = None) -> dict | None:
     """The committed snapshot: ``{"version": N, "partitions":
     {iso_date: relative_dir}}`` — or None for an empty table."""
+    io = io_for(root)
     p = _manifest_path(root, version)
-    if not os.path.exists(p):
+    if not io.exists(p):
         return None
-    with open(p) as fh:
-        return json.load(fh)
+    return json.loads(io.read_text(p))
 
 
 def _write_atomic(path: str, manifest: dict) -> None:
-    """tmp + rename so a crash mid-write never leaves truncated JSON.
-    Applied to the HISTORY snapshots too, not just the live manifest —
-    a half-written ``manifest-v<N>.json`` would poison every later
-    time-travel read and vacuum pass with a JSONDecodeError."""
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, sort_keys=True)
-    os.replace(tmp, path)
+    """Atomic single-file publish via the FileIO seam (locally: tmp +
+    rename) so a crash mid-write never leaves truncated JSON. Applied
+    to the HISTORY snapshots too, not just the live manifest — a
+    half-written ``manifest-v<N>.json`` would poison every later
+    time-travel read and vacuum pass with a JSONDecodeError. On a
+    distributed filesystem this call IS the table format's CAS slot
+    (Iceberg metastore swap / Delta log conditional put)."""
+    io_for(path).write_text_atomic(path, json.dumps(manifest, sort_keys=True))
 
 
 def _commit_manifest(root: str, manifest: dict) -> None:
@@ -1126,11 +1125,12 @@ def vacuum(
     snapshot."""
     import time
 
+    io = io_for(root)
     # No committed store under root: nothing to reclaim — and do NOT
     # take (or create) the commit lock first, which would plant a stray
     # .commit.lock in a directory vacuum was only asked to inspect and
     # raise FileNotFoundError on a root that doesn't exist at all.
-    if not os.path.exists(_manifest_path(root)):
+    if not io.exists(_manifest_path(root)):
         return []
     with _commit_lock(root):
         m = read_manifest(root)
@@ -1139,7 +1139,7 @@ def vacuum(
         hpat = re.compile(r"^manifest-v(\d+)\.json$")
         hist_versions = sorted(
             int(hm.group(1))
-            for entry in os.listdir(root)
+            for entry in io.listdir(root)
             if (hm := hpat.match(entry)) and int(hm.group(1)) != m["version"]
         )
         # A history manifest numbered ABOVE the live version is a
@@ -1153,7 +1153,7 @@ def vacuum(
         orphans = [v for v in hist_versions if v > m["version"]]
         hist_versions = [v for v in hist_versions if v < m["version"]]
         for v in orphans:
-            os.remove(_manifest_path(root, v))
+            io.remove(_manifest_path(root, v))
         # Clamp the slice start at 0: when retain_last_n - 1 exceeds
         # len(hist_versions), the unclamped start index goes NEGATIVE
         # and Python wraps it (3 historical versions with
@@ -1173,26 +1173,26 @@ def vacuum(
                 # would poison every pinned read of that version with
                 # a JSONDecodeError until it ages out of the window —
                 # remove it now, same treatment as the expired ones.
-                os.remove(_manifest_path(root, v))
+                io.remove(_manifest_path(root, v))
                 continue
             if hist is not None:
                 live |= {p.split("/", 1)[0] for p in hist["partitions"].values()}
         now = time.time()
         gone: list[str] = []
         vpat = re.compile(r"^v(\d+)(-[0-9a-f]{8})?$")
-        for entry in sorted(os.listdir(root)):
+        for entry in sorted(io.listdir(root)):
             full = os.path.join(root, entry)
-            if not (vpat.match(entry) and os.path.isdir(full)):
+            if not (vpat.match(entry) and io.isdir(full)):
                 continue
             if entry in live:
                 continue
             try:
-                age = now - os.path.getmtime(full)
+                age = now - io.getmtime(full)
             except OSError:
                 continue
             if age < min_age_seconds:
                 continue  # possibly an in-flight writer's staging dir
-            shutil.rmtree(full)
+            io.rmtree(full)
             gone.append(entry)
         # Expire history manifests outside the retention window —
         # intact or not (unreadable ones are exactly the pre-atomic-
@@ -1202,5 +1202,5 @@ def vacuum(
         # thousands of commits is the alternative).
         for v in hist_versions:
             if v not in retained:
-                os.remove(_manifest_path(root, v))
+                io.remove(_manifest_path(root, v))
     return gone

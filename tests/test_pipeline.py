@@ -2176,6 +2176,81 @@ def test_versioned_vacuum_noop_without_a_store(tmp_path):
     assert os.listdir(empty) == []
 
 
+def test_versioned_manifest_plane_runs_on_alt_fileio():
+    """VERDICT r12 #6: the manifest plane's filesystem calls route
+    through the FileIO seam (pipeline/fileio.py), so the single-node
+    listdir/replace/flock/mtime contract is a pluggable DEFAULT. Prove
+    the seam carries the whole metadata contract on a dict-backed
+    filesystem: atomic publish, CAS fence, schema carry-forward, time
+    travel, and vacuum retention/aging — zero disk involved (the data
+    plane stays Spark's business; dirs here are fakes)."""
+    import time
+
+    import pytest
+
+    from gas_data_pipeline_spark.pipeline import versioned
+    from gas_data_pipeline_spark.pipeline.fileio import (
+        MemoryFileIO,
+        io_for,
+        register_fileio,
+        unregister_fileio,
+    )
+
+    mem = MemoryFileIO()
+    register_fileio("mem://", mem)
+    try:
+        root = "mem://warehouse/tbl"
+        mem.makedirs(root + "/v1-aaaaaaaa/__pdate=2024-01-01")
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "series_id", "type": "string",
+                 "nullable": True, "metadata": {}}
+            ],
+        }
+        m1 = versioned.publish_version(
+            root,
+            1,
+            {"2024-01-01": "v1-aaaaaaaa/__pdate=2024-01-01"},
+            schema=schema,
+            stats={"2024-01-01": {"series_id": ["a", "b"]}},
+        )
+        assert versioned.read_manifest(root) == m1
+        # CAS fence: a writer that merged against the pre-v1 snapshot
+        # is refused once v1 exists.
+        with pytest.raises(versioned.ConcurrentCommitError):
+            versioned.publish_version(root, 1, {})
+        # v2 rewrites the date; schema=None carries the v1 schema
+        # forward, stats=None drops the rewritten date's stale bounds.
+        mem.makedirs(root + "/v2-bbbbbbbb/__pdate=2024-01-01")
+        m2 = versioned.publish_version(
+            root, 2, {"2024-01-01": "v2-bbbbbbbb/__pdate=2024-01-01"}
+        )
+        assert m2["schema"] == schema
+        assert "stats" not in m2
+        # Time travel: the v1 snapshot is still resolvable.
+        assert versioned.read_manifest(root, 1)["partitions"][
+            "2024-01-01"
+        ].startswith("v1-")
+        # Vacuum: the unreferenced, aged-out v1 dir is reclaimed and
+        # the v1 history manifest expires; the live snapshot survives.
+        mem.set_mtime(root + "/v1-aaaaaaaa", time.time() - 90000)
+        gone = versioned.vacuum(root, retain_last_n=1, min_age_seconds=86400)
+        assert gone == ["v1-aaaaaaaa"]
+        assert versioned.read_manifest(root, 1) is None
+        assert versioned.read_manifest(root)["version"] == 2
+        assert not mem.isdir(root + "/v1-aaaaaaaa")
+        # A fresh in-memory dir younger than min_age survives (the
+        # in-flight-writer guarantee holds across implementations).
+        mem.makedirs(root + "/v9-cccccccc")
+        assert versioned.vacuum(root, retain_last_n=1, min_age_seconds=86400) == []
+        assert mem.isdir(root + "/v9-cccccccc")
+        # Local paths still resolve to the local default.
+        assert io_for("/anywhere/else") is not mem
+    finally:
+        unregister_fileio("mem://")
+
+
 def test_versioned_upsert_with_retry_lands_both_writers(spark, scratch):
     """VERDICT r10 #4: the Iceberg client loop — a writer fenced by an
     interleaved commit re-reads the new snapshot, re-merges, and its
