@@ -53,6 +53,12 @@ SCALE_PROBE_EXCLUDED = {
     # geometry the query is about).
     "ann_lsh_signed": "content-keyed buckets; verbatim embedding copies",
     "ann_lsh_bucketed": "content-keyed buckets; verbatim embedding copies",
+    # r13 adjudication (VERDICT r12 #5): isolated idle-box re-measure
+    # 2.0-2.2 s cold at sf0.1 — the round-12 2.3-4.7 s band tracked the
+    # host's filesystem drift (the index build localCheckpoints to
+    # disk), not growth; the content exclusion itself stands because
+    # verbatim copies collapse every vector into factor-1 identical
+    # twins inside its IVF cell.
     "ann_ivfpq": "content-routed IVF cells; verbatim embedding copies",
     "dedup_semantic_buckets": "content-keyed buckets; verbatim copies",
     # Exact ALL-PAIRS bitset GEMM by design (dense ~1k char-gram
@@ -215,6 +221,23 @@ SCALE_PROBE_QUERIES = (
     # per-cycle manifest commit; the probe's job is the scale term
     # under that constant.
     "hourly_pipeline_atomic_e2e",
+    # r13 adjudication (VERDICT r12 #5): bpe_vocab_after_merges read
+    # 0.43-0.88 s in-suite for 16 runs then 3.6/5.1 s in the two
+    # io-degraded runs — isolated idle-box re-measure shows the
+    # in-suite era was WARM-seam (a sibling BPE query trains the
+    # session cache first); cold it is 3.3-4.9 s, and its outsized io
+    # sensitivity is the iterative trainer's shuffle/localCheckpoint
+    # file traffic (~7x fs drift hits it ~7x where scan-bound queries
+    # see ~2x). First probe: per-copy 0.115 at 8x, no flip — the
+    # trainer's cost is merge-iteration overhead, not corpus size.
+    "bpe_vocab_after_merges",
+    # sub-day time-bounds pruning on the versioned store (registered
+    # round 13, ~5 s isolated cold at sf0.1): one versioned upsert +
+    # one time-pruned snapshot read — scales like the upsert that
+    # feeds it, with the read side CHEAPER relative to table size as
+    # the prune bites (same story as the stats prune). First probe:
+    # per-copy 0.104 at 8x, no flip.
+    "silver_versioned_time_prune",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so
