@@ -64,37 +64,30 @@ def _load_all() -> None:
 # still covered by the builder-side parity gate (tests/test_parity.py,
 # all queries).
 #
-# Round-12 rotation (VERDICT r11 #1): CORRECTNESS_r11.json landed 46
-# exact + 4 rows-only green (zero failures), so the window rotates.
-# The 9 anchors stay; rotating IN:
-#   - 7 first driver rows: silver_versioned_schema_evolution
-#     (registered r11, parity-gated, tail-only until now — builder
-#     residual #5), silver_versioned_stats_prune (REGISTERED this
-#     round: manifest column-stats pruning, VERDICT r11 #2),
-#     gie_rest_datasource_melt (REGISTERED this round: SRC6 as a
-#     per-country-partitioned Python DataSource, VERDICT r11 #8),
-#     silver_versioned_compaction (layout-only rewrite commit),
-#     silver_versioned_delete (copy-on-write DELETE),
-#     silver_versioned_incremental_rollup (changelog-fed rollup
-#     maintenance) and silver_versioned_lifecycle_e2e (the composed
-#     table-format lifecycle) — the last four REGISTERED this round;
-#     their slots came from the 4 alphabetically-last r8 fillers
-#     (ccnet_perplexity_buckets, cms_heavy_hitters_merge,
-#     contamination_source_matrix, dedup_cluster_stats), which rotate
-#     next round with the rest of the r8 era;
-#   - 4 touched-this-round re-certifications:
-#     silver_versioned_changelog (null/NaN-proof bump, ADVICE r11),
-#     event_day_streaks (empty-day-array guard, ADVICE r11 — also an
-#     r7-era row), quality_classifier_train and
-#     quality_classifier_filter (the fit is now sample-bounded, so
-#     the whole trained trajectory changed — VERDICT r11 #3);
-#   - ALL 27 remaining r7-era rows (the stalest anywhere after the
-#     r11 window) plus the 3 alphabetically-first r8-era rows to fill
-#     the window. After this window runs, the stalest driver row
-#     anywhere is r8-era.
-# Rotating OUT: the r11 greens (re-proven last round) and the 4
-# rows-only approximations (refreshed r11; their exact twins and
-# pytest-pinned recall/error bounds keep covering them).
+# Round-13 rotation (VERDICT r12 #1): CORRECTNESS_r12.json landed
+# 50/50 exact-green (zero failures), so the window rotates. The 9
+# anchors stay; rotating IN:
+#   - the FULL r8-era cohort (28 rows — the stalest anywhere after
+#     the r12 window), starting with the 4 fillers the r12 versioned
+#     family displaced (ccnet_perplexity_buckets,
+#     cms_heavy_hitters_merge, contamination_source_matrix,
+#     dedup_cluster_stats);
+#   - the 4 rows-only-by-design approximations for their periodic
+#     rows-only refresh (each has an exact-oracled twin and
+#     pytest-pinned recall/error bounds; last refreshed r11);
+#   - 1 first driver row: silver_versioned_time_prune (REGISTERED
+#     this round: sub-day observation_time pruning on manifest stats,
+#     VERDICT r12 #4);
+#   - 2 touched-this-round re-certifications of r12 greens whose
+#     kernels were reshaped: gie_rest_datasource_melt (the reader
+#     gained the authenticated paginated http transport and its read
+#     loop changed, ADVICE r12 medium) and silver_versioned_stats_prune
+#     (stats collection moved to a parallelized footer job and the
+#     stats schema gained observation_time, VERDICT r12 #3/#4);
+#   - the 6 alphabetically-first r9-era rows to fill the window.
+# After this window runs, the union staleness ceiling moves to r9.
+# Rotating OUT: the r12 greens (re-proven last round) and the r7-era
+# rows re-certified in r12.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
@@ -106,51 +99,52 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_gie_delete_reload",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # -- first driver rows --
-    "silver_versioned_schema_evolution",
-    "silver_versioned_stats_prune",
-    "gie_rest_datasource_melt",
-    "silver_versioned_compaction",
-    "silver_versioned_delete",
-    "silver_versioned_incremental_rollup",
-    "silver_versioned_lifecycle_e2e",
+    # -- first driver row (registered this round) --
+    "silver_versioned_time_prune",
     # -- touched this round: re-certification --
-    "silver_versioned_changelog",
-    "event_day_streaks",
-    "quality_classifier_train",
-    "quality_classifier_filter",
-    # -- stalest re-verification: rows last checked in r7 --
-    "dedup_prefix_jaccard",
-    "drift_ks_statistic",
-    "drift_psi_features",
-    "embedding_centroid_drift",
-    "embedding_norm_stats",
-    "entity_resolution_e2e",
-    "forecast_seasonal_naive_backtest",
-    "fuzzy_part_name_pairs",
-    "join_skew_profile",
-    "kmv_segment_overlap",
-    "multimodal_frame_sample",
-    "order_basket_hof_profile",
-    "robust_scale_winsorized",
-    "rolling_weekly_active_users",
-    "sample_k_per_group",
-    "schema_drift_audit",
-    "schema_evolution_merge_read",
-    "split_leakage_audit",
-    "sql_q5_local_supplier_volume",
-    "stats_corr_by_brand",
-    "stream_drift_monitor",
-    "stream_quarantine_split",
-    "text_chunk_sliding",
-    "text_repetition_topgram",
-    "value_histogram_bins",
-    "vocab_top_terms",
-    "zorder_bucket_stats",
-    # -- oldest r8 rows filling the window --
-    "anti_join_delete",
-    "approx_distinct_portable_hll",
-    "bpe_encode_corpus",
+    "gie_rest_datasource_melt",
+    "silver_versioned_stats_prune",
+    # -- rows-only periodic refresh (exact twins stay oracled) --
+    "ann_ivfpq",
+    "ann_lsh_bucketed",
+    "approx_distinct_users",
+    "approx_percentiles_tdigest",
+    # -- stalest re-verification: the full r8-era cohort --
+    "ccnet_perplexity_buckets",
+    "cms_heavy_hitters_merge",
+    "contamination_source_matrix",
+    "dedup_cluster_stats",
+    "dedup_last_write_wins",
+    "dedup_semantic_buckets",
+    "dsir_importance_select",
+    "graph_pagerank",
+    "group_to_nested",
+    "json_field_predicate",
+    "json_roundtrip",
+    "kanonymity_audit",
+    "limit_offset_pagination",
+    "multimodal_resize_grid",
+    "observe_ingest_metrics",
+    "projection_computed",
+    "quality_expectations",
+    "quality_model_score",
+    "range_scan_history",
+    "selection_pipeline_summary",
+    "series_id_slug",
+    "stream_heavy_hitters_cms",
+    "stream_lookback_upsert",
+    "stream_rest_datasource_ingest",
+    "tfidf_top_terms",
+    "training_shard_incremental",
+    "training_shard_manifest",
+    "zipf_token_slope",
+    # -- oldest r9 rows filling the window --
+    "ann_index_incremental",
+    "ann_ivf",
+    "ann_ivfpq_kcenter",
+    "ann_pq",
+    "asof_join_latest_view",
+    "coreset_kcenter_select",
 )
 
 
