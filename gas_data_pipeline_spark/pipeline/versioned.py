@@ -151,6 +151,7 @@ def publish_version(
     partitions: dict,
     schema: dict | None = None,
     stats: dict | None = None,
+    file_stats: dict | None = None,
 ) -> dict:
     """The commit protocol, isolated from the merge: fence-read +
     atomic publish under ONE exclusive flock. A writer that merged
@@ -179,7 +180,11 @@ def publish_version(
     entry is unchanged — a direct caller that rewrote a partition
     without recomputing stats must not publish stale bounds the new
     files may violate (wrong pruning is silent data loss; no stats is
-    merely no pruning)."""
+    merely no pruning). ``file_stats`` (partition date -> {filename ->
+    {col: [min, max]}}, the FILE grain from :func:`_collect_stats`)
+    carries forward under the exact same rule: version directories
+    are immutable once committed, so an unchanged entry's file list
+    and bounds cannot have changed."""
     with _commit_lock(root):
         now = read_manifest(root)
         now_version = now["version"] if now else 0
@@ -192,19 +197,27 @@ def publish_version(
             )
         if schema is None and now is not None:
             schema = now.get("schema")
-        if stats is None and now is not None:
+
+        def _carry(key: str, given):
+            if given is not None or now is None:
+                return given or {}
             prev_parts = now["partitions"]
-            prev_stats = now.get("stats", {})
-            stats = {
-                d: prev_stats[d]
+            prev = now.get(key, {})
+            return {
+                d: prev[d]
                 for d in partitions
-                if d in prev_stats and partitions[d] == prev_parts.get(d)
+                if d in prev and partitions[d] == prev_parts.get(d)
             }
+
+        stats = _carry("stats", stats)
+        file_stats = _carry("file_stats", file_stats)
         manifest = {"version": version, "partitions": partitions}
         if schema is not None:
             manifest["schema"] = schema
         if stats:
             manifest["stats"] = stats
+        if file_stats:
+            manifest["file_stats"] = file_stats
         _commit_manifest(root, manifest)
     return manifest
 
@@ -479,45 +492,52 @@ def _partition_stats(pdir: str) -> dict:
     return {c: v for c, v in agg.items() if v is not None}
 
 
-def _partition_stats_many(spark: SparkSession, pdirs: dict[str, str]) -> dict:
+def _collect_stats(
+    spark: SparkSession, pdirs: dict[str, str]
+) -> tuple[dict, dict]:
     """Footer stats for MANY partitions in ONE parallelized job
     (VERDICT r12 #3): the commit path used to read every affected part
     file's footer SERIALLY on the driver — O(files) driver IO per
     commit, the last serial loop in the commit path. Here the driver
     only LISTS each affected partition dir (O(partitions) metadata
-    calls); every footer read runs as a task ((date, file) pairs fanned
-    out over the cluster), per-date merging happens executor-side via
-    ``reduceByKey`` on the associative :func:`_merge_file_stats`, and
-    the driver collects ONE bounded row per partition. This is
-    Iceberg's shape approximated post-write (each write task reports
-    its file's stats with the file handle); the manifest format is
-    unchanged and the values are identical to the serial reader by
-    construction (shared :func:`_file_stats` kernel, pinned by test).
+    calls); every footer read runs as a task ((date, file) pairs
+    fanned out over the cluster) and the driver collects one
+    STATS_COLS-bounded row per file — metadata-sized, the same
+    planning-time material Iceberg's driver reads from its manifests.
+    Values are identical to the serial reader by construction (shared
+    :func:`_file_stats` kernel, pinned by test).
+
+    Returns ``(per_partition, per_file)``:
+
+    - ``per_partition[date] = {col: [min, max]}`` — the partition
+      grain (a column survives only if trustworthy in EVERY file);
+    - ``per_file[date] = {filename: {col: [min, max]}}`` — the FILE
+      grain (Iceberg's manifest-entry shape): every data file present
+      at commit time is listed (an unreadable footer lists with ``{}``
+      so reads always keep it), which lets a filtered read select
+      individual FILES and skip the directory listing entirely.
 
     ``pdirs`` maps partition key -> ABSOLUTE partition directory.
-    Partitions with no files are absent from the result; partitions
-    whose every column is disqualified map to ``{}``."""
-    pairs: list[tuple[str, str]] = []
+    Partitions with no files are absent from both results; partitions
+    whose every column is disqualified map to ``{}`` in the partition
+    grain."""
+    pairs: list[tuple[str, str, str]] = []
     for d, pdir in pdirs.items():
         try:
-            files = [
-                os.path.join(pdir, f)
-                for f in os.listdir(pdir)
-                if f.endswith(".parquet")
-            ]
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
         except OSError:
             files = []
-        pairs.extend((d, f) for f in files)
+        pairs.extend((d, f, os.path.join(pdir, f)) for f in files)
     if not pairs:
-        return {}
-    # The map/reduce closures must ship BY VALUE: cloudpickle's default
+        return {}, {}
+    # The map closure must ship BY VALUE: cloudpickle's default
     # serializes a module-level function as a (module, qualname)
     # reference, which breaks the moment a Python worker can't import
     # the repo package (workers spawn from the driver's cwd with no
     # repo on sys.path — the real-cluster deployment posture, same
     # reason the DataSources register by value in sources/pyds.py).
-    # Registration is idempotent and scoped to what the closures
-    # actually reference (the stats kernel + its module constants).
+    # Registration is idempotent and scoped to what the closure
+    # actually references (the stats kernel + its module constants).
     from pyspark import cloudpickle
 
     import gas_data_pipeline_spark.pipeline.versioned as _self
@@ -525,16 +545,29 @@ def _partition_stats_many(spark: SparkSession, pdirs: dict[str, str]) -> dict:
     cloudpickle.register_pickle_by_value(_self)
     sc = spark.sparkContext
     n = max(1, min(len(pairs), int(sc.defaultParallelism)))
-    merged = (
+    rows = (
         sc.parallelize(pairs, n)
-        .map(lambda pair: (pair[0], _file_stats(pair[1])))
-        .reduceByKey(_merge_file_stats)
+        .map(lambda t: (t[0], t[1], _file_stats(t[2])))
         .collect()
     )
-    return {
-        d: {c: v for c, v in agg.items() if v is not None}
-        for d, agg in merged
+    per_file: dict = {}
+    agg: dict = {}
+    for d, fn, fs in rows:
+        per_file.setdefault(d, {})[fn] = {
+            c: v for c, v in fs.items() if v is not None
+        }
+        agg[d] = _merge_file_stats(agg.get(d, {}), fs)
+    per_part = {
+        d: {c: v for c, v in a.items() if v is not None}
+        for d, a in agg.items()
     }
+    return per_part, per_file
+
+
+def _partition_stats_many(spark: SparkSession, pdirs: dict[str, str]) -> dict:
+    """Partition-grain view of :func:`_collect_stats` — kept as the
+    equality surface against the serial :func:`_partition_stats`."""
+    return _collect_stats(spark, pdirs)[0]
 
 
 def upsert_observations_versioned(
@@ -552,6 +585,7 @@ def upsert_observations_versioned(
     version = (current["version"] + 1) if current else 1
     partitions = dict(current["partitions"]) if current else {}
     stats = dict(current.get("stats", {})) if current else {}
+    fstats = dict(current.get("file_stats", {})) if current else {}
 
     batch = batch.withColumn(PARTITION_COL, F.to_date("observation_time")).withColumn(
         "__prio", F.lit(1)
@@ -622,10 +656,11 @@ def upsert_observations_versioned(
         }
         # Business-key min/max from the freshly written files' FOOTERS
         # (no data pages), collected as ONE parallelized job across all
-        # written partitions; structural sharing keeps the untouched
-        # partitions' stats as-is, exactly like their directory
-        # entries.
-        new_stats = _partition_stats_many(spark, written)
+        # written partitions — at BOTH grains (partition bounds for
+        # date-level pruning, per-file bounds for file selection);
+        # structural sharing keeps the untouched partitions' stats
+        # as-is, exactly like their directory entries.
+        new_stats, new_fstats = _collect_stats(spark, written)
         for d in affected:
             if d in written:
                 partitions[d] = f"{vtag}/{_PDATE}={d}"
@@ -634,9 +669,14 @@ def upsert_observations_versioned(
                     stats[d] = pstats
                 else:
                     stats.pop(d, None)
+                if new_fstats.get(d):
+                    fstats[d] = new_fstats[d]
+                else:
+                    fstats.pop(d, None)
             else:
                 partitions.pop(d, None)
                 stats.pop(d, None)
+                fstats.pop(d, None)
         # Optimistic-concurrency fence (Iceberg's CAS, single-node
         # form) — see :func:`publish_version`. Single-writer
         # deployments never contend here.
@@ -644,7 +684,12 @@ def upsert_observations_versioned(
             current.get("schema") if current else None, final
         )
         return publish_version(
-            root, version, partitions, schema=schema, stats=stats
+            root,
+            version,
+            partitions,
+            schema=schema,
+            stats=stats,
+            file_stats=fstats,
         )
     finally:
         cached.unpersist()
@@ -694,10 +739,19 @@ def read_observations_versioned(
     id is skipped before any file listing (the file-stats half of
     Iceberg's manifests — the reference's B-tree on (series_id,
     observation_time), db_queries.sql:79-80, re-expressed as commit
-    metadata). Partitions without stats (pre-stats manifests, footer
-    gaps) are kept — absent stats degrade to no pruning, never to
-    wrong results. The row-level ``isin`` filter still applies on top,
-    so pruning is a pure IO optimization."""
+    metadata). ``start``/``end`` additionally prune on the recorded
+    ``observation_time`` bounds below the date grain.
+
+    Surviving partitions then prune at the FILE grain (round 13 —
+    Iceberg's manifest-entry shape): the manifest records every data
+    file's bounds at commit, so a filtered read selects individual
+    FILES from metadata — no directory listing at all on that path —
+    and after a range-clustered compaction a one-series read touches
+    ~one file per partition instead of all of them. Partitions or
+    files without recorded stats (pre-stats manifests, footer gaps)
+    are kept — absent stats degrade to no pruning, never to wrong
+    results. The row-level filters still apply on top, so pruning is
+    a pure IO optimization."""
     m = read_manifest(root, version)
     if m is None or not m["partitions"]:
         raise FileNotFoundError(f"no committed snapshot under {root}")
@@ -719,52 +773,62 @@ def read_observations_versioned(
         items = [(d, p) for d, p in items if d >= str(start)[:10]]
     if end is not None:
         items = [(d, p) for d, p in items if d <= str(end)[:10]]
-    if start is not None or end is not None:
-        # Sub-day pruning on the manifest's observation_time bounds
-        # (VERDICT r12 #4 — the second half of the reference's B-tree
-        # on (series_id, observation_time)): the date key above prunes
-        # at day grain, but a boundary-day partition whose recorded
-        # time range doesn't overlap [start, end] is skipped before
-        # any file listing. Partitions without time bounds (pre-stats
-        # manifests, INT96-era files, all-null times) are kept —
-        # absent stats degrade to no pruning, never to wrong results;
-        # the row-level filters below still apply on top.
-        all_stats = m.get("stats", {})
-        sk = _time_bound_key(start) if start is not None else None
-        ek = _time_bound_key(end) if end is not None else None
-
-        def _time_overlaps(date_key: str) -> bool:
-            bounds = all_stats.get(date_key, {}).get("observation_time")
-            if bounds is None:
-                return True
-            lo, hi = bounds
-            if sk is not None and hi < sk:
-                return False  # everything here ends before the window
-            if ek is not None and lo > ek:
-                return False  # everything here starts after the window
-            return True
-
-        items = [(d, p) for d, p in items if _time_overlaps(d)]
+    wanted = None
     if series_ids is not None:
         wanted = (
             [series_ids] if isinstance(series_ids, str) else list(series_ids)
         )
-        stats = m.get("stats", {})
+    sk = _time_bound_key(start) if start is not None else None
+    ek = _time_bound_key(end) if end is not None else None
 
-        def _may_contain(date: str) -> bool:
-            bounds = stats.get(date, {}).get("series_id")
-            if bounds is None:
-                return True  # no stats recorded: never prune on faith
-            lo, hi = bounds
-            return any(lo <= s <= hi for s in wanted)
+    def _admit(st: dict) -> bool:
+        """Could an object with these recorded bounds hold a matching
+        row? Absent bounds admit (no stats = no pruning, never wrong
+        results); recorded bounds prune only DISJOINT ranges, so the
+        row-level filters below keep results exact. One predicate for
+        both grains: partitions (manifest ``stats``) and single files
+        (manifest ``file_stats``)."""
+        if wanted is not None:
+            b = st.get("series_id")
+            if b is not None and not any(b[0] <= s <= b[1] for s in wanted):
+                return False
+        b = st.get("observation_time")
+        if b is not None:
+            if sk is not None and b[1] < sk:
+                return False  # everything here ends before the window
+            if ek is not None and b[0] > ek:
+                return False  # everything here starts after the window
+        return True
 
-        items = [(d, p) for d, p in items if _may_contain(d)]
-    if not items:
+    filtering = wanted is not None or sk is not None or ek is not None
+    if filtering:
+        all_stats = m.get("stats", {})
+        items = [(d, p) for d, p in items if _admit(all_stats.get(d, {}))]
+    # FILE-grain selection on the surviving partitions: when the
+    # manifest records per-file bounds, matching files resolve from
+    # METADATA (no listdir); a partition whose every file is excluded
+    # drops out entirely, and an unfiltered or pre-file-stats read
+    # passes the directory to Spark exactly as before.
+    paths: list[str] = []
+    all_fstats = m.get("file_stats", {}) if filtering else {}
+    for d, p in items:
+        per_file = all_fstats.get(d)
+        if not per_file:
+            paths.append(os.path.join(root, p))
+            continue
+        kept = [fn for fn, st in per_file.items() if _admit(st)]
+        if not kept:
+            continue
+        if len(kept) == len(per_file):
+            paths.append(os.path.join(root, p))
+        else:
+            paths.extend(os.path.join(root, p, fn) for fn in sorted(kept))
+    if not paths:
         return (
             reader.parquet(os.path.join(root, next(iter(m["partitions"].values()))))
             .limit(0)
         )
-    df = reader.parquet(*[os.path.join(root, p) for _, p in items])
+    df = reader.parquet(*paths)
     out = df
     if start is not None:
         out = out.filter(F.col("observation_time") >= start)
@@ -851,53 +915,40 @@ def compact_versioned(
     # the shadow column), so the partition identity reconstructs from
     # content — null dates land back under the Hive default partition.
     out = df.withColumn(_PDATE, F.col(PARTITION_COL).cast("string"))
-    # Output-file bucketing: hash the business keys into each date's
-    # n_out buckets so the exchange spreads a big partition over
-    # ceil(bytes/target) tasks — one output file per (date, bucket).
-    # The per-date fan-out map is manifest-sized (one literal entry
-    # per fragmented date), the same embed discipline as the model
-    # seams. Null dates miss the map; coalesce sends them to bucket 0.
-    fan = F.create_map(
-        *[
-            lit
-            for d in sorted(n_out)
-            for lit in (F.lit(d), F.lit(int(n_out[d])))
-        ]
-    )
-    out = out.withColumn(
-        "__cbucket",
-        F.coalesce(
-            F.pmod(
-                F.xxhash64(*[F.col(k) for k in KEYS]),
-                fan[F.col(PARTITION_COL).cast("string")],
-            ),
-            F.lit(0),
-        ),
-    )
-    # EXPLICIT partition count: an unsized repartition lets AQE
-    # coalesce the (small-bytes, many-buckets) exchange back into one
-    # task, silently undoing the fan-out. The count is the global
-    # bin total — the same number Iceberg's rewrite would plan as
-    # file-group tasks. Hash collisions may co-locate buckets in a
-    # task (fewer, larger files — never lost parallelism beyond the
-    # collision factor).
-    out = out.repartition(
-        int(sum(n_out.values())), F.col(PARTITION_COL), F.col("__cbucket")
+    # RANGE-cluster the rewrite on (date, business keys) with an
+    # EXPLICIT partition count (the global bin total — the same number
+    # Iceberg's sort-rewrite would plan as file-group tasks; an
+    # unsized repartition lets AQE coalesce the exchange back into one
+    # task, silently undoing the fan-out — the round-12 lesson). Range
+    # instead of the earlier hash-bucket fan-out (round 13): each date
+    # still spreads over ~ceil(bytes/target) tasks (the sampler
+    # allocates bins by row share and dates sort contiguously), but
+    # now every output FILE covers a narrow contiguous (series_id,
+    # observation_time) slice — which is exactly what makes the
+    # manifest's per-file stats selective: a one-series read after
+    # compaction touches ~1 file per partition, not all of them
+    # (Iceberg's sort-order rewrite, pinned by inputFiles in
+    # tests/test_pipeline.py). Hash buckets gave the same parallelism
+    # but scattered every series across every file, so file bounds
+    # always spanned the full range and file pruning never bit.
+    out = out.repartitionByRange(
+        int(sum(n_out.values())),
+        F.col(PARTITION_COL),
+        *[F.col(k) for k in KEYS],
     )
     if sort_within:
         out = out.sortWithinPartitions(PARTITION_COL, *KEYS)
     with _stats_bearing_writes(spark):
-        out.drop("__cbucket").write.mode("overwrite").partitionBy(
-            _PDATE
-        ).parquet(vdir)
+        out.write.mode("overwrite").partitionBy(_PDATE).parquet(vdir)
     partitions = dict(current["partitions"])
     stats = dict(current.get("stats", {}))
+    fstats = dict(current.get("file_stats", {}))
     written = {
         d: os.path.join(root, f"{vtag}/{_PDATE}={d}")
         for d in fragmented
         if os.path.isdir(os.path.join(root, f"{vtag}/{_PDATE}={d}"))
     }
-    new_stats = _partition_stats_many(spark, written)
+    new_stats, new_fstats = _collect_stats(spark, written)
     for d in written:
         partitions[d] = f"{vtag}/{_PDATE}={d}"
         pstats = new_stats.get(d)
@@ -905,11 +956,16 @@ def compact_versioned(
             stats[d] = pstats
         else:
             stats.pop(d, None)
+        if new_fstats.get(d):
+            fstats[d] = new_fstats[d]
+        else:
+            fstats.pop(d, None)
         # A fragmented partition that produced no output would mean
         # data loss — its entry stays on the OLD dir so nothing
         # vanishes (cannot happen for non-empty inputs; belt only).
     return publish_version(
-        root, version, partitions, schema=None, stats=stats
+        root, version, partitions, schema=None, stats=stats,
+        file_stats=fstats,
     )
 
 
@@ -968,12 +1024,13 @@ def delete_versioned(spark: SparkSession, root: str, predicate) -> dict:
         survivors.write.mode("overwrite").partitionBy(_PDATE).parquet(vdir)
     partitions = dict(current["partitions"])
     stats = dict(current.get("stats", {}))
+    fstats = dict(current.get("file_stats", {}))
     written = {
         d: os.path.join(root, f"{vtag}/{_PDATE}={d}")
         for d in hit_dates
         if os.path.isdir(os.path.join(root, f"{vtag}/{_PDATE}={d}"))
     }
-    new_stats = _partition_stats_many(spark, written)
+    new_stats, new_fstats = _collect_stats(spark, written)
     for d in sorted(hit_dates):
         if d in written:
             partitions[d] = f"{vtag}/{_PDATE}={d}"
@@ -982,12 +1039,18 @@ def delete_versioned(spark: SparkSession, root: str, predicate) -> dict:
                 stats[d] = pstats
             else:
                 stats.pop(d, None)
+            if new_fstats.get(d):
+                fstats[d] = new_fstats[d]
+            else:
+                fstats.pop(d, None)
         else:
             # Every row of the partition matched: the date is gone.
             partitions.pop(d, None)
             stats.pop(d, None)
+            fstats.pop(d, None)
     return publish_version(
-        root, version, partitions, schema=None, stats=stats
+        root, version, partitions, schema=None, stats=stats,
+        file_stats=fstats,
     )
 
 

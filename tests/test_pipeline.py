@@ -1475,12 +1475,20 @@ def test_versioned_stats_prune_skips_nonmatching_partitions(spark, scratch):
     # level: empty result, no partition listed.
     df = read_observations_versioned(spark, scratch, series_ids="Z_0")
     assert df.count() == 0
-    # Stats-less manifest (pre-stats store): pruning degrades to the
-    # row filter — same rows, both partitions listed.
+    # Partition stats gone but FILE stats present (both recorded at
+    # commit since r13): the file grain still prunes Feb entirely.
     import json as _json
 
     m2 = dict(m)
     m2.pop("stats")
+    with open(os.path.join(scratch, "manifest.json"), "w") as fh:
+        _json.dump(m2, fh)
+    df = read_observations_versioned(spark, scratch, series_ids="A_9")
+    assert {r.series_id for r in df.collect()} == {"A_9"}
+    assert all("__pdate=2024-01-01" in f for f in df.inputFiles())
+    # Stats-less manifest at BOTH grains (pre-stats store): pruning
+    # degrades to the row filter — same rows, both partitions listed.
+    m2.pop("file_stats")
     with open(os.path.join(scratch, "manifest.json"), "w") as fh:
         _json.dump(m2, fh)
     df = read_observations_versioned(spark, scratch, series_ids="A_9")
@@ -1604,14 +1612,20 @@ def test_versioned_time_bounds_prune_below_date_grain(spark, scratch):
         spark, scratch, start=datetime(2024, 1, 1, 12, 0, 0)
     )
     assert {r.value for r in df.collect()} == {3.0, 4.0}
-    # Bound-less stats (pre-micros store): time pruning degrades to
-    # date grain, rows stay exact.
+    # Bound-less stats at BOTH grains (pre-micros store): time pruning
+    # degrades to date grain, rows stay exact.
     import json as _json
 
+    def _no_time(stats_map):
+        return {
+            d: {k: v for k, v in s.items() if k != "observation_time"}
+            for d, s in stats_map.items()
+        }
+
     m2 = dict(m)
-    m2["stats"] = {
-        d: {k: v for k, v in s.items() if k != "observation_time"}
-        for d, s in m["stats"].items()
+    m2["stats"] = _no_time(m["stats"])
+    m2["file_stats"] = {
+        d: _no_time(per_file) for d, per_file in m["file_stats"].items()
     }
     with open(os.path.join(scratch, "manifest.json"), "w") as fh:
         _json.dump(m2, fh)
@@ -2176,6 +2190,115 @@ def test_versioned_vacuum_noop_without_a_store(tmp_path):
     assert os.listdir(empty) == []
 
 
+def test_versioned_file_grain_pruning_after_range_compaction(spark, scratch):
+    """Round 13 — Iceberg's manifest-entry shape: every commit records
+    per-FILE column bounds, compaction range-clusters its output on
+    (date, series, time), and a filtered read selects individual files
+    from metadata. A one-series read after compaction must list a
+    strict subset of the partition's files (pinned by inputFiles),
+    with rows exact; dropping file_stats from the manifest degrades to
+    the directory read with identical rows."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        compact_versioned,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    # One date, many series, multiple files (fragmented commit).
+    rows = [
+        ("S_%03d" % i, "2024-01-01 %02d:00:00" % (i % 24), float(i),
+         "2024-01-01 01:00:00", i)
+        for i in range(400)
+    ]
+    key = "spark.sql.files.maxRecordsPerFile"
+    old = spark.conf.get(key, "0")
+    spark.conf.set(key, "50")
+    try:
+        upsert_observations_versioned(
+            spark, _vs_batch(spark, rows), scratch,
+            order_cols=["ingestion_time", "event_id"],
+        )
+    finally:
+        spark.conf.set(key, old)
+    pdir = os.path.join(scratch, read_manifest(scratch)["partitions"]["2024-01-01"])
+    total = sum(
+        os.path.getsize(os.path.join(pdir, f))
+        for f in os.listdir(pdir) if f.endswith(".parquet")
+    )
+    m2 = compact_versioned(spark, scratch, target_bytes=max(1, total // 4))
+    per_file = m2["file_stats"]["2024-01-01"]
+    n_files = len(per_file)
+    assert n_files >= 2
+    # Range clustering: the files' series ranges are (near-)disjoint —
+    # every file carries bounds and at most one file admits S_007.
+    admitting = [
+        fn for fn, st in per_file.items()
+        if st.get("series_id") and st["series_id"][0] <= "S_007" <= st["series_id"][1]
+    ]
+    assert len(admitting) == 1
+    df = read_observations_versioned(spark, scratch, series_ids="S_007")
+    files = df.inputFiles()
+    assert len(files) < n_files and len(files) >= 1
+    got = [(r.series_id, r.value) for r in df.collect()]
+    assert got == [("S_007", 7.0)]
+    # Time-window read stays exact through the file-grain path (the
+    # clustering is series-major, so each file spans the full day and
+    # time bounds admit every file here — no pruning, no loss; the
+    # sub-day TIME prune is pinned at partition grain in
+    # test_versioned_time_bounds_prune_below_date_grain).
+    df = read_observations_versioned(
+        spark, scratch,
+        start="2024-01-01 00:30:00", end="2024-01-01 01:30:00",
+    )
+    assert {r.series_id[:2] for r in df.collect()} == {"S_"}
+    assert df.count() == sum(1 for i in range(400) if i % 24 == 1)
+    # Unfiltered read: whole directory, every row.
+    assert read_observations_versioned(spark, scratch).count() == 400
+    # Manifest without file_stats (older store): directory read, rows
+    # exact — pruning is an IO optimization only.
+    import json as _json
+
+    m3 = dict(m2)
+    m3.pop("file_stats")
+    with open(os.path.join(scratch, "manifest.json"), "w") as fh:
+        _json.dump(m3, fh)
+    df = read_observations_versioned(spark, scratch, series_ids="S_007")
+    assert [(r.series_id, r.value) for r in df.collect()] == [("S_007", 7.0)]
+    assert len(df.inputFiles()) == n_files
+
+
+def test_versioned_file_stats_carry_forward_with_sharing(spark, scratch):
+    """file_stats carry forward for structurally-shared partitions
+    exactly like partition stats (version dirs are immutable), and a
+    rewritten partition's file list is replaced, never merged."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        upsert_observations_versioned,
+    )
+
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    up(
+        _vs_batch(
+            spark,
+            [
+                ("A_1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1),
+                ("B_1", "2024-02-01 00:00:00", 2.0, "2024-02-01 01:00:00", 2),
+            ],
+        )
+    )
+    m1 = read_manifest(scratch)
+    up(_vs_batch(spark, [("B_2", "2024-02-01 06:00:00", 3.0, "2024-02-01 07:00:00", 3)]))
+    m2 = read_manifest(scratch)
+    # Jan shared: identical file_stats entry. Feb rewritten: new list.
+    assert m2["file_stats"]["2024-01-01"] == m1["file_stats"]["2024-01-01"]
+    assert m2["file_stats"]["2024-02-01"] != m1["file_stats"]["2024-02-01"]
+    feb = m2["file_stats"]["2024-02-01"]
+    assert all(st["series_id"] == ["B_1", "B_2"] for st in feb.values())
+
+
 def test_versioned_manifest_plane_runs_on_alt_fileio():
     """VERDICT r12 #6: the manifest plane's filesystem calls route
     through the FileIO seam (pipeline/fileio.py), so the single-node
@@ -2500,7 +2623,7 @@ def test_versioned_maintenance_ops_are_cas_fenced(spark, scratch):
     manifest read and their publish gets them REFUSED
     (ConcurrentCommitError), the interloper's snapshot stays intact,
     and a plain re-run succeeds against the new snapshot. The
-    interference is injected at the _partition_stats_many seam — it
+    interference is injected at the _collect_stats seam — it
     runs after the maintenance write, before the publish, exactly the
     race window."""
     import pytest
@@ -2524,7 +2647,7 @@ def test_versioned_maintenance_ops_are_cas_fenced(spark, scratch):
     finally:
         spark.conf.set(key, old)
 
-    real_stats = versioned._partition_stats_many
+    real_stats = versioned._collect_stats
 
     def interfering(fire_once: dict):
         def _stats(spark_, pdirs):
@@ -2539,12 +2662,12 @@ def test_versioned_maintenance_ops_are_cas_fenced(spark, scratch):
         return _stats
 
     # Compaction fenced by an interleaved commit, then re-run lands.
-    versioned._partition_stats_many = interfering({"armed": False})
+    versioned._collect_stats = interfering({"armed": False})
     try:
         with pytest.raises(versioned.ConcurrentCommitError):
             versioned.compact_versioned(spark, scratch, min_files=2)
     finally:
-        versioned._partition_stats_many = real_stats
+        versioned._collect_stats = real_stats
     assert versioned.read_manifest(scratch)["version"] == 2
     m3 = versioned.compact_versioned(spark, scratch, min_files=2)
     assert m3["version"] == 3
@@ -2554,12 +2677,12 @@ def test_versioned_maintenance_ops_are_cas_fenced(spark, scratch):
     assert n_after_compact == 30
 
     # Delete fenced the same way; re-run applies against the winner.
-    versioned._partition_stats_many = interfering({"armed": False})
+    versioned._collect_stats = interfering({"armed": False})
     try:
         with pytest.raises(versioned.ConcurrentCommitError):
             versioned.delete_versioned(spark, scratch, F.col("value") < 5.0)
     finally:
-        versioned._partition_stats_many = real_stats
+        versioned._collect_stats = real_stats
     assert versioned.read_manifest(scratch)["version"] == 4
     assert versioned.read_observations_versioned(spark, scratch).count() == 30
     m5 = versioned.delete_versioned(spark, scratch, F.col("value") < 5.0)
@@ -2726,13 +2849,17 @@ def test_versioned_compaction_bin_packs_to_target_bytes(spark, scratch):
         for f in os.listdir(pdir)
         if f.endswith(".parquet")
     )
-    # Target a quarter of the partition: expect >= 2 output files (hash
-    # buckets can co-locate in a task, so ceil is an upper bound on
-    # file count, parallelism is the contract).
-    m2 = compact_versioned(spark, scratch, target_bytes=max(1, total // 4))
+    # Target a quarter of the partition: the range-clustered rewrite
+    # plans exactly ceil(bytes/target) bins (r13 — the hash-bucket
+    # version could lose buckets to task collisions; range bins can
+    # only shrink via empty sample ranges), so the file count is
+    # bounded by the plan.
+    target = max(1, total // 4)
+    planned = -(-total // target)
+    m2 = compact_versioned(spark, scratch, target_bytes=target)
     new_dir = os.path.join(scratch, m2["partitions"]["2024-01-01"])
     n_files = sum(1 for f in os.listdir(new_dir) if f.endswith(".parquet"))
-    assert 2 <= n_files <= 4
+    assert 2 <= n_files <= planned
     after = sorted(
         map(tuple, read_observations_versioned(spark, scratch).collect())
     )
