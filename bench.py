@@ -238,6 +238,14 @@ SCALE_PROBE_QUERIES = (
     # the prune bites (same story as the stats prune). First probe:
     # per-copy 0.104 at 8x, no flip.
     "silver_versioned_time_prune",
+    # file-grain pruned read after a range-clustered compaction
+    # (registered round 13, ~5.9 s isolated cold at sf0.1):
+    # fragmented upsert + compaction + a two-series read resolved to
+    # individual FILES from manifest metadata — scales like the
+    # compaction that feeds it, and the read side gets relatively
+    # cheaper as file bounds tighten. First probe: per-copy 0.218 at
+    # 8x, no flip.
+    "silver_versioned_file_prune",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

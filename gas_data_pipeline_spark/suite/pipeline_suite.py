@@ -749,6 +749,72 @@ def silver_versioned_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "silver_versioned_file_prune",
+    oracle="""
+        SELECT series_id, observation_time, value
+        FROM (
+            SELECT 'NG_EVENTS_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+          AND series_id IN ('NG_EVENTS_1', 'NG_EVENTS_5')
+    """,
+)
+def silver_versioned_file_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-grain pruned read on the versioned store (round 13 —
+    Iceberg's manifest-entry shape, pipeline/versioned.py:
+    _collect_stats): every commit records per-file column bounds, the
+    range-clustered compaction gives each output file a narrow
+    contiguous (series_id, observation_time) slice, and a
+    series-filtered read then selects individual FILES from manifest
+    metadata — no directory listing, and after compaction a one-series
+    read touches ~one file per partition instead of all of them (the
+    strict-subset skip is pinned by inputFiles in
+    tests/test_pipeline.py). At 100 TB this is the difference between
+    scanning a TB-sized date partition and scanning the few hundred MB
+    whose key range can match. The row-level isin applies on top, so
+    the result is exact with or without file stats."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        compact_versioned,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+    page = e.select(
+        F.concat(
+            F.lit("NG_EVENTS_"), F.col("user_id").cast("string")
+        ).alias("series_id"),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+    key = "spark.sql.files.maxRecordsPerFile"
+    old = spark.conf.get(key, "0")
+    spark.conf.set(key, "500")
+    try:
+        upsert_observations_versioned(
+            spark, page, root, order_cols=["ingestion_time", "event_id"]
+        )
+    finally:
+        spark.conf.set(key, old)
+    # Small target so each date fans out over several range-clustered
+    # files — the layout whose per-file bounds the read then prunes.
+    compact_versioned(spark, root, target_bytes=256 * 1024)
+    return read_observations_versioned(
+        spark, root, series_ids=["NG_EVENTS_1", "NG_EVENTS_5"]
+    ).select("series_id", "observation_time", "value")
+
+
+@register(
     "silver_versioned_time_prune",
     oracle="""
         WITH page AS (
