@@ -78,6 +78,15 @@ _STATS_MAX_LEN = 1024
 # Hive's on-disk name for a null partition value — what partitionBy
 # writes when observation_time (hence obs_date) is null.
 _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+# Commits touching at most this many files read their footers
+# SERIALLY on the driver: a Spark job's fixed scheduling round-trip
+# (~0.2-0.3 s) dwarfs local metadata reads (~2 ms each on local disk),
+# so the parallel path only pays off for wide commits (backfills,
+# multi-date compactions). The crossover is DEPLOYMENT-dependent —
+# against remote object storage a footer read costs 20-50 ms and the
+# threshold should drop to ~16; tune per filesystem. Values are
+# identical either way (shared kernel, both paths pinned by test).
+_STATS_LOCAL_MAX = 64
 
 
 class SchemaEvolutionError(ValueError):
@@ -504,7 +513,10 @@ def _collect_stats(
     fanned out over the cluster) and the driver collects one
     STATS_COLS-bounded row per file — metadata-sized, the same
     planning-time material Iceberg's driver reads from its manifests.
-    Values are identical to the serial reader by construction (shared
+    Commits of at most ``_STATS_LOCAL_MAX`` files skip the job and
+    read locally (the job's fixed scheduling cost dwarfs a handful of
+    footer reads — adaptive, not a scale ceiling). Values are
+    identical on every path by construction (shared
     :func:`_file_stats` kernel, pinned by test).
 
     Returns ``(per_partition, per_file)``:
@@ -530,26 +542,36 @@ def _collect_stats(
         pairs.extend((d, f, os.path.join(pdir, f)) for f in files)
     if not pairs:
         return {}, {}
-    # The map closure must ship BY VALUE: cloudpickle's default
-    # serializes a module-level function as a (module, qualname)
-    # reference, which breaks the moment a Python worker can't import
-    # the repo package (workers spawn from the driver's cwd with no
-    # repo on sys.path — the real-cluster deployment posture, same
-    # reason the DataSources register by value in sources/pyds.py).
-    # Registration is idempotent and scoped to what the closure
-    # actually references (the stats kernel + its module constants).
-    from pyspark import cloudpickle
+    if len(pairs) <= _STATS_LOCAL_MAX:
+        # Small commit: a Spark job costs a fixed scheduling round-trip
+        # (~0.2-0.3 s) that DWARFS a handful of local footer reads —
+        # the adaptive cutoff keeps hourly-shaped commit latency flat
+        # while wide commits (backfills, compactions of many dates)
+        # still fan out. Same kernel either path, so values cannot
+        # differ (both paths pinned by the equality test).
+        rows = [(d, fn, _file_stats(path)) for d, fn, path in pairs]
+    else:
+        # The map closure must ship BY VALUE: cloudpickle's default
+        # serializes a module-level function as a (module, qualname)
+        # reference, which breaks the moment a Python worker can't
+        # import the repo package (workers spawn from the driver's cwd
+        # with no repo on sys.path — the real-cluster deployment
+        # posture, same reason the DataSources register by value in
+        # sources/pyds.py). Registration is idempotent and scoped to
+        # what the closure actually references (the stats kernel + its
+        # module constants).
+        from pyspark import cloudpickle
 
-    import gas_data_pipeline_spark.pipeline.versioned as _self
+        import gas_data_pipeline_spark.pipeline.versioned as _self
 
-    cloudpickle.register_pickle_by_value(_self)
-    sc = spark.sparkContext
-    n = max(1, min(len(pairs), int(sc.defaultParallelism)))
-    rows = (
-        sc.parallelize(pairs, n)
-        .map(lambda t: (t[0], t[1], _file_stats(t[2])))
-        .collect()
-    )
+        cloudpickle.register_pickle_by_value(_self)
+        sc = spark.sparkContext
+        n = max(1, min(len(pairs), int(sc.defaultParallelism)))
+        rows = (
+            sc.parallelize(pairs, n)
+            .map(lambda t: (t[0], t[1], _file_stats(t[2])))
+            .collect()
+        )
     per_file: dict = {}
     agg: dict = {}
     for d, fn, fs in rows:

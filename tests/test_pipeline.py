@@ -1538,8 +1538,19 @@ def test_versioned_stats_parallel_job_matches_serial_reader(spark, scratch):
     pdirs = {d: os.path.join(scratch, rel) for d, rel in m["partitions"].items()}
     assert len(pdirs) == 3
     serial = {d: _partition_stats(p) for d, p in pdirs.items()}
-    parallel = _partition_stats_many(spark, pdirs)
-    assert parallel == serial
+    # Pin BOTH adaptive paths against the serial reference: the
+    # local fast path (threshold above the file count) and the real
+    # Spark job (threshold forced to 0).
+    from gas_data_pipeline_spark.pipeline import versioned as _v
+
+    old_max = _v._STATS_LOCAL_MAX
+    try:
+        _v._STATS_LOCAL_MAX = 10**9
+        assert _partition_stats_many(spark, pdirs) == serial
+        _v._STATS_LOCAL_MAX = 0
+        assert _partition_stats_many(spark, pdirs) == serial
+    finally:
+        _v._STATS_LOCAL_MAX = old_max
     assert m["stats"] == {d: s for d, s in serial.items() if s}
     # series_id bounds actually recorded (not vacuously equal-empty).
     assert all("series_id" in s for s in serial.values())
