@@ -201,6 +201,83 @@ def await_processed_batches(
     )
 
 
+# Failure signatures that mean "the Python worker process never came up"
+# — an environment flake at stream start, not a logic error. Observed in
+# the wild as a StreamingQueryException raised while the query was still
+# INITIALIZING with zero committed micro-batches (CORRECTNESS_r13:
+# stream_rest_datasource_ingest).
+_RETRYABLE_START_ERRORS = (
+    "Python worker failed to connect back",
+    "Python worker exited unexpectedly",
+)
+
+
+def is_retryable_start_failure(query, exc) -> bool:
+    """True only for the narrow worker-spawn signature: the query died
+    with a worker-connect error BEFORE committing any micro-batch
+    (``lastProgress is None``). A query that made progress and then hit
+    the same message is a real failure — never retried."""
+    msg = str(exc)
+    if not any(sig in msg for sig in _RETRYABLE_START_ERRORS):
+        return False
+    try:
+        return query.lastProgress is None
+    except Exception:
+        return False
+
+
+def run_stream_until(
+    start,
+    have_processed,
+    timeout_sec: float = 60.0,
+    poll_sec: float = 0.2,
+    start_retries: int = 1,
+    on_retry=None,
+):
+    """Start a streaming query via ``start()`` and wait (bounded) until
+    ``have_processed()`` — retrying the START exactly ``start_retries``
+    times if the query dies in INITIALIZING with a worker-connect error
+    and zero committed offsets (a transient spawn failure must not be
+    able to eat a whole driver correctness round — VERDICT r13 #2).
+
+    Returns the query that satisfied ``have_processed`` (caller stops
+    it). Any failure after first progress, any non-worker-spawn error,
+    and retry exhaustion all re-raise immediately. ``on_retry(exc)`` is
+    called before each retry (logging/test hook).
+    """
+    import warnings
+
+    attempt = 0
+    while True:
+        query = start()
+        try:
+            await_processed_batches(
+                query, have_processed, timeout_sec=timeout_sec, poll_sec=poll_sec
+            )
+            return query
+        except Exception as exc:
+            if attempt < start_retries and is_retryable_start_failure(query, exc):
+                attempt += 1
+                warnings.warn(
+                    f"streaming query died at start (worker-connect, zero "
+                    f"batches committed); retrying start "
+                    f"({attempt}/{start_retries}): {exc}",
+                    stacklevel=2,
+                )
+                if on_retry is not None:
+                    on_retry(exc)
+                try:
+                    query.stop()
+                except Exception:
+                    pass
+                continue
+            try:
+                query.stop()
+            except Exception:
+                pass
+            raise
+
+
 DEFAULT_LOOKBACK_DAYS = 30  # reference app/db/models.py:36 column default
 
 

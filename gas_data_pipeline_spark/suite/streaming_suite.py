@@ -729,6 +729,7 @@ def _hourly_lifecycle(
     from gas_data_pipeline_spark.engine import GasDataEngine
     from gas_data_pipeline_spark.streaming.incremental import (
         await_processed_batches,
+        run_stream_until,
         start_processing_time_stream,
     )
 
@@ -804,15 +805,20 @@ def _hourly_lifecycle(
     # the short interval here only bounds the HARNESS dead time between
     # a file drop and its cycle (VERDICT r5 #5); cycles still execute
     # strictly sequentially, so the no-overlap semantics are identical.
-    q = start_processing_time_stream(
-        stream, cycle, ckpt, interval="50 milliseconds"
+    def start():
+        return start_processing_time_stream(
+            stream, cycle, ckpt, interval="50 milliseconds"
+        )
+
+    # Scheduler cycle 1: provisional poll (the even-id half). Started
+    # through run_stream_until so a transient worker-spawn failure at
+    # stream start (zero committed offsets) gets one bounded restart
+    # against the same checkpoint.
+    drop_poll("p0")
+    q = run_stream_until(
+        start, lambda: len(done) >= 1, timeout_sec=180, poll_sec=0.025
     )
     try:
-        # Scheduler cycle 1: provisional poll (the even-id half).
-        drop_poll("p0")
-        await_processed_batches(
-            q, lambda: len(done) >= 1, timeout_sec=180, poll_sec=0.025
-        )
         # Scheduler cycle 2: authoritative re-poll, late revisions of
         # every cycle-1 key.
         drop_poll("p1")
@@ -1405,7 +1411,7 @@ def stream_rest_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         register_gas_quality_source,
     )
     from gas_data_pipeline_spark.streaming.incremental import (
-        await_processed_batches,
+        run_stream_until,
     )
 
     register_gas_quality_source(spark)
@@ -1416,19 +1422,24 @@ def stream_rest_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         .options(**_REST_STREAM_OPTS)
         .load()
     )
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", scratch + "/ckpt")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        await_processed_batches(
-            q, lambda: spark.table(name).count() >= 12, timeout_sec=120.0
+
+    def start():
+        return (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", scratch + "/ckpt")
+            .trigger(processingTime="0 seconds")
+            .start()
         )
-    finally:
-        q.stop()
+
+    # Start with a bounded one-retry: a transient Python-worker spawn
+    # failure at stream start (query still INITIALIZING, zero offsets
+    # committed) gets one fresh start against the same checkpoint —
+    # nothing was committed, so the restart is exactly-once-safe.
+    q = run_stream_until(
+        start, lambda: spark.table(name).count() >= 12, timeout_sec=120.0
+    )
+    q.stop()
     return spark.table(name).select(
         "chunk_start",
         "site_id",

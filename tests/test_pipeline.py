@@ -2910,3 +2910,120 @@ def test_widening_chain_is_scan_readable(spark, tmp_path):
             (r.id, float(r.x)) for r in spark.read.schema(sch).parquet(d).collect()
         )
         assert got == [(0, 0.0), (1, 1.0), (2, 2.0)], (narrow, wide)
+
+
+# ---------------------------------------------------------------------------
+# Stream-start retry (VERDICT r13 #2): a transient worker-spawn failure at
+# stream start must be retried once, and ONLY when the query died in
+# INITIALIZING with zero committed batches. Tested with stub queries so the
+# failure mode is injectable deterministically.
+# ---------------------------------------------------------------------------
+
+
+class _StubQuery:
+    def __init__(self, exc=None, last_progress=None):
+        self._exc = exc
+        self.lastProgress = last_progress
+        self.stopped = False
+
+    def exception(self):
+        return self._exc
+
+    def stop(self):
+        self.stopped = True
+
+
+def test_run_stream_until_retries_worker_connect_at_start():
+    from gas_data_pipeline_spark.streaming.incremental import run_stream_until
+
+    failed = _StubQuery(
+        exc=RuntimeError(
+            "StreamingQueryException: Python worker failed to connect back"
+        ),
+        last_progress=None,
+    )
+    good = _StubQuery()
+    attempts = []
+    queries = iter([failed, good])
+    retried = []
+
+    def start():
+        q = next(queries)
+        attempts.append(q)
+        return q
+
+    got = run_stream_until(
+        start,
+        have_processed=lambda: attempts and attempts[-1] is good,
+        timeout_sec=5.0,
+        poll_sec=0.01,
+        on_retry=retried.append,
+    )
+    assert got is good
+    assert len(attempts) == 2 and len(retried) == 1
+    assert failed.stopped  # the dead first attempt was torn down
+    assert not good.stopped  # the survivor is returned live
+
+
+def test_run_stream_until_does_not_retry_after_progress():
+    """Same error message AFTER a committed batch = real failure, no retry."""
+    import pytest
+
+    from gas_data_pipeline_spark.streaming.incremental import run_stream_until
+
+    failed = _StubQuery(
+        exc=RuntimeError("Python worker failed to connect back"),
+        last_progress={"batchId": 3, "numInputRows": 10},
+    )
+    starts = []
+
+    def start():
+        starts.append(failed)
+        return failed
+
+    with pytest.raises(RuntimeError, match="failed to connect back"):
+        run_stream_until(start, lambda: False, timeout_sec=5.0, poll_sec=0.01)
+    assert len(starts) == 1
+    assert failed.stopped
+
+
+def test_run_stream_until_does_not_retry_other_errors():
+    import pytest
+
+    from gas_data_pipeline_spark.streaming.incremental import run_stream_until
+
+    failed = _StubQuery(exc=ValueError("schema mismatch"), last_progress=None)
+    starts = []
+
+    def start():
+        starts.append(failed)
+        return failed
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        run_stream_until(start, lambda: False, timeout_sec=5.0, poll_sec=0.01)
+    assert len(starts) == 1
+
+
+def test_run_stream_until_retry_budget_is_bounded():
+    """Two consecutive spawn failures exhaust the single retry and re-raise."""
+    import pytest
+
+    from gas_data_pipeline_spark.streaming.incremental import run_stream_until
+
+    def make_failed():
+        return _StubQuery(
+            exc=RuntimeError("Python worker exited unexpectedly"),
+            last_progress=None,
+        )
+
+    starts = []
+
+    def start():
+        q = make_failed()
+        starts.append(q)
+        return q
+
+    with pytest.raises(RuntimeError, match="exited unexpectedly"):
+        run_stream_until(start, lambda: False, timeout_sec=5.0, poll_sec=0.01)
+    assert len(starts) == 2  # first start + exactly one retry
+    assert all(q.stopped for q in starts)
