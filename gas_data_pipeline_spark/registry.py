@@ -64,30 +64,33 @@ def _load_all() -> None:
 # still covered by the builder-side parity gate (tests/test_parity.py,
 # all queries).
 #
-# Round-13 rotation (VERDICT r12 #1): CORRECTNESS_r12.json landed
-# 50/50 exact-green (zero failures), so the window rotates. The 9
-# anchors stay; rotating IN:
-#   - the FULL r8-era cohort (28 rows — the stalest anywhere after
-#     the r12 window), starting with the 4 fillers the r12 versioned
-#     family displaced (ccnet_perplexity_buckets,
-#     cms_heavy_hitters_merge, contamination_source_matrix,
-#     dedup_cluster_stats);
-#   - the 4 rows-only-by-design approximations for their periodic
-#     rows-only refresh (each has an exact-oracled twin and
-#     pytest-pinned recall/error bounds; last refreshed r11);
-#   - 1 first driver row: silver_versioned_time_prune (REGISTERED
-#     this round: sub-day observation_time pruning on manifest stats,
-#     VERDICT r12 #4);
-#   - 2 touched-this-round re-certifications of r12 greens whose
-#     kernels were reshaped: gie_rest_datasource_melt (the reader
-#     gained the authenticated paginated http transport and its read
-#     loop changed, ADVICE r12 medium) and silver_versioned_stats_prune
-#     (stats collection moved to a parallelized footer job and the
-#     stats schema gained observation_time, VERDICT r12 #3/#4);
-#   - the 6 alphabetically-first r9-era rows to fill the window.
-# After this window runs, the union staleness ceiling moves to r9.
-# Rotating OUT: the r12 greens (re-proven last round) and the r7-era
-# rows re-certified in r12.
+# Round-14 rotation (VERDICT r13 #1/#3): r13 landed 45/50 exact-green
+# + 4 rows-only-by-design; the ONE red row rotates back in to be
+# re-proven. The 9 anchors stay; rotating IN:
+#   - stream_rest_datasource_ingest — r13's only red row (worker-spawn
+#     flake at stream start, adjudicated environment not logic; the
+#     start path now retries once, VERDICT r13 #2) — must re-green;
+#   - silver_versioned_file_prune — the only never-driver-checked
+#     query (registered post-window in r13);
+#   - 1 first driver row: ann_pq_rescored (REGISTERED this round:
+#     exact-rescore refinement stage over the ADC pool, VERDICT r13
+#     #6 — recall 0.21 -> 0.7 at the same codebook budget);
+#   - touched-this-round re-certifications: the versioned store's
+#     stats kernel moved to _stats_kernel + tz-aware prune cutoffs +
+#     sharded manifests (silver_versioned_time_prune,
+#     silver_versioned_stats_prune, silver_versioned_lifecycle_e2e,
+#     silver_versioned_compaction, silver_versioned_delete), the
+#     hourly lifecycle's stream start goes through run_stream_until
+#     (hourly_pipeline_e2e, hourly_pipeline_atomic_e2e), and ann_pq's
+#     kernel gained the rescore branch;
+#   - the FULL r9-era cohort (28 rows — the stalest anywhere after
+#     the r13 window);
+#   - the 2 alphabetically-first r10-era rows to fill the window.
+# After this window runs, the union staleness ceiling moves to r10.
+# Rotating OUT: the r13 greens (re-proven last round) and the 4
+# rows-only approximations (refreshed r13; exact twins ann_ivf /
+# ann_pq / approx_distinct_portable_hll / approx_percentiles_sampled
+# remain oracled, ann_pq in-window).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors (one per macro-family, driver-green in >=2 rounds) --
     "flagship_data_query",
@@ -99,52 +102,52 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_gie_delete_reload",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # -- first driver row (registered this round) --
-    "silver_versioned_time_prune",
-    # -- touched this round: re-certification --
-    "gie_rest_datasource_melt",
-    "silver_versioned_stats_prune",
-    # -- rows-only periodic refresh (exact twins stay oracled) --
-    "ann_ivfpq",
-    "ann_lsh_bucketed",
-    "approx_distinct_users",
-    "approx_percentiles_tdigest",
-    # -- stalest re-verification: the full r8-era cohort --
-    "ccnet_perplexity_buckets",
-    "cms_heavy_hitters_merge",
-    "contamination_source_matrix",
-    "dedup_cluster_stats",
-    "dedup_last_write_wins",
-    "dedup_semantic_buckets",
-    "dsir_importance_select",
-    "graph_pagerank",
-    "group_to_nested",
-    "json_field_predicate",
-    "json_roundtrip",
-    "kanonymity_audit",
-    "limit_offset_pagination",
-    "multimodal_resize_grid",
-    "observe_ingest_metrics",
-    "projection_computed",
-    "quality_expectations",
-    "quality_model_score",
-    "range_scan_history",
-    "selection_pipeline_summary",
-    "series_id_slug",
-    "stream_heavy_hitters_cms",
-    "stream_lookback_upsert",
+    # -- must-prove: r13's red row + the never-driver-checked query --
     "stream_rest_datasource_ingest",
-    "tfidf_top_terms",
-    "training_shard_incremental",
-    "training_shard_manifest",
-    "zipf_token_slope",
-    # -- oldest r9 rows filling the window --
-    "ann_index_incremental",
-    "ann_ivf",
-    "ann_ivfpq_kcenter",
+    "silver_versioned_file_prune",
+    # -- first driver row (registered this round) --
+    "ann_pq_rescored",
+    # -- touched this round: re-certification --
+    "silver_versioned_time_prune",
+    "silver_versioned_stats_prune",
+    "silver_versioned_lifecycle_e2e",
+    "silver_versioned_compaction",
+    "silver_versioned_delete",
+    "hourly_pipeline_e2e",
+    "hourly_pipeline_atomic_e2e",
     "ann_pq",
-    "asof_join_latest_view",
-    "coreset_kcenter_select",
+    # -- stalest re-verification: the full r9-era cohort --
+    "cube_revenue",
+    "decile_order_values",
+    "dedup_char_jaccard",
+    "dedup_connected_components",
+    "dedup_containment_pairs",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_composite_keys",
+    "distinct_datasets",
+    "embedding_cosine_near_dup",
+    "ewma_by_series",
+    "json_key_melt",
+    "mixture_temperature_weights",
+    "nest_unnest_roundtrip",
+    "optional_filters_all_null",
+    "percentiles_by_series",
+    "pricing_summary",
+    "rollup_revenue",
+    "semi_join_urgent_customers",
+    "set_ops_repeat_buyers",
+    "split_neardup_leakage",
+    "stream_dedup_keys",
+    "stream_enrich_static_join",
+    "stream_foreachbatch_upsert",
+    "stream_hourly_rollup",
+    "stream_session_window",
+    "stream_sliding_window",
+    # -- oldest r10 rows filling the window --
+    "ann_lsh_signed",
+    "anomaly_mad_outliers",
 )
 
 

@@ -878,6 +878,88 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pq_kcenter(emb, queries, books, k=10, codes=codes)
 
 
+_PQ_RESCORE = 100  # ADC pool size per query for the refinement stage
+
+
+@register(
+    "ann_pq_rescored",
+    oracle=f"""
+        WITH RECURSIVE pts AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        npts AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS nv
+            FROM pts
+        ),
+        snpts AS (
+            SELECT vec_id, nv FROM npts
+            ORDER BY md5('kctrain-v1:' || CAST(vec_id AS VARCHAR)) LIMIT 256
+        ),{",".join(_pq_sub_ctes(j) for j in range(_PQ_M))},
+        q AS (SELECT vec_id AS query_id, nv AS qv FROM npts
+              WHERE vec_id < 8),
+        scored AS (
+            SELECT q.query_id, e0.vec_id AS neighbor_id,
+                   {_PQ_SCORE_TERMS} AS s_fp
+            FROM q {_PQ_SCORE_JOINS}
+            WHERE e0.vec_id <> q.query_id
+        ),
+        pool AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY s_fp DESC, neighbor_id
+                       ) AS adc_rank
+                FROM scored
+            ) WHERE adc_rank <= {_PQ_RESCORE}
+        ),
+        refined AS (
+            SELECT p.query_id, p.neighbor_id,
+                   CAST(round(list_dot_product(q.qv, n.nv) * 1e6, 0)
+                        AS BIGINT) AS e_fp
+            FROM pool p
+            JOIN q ON q.query_id = p.query_id
+            JOIN npts n ON n.vec_id = p.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim FROM (
+            SELECT query_id, neighbor_id,
+                   round(e_fp / 1e6, 6) AS cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY e_fp DESC, neighbor_id
+                   ) AS BIGINT) AS rank
+            FROM refined
+        ) WHERE rank <= 10
+    """,
+)
+def ann_pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_pq`'s production answer path (VERDICT r13 #6): the same
+    deterministic 8x8 ADC scan ranks a bounded 100-candidate pool per
+    query, then ONLY the pool is re-scored with the exact fixed-point
+    cosine against the full vectors and re-ranked — the standard PQ
+    refinement stage (compressed scan finds candidates, exact math
+    decides), lifting the coarse quantizer's ~0.21 raw recall to 0.7
+    at the same codebook budget (floor >= 0.5 pinned in
+    tests/test_northstar.py). The pool is |Q|*100 rows broadcast over
+    one extra corpus scan — bounded, corpus-size-independent — and
+    every stage (codebooks, codes, ADC ranks, exact rescoring)
+    value-oracles in SQL."""
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk_pq_kcenter,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    books = _corpus_pq_books(spark, sf_dir)
+    codes = _corpus_pq_codes(spark, sf_dir, emb, books)
+    return cosine_topk_pq_kcenter(
+        emb, queries, books, k=10, codes=codes, rescore=_PQ_RESCORE
+    )
+
+
 _IVFPQ_ADC_TERMS = " + ".join(
     f"CAST(round(list_dot_product("
     f"qn.qnv[{j * _PQ_DSUB + 1}:{(j + 1) * _PQ_DSUB}], b{j}.sv) * 1e6) "

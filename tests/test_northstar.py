@@ -1241,3 +1241,53 @@ def test_ivfpq_index_is_one_zero_shuffle_scan(spark):
     assert "BroadcastHashJoin" in search_plan
     assert "SortMergeJoin" not in search_plan
     assert out.count() > 0
+
+
+def test_pq_kcenter_rescore_lifts_recall(spark, emb_pdf):
+    """VERDICT r13 #6: the exact-rescore refinement stage must lift the
+    coarse 8x8 quantizer's recall to a production-worthy floor (>=0.5
+    at the SAME codebook budget), stay deterministic, and agree with
+    the exact scan wherever the ADC pool caught the true neighbor."""
+    from gas_data_pipeline_spark.catalog import table
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pq_kcenter,
+        pq_kcenter_codebooks,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    books = pq_kcenter_codebooks(emb, m=8, n_codes=8)
+    raw = cosine_topk_pq_kcenter(emb, queries, books, k=10).toPandas()
+    ref = cosine_topk_pq_kcenter(
+        emb, queries, books, k=10, rescore=100
+    ).toPandas()
+
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    raw_recall = len(e & set(zip(raw.query_id, raw.neighbor_id))) / len(e)
+    ref_recall = len(e & set(zip(ref.query_id, ref.neighbor_id))) / len(e)
+    print("pq raw recall:", raw_recall, "rescored recall:", ref_recall)
+    assert ref_recall >= 0.5, ref_recall
+    assert ref_recall >= raw_recall  # refinement can only help
+
+    # Soundness: contiguous ranks, no self matches, exact scores agree
+    # with the exact scan's cosine for shared (query, neighbor) pairs.
+    assert (ref.query_id != ref.neighbor_id).all()
+    for _, grp in ref.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    ex_scores = {
+        (r.query_id, r.neighbor_id): r.cos_sim for r in exact.itertuples()
+    }
+    for r in ref.itertuples():
+        want = ex_scores.get((r.query_id, r.neighbor_id))
+        if want is not None:
+            assert abs(r.cos_sim - want) < 1e-5, (r, want)
+
+    again = cosine_topk_pq_kcenter(
+        emb, queries, books, k=10, rescore=100
+    ).toPandas()
+    key = ["query_id", "rank"]
+    assert ref.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )

@@ -2661,14 +2661,14 @@ def test_versioned_maintenance_ops_are_cas_fenced(spark, scratch):
     real_stats = versioned._collect_stats
 
     def interfering(fire_once: dict):
-        def _stats(spark_, pdirs):
+        def _stats(spark_, pdirs, **kw):
             if not fire_once["armed"]:
                 fire_once["armed"] = True
                 m = versioned.read_manifest(scratch)
                 versioned.publish_version(
                     scratch, m["version"] + 1, dict(m["partitions"])
                 )
-            return real_stats(spark_, pdirs)
+            return real_stats(spark_, pdirs, **kw)
 
         return _stats
 
@@ -3027,3 +3027,154 @@ def test_run_stream_until_retry_budget_is_bounded():
         run_stream_until(start, lambda: False, timeout_sec=5.0, poll_sec=0.01)
     assert len(starts) == 2  # first start + exactly one retry
     assert all(q.stopped for q in starts)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13 fixes: stats-key zero padding, tz-aware date-grain pruning,
+# scoped by-value pickling, and the stats_local_max store option.
+# ---------------------------------------------------------------------------
+
+
+def test_ts_key_zero_pads_pre_year_1000():
+    """Lexicographic==chronological must hold for ALL datetimes:
+    glibc strftime('%Y') renders year 999 as '999', which sorts AFTER
+    '2024' and would silently mis-prune. format_ts_key pads explicitly."""
+    import datetime as dt
+
+    from gas_data_pipeline_spark.pipeline._stats_kernel import (
+        _stat_value,
+        format_ts_key,
+    )
+
+    early = dt.datetime(999, 12, 31, 23, 59, 59)
+    late = dt.datetime(1000, 1, 1)
+    modern = dt.datetime(2024, 6, 1, 12, 30)
+    keys = [format_ts_key(x) for x in (early, late, modern)]
+    assert keys == sorted(keys)
+    assert keys[0].startswith("0999-")
+    assert all(len(k) == len(keys[2]) for k in keys)  # fixed width
+    # _stat_value (the manifest writer) goes through the same formatter.
+    assert _stat_value(early) == keys[0]
+    aware = dt.datetime(999, 12, 31, 23, 59, 59, tzinfo=dt.timezone.utc)
+    assert _stat_value(aware) == keys[0]
+
+
+def test_versioned_tz_aware_bound_keeps_utc_boundary_day(spark, scratch):
+    """A tz-aware start like 2024-01-02T01:00+03:00 is 2024-01-01 22:00
+    UTC: the date-grain prune must keep the 2024-01-01 partition (it
+    holds matching rows at 22:30 UTC). Cutting on str(start)[:10]
+    ('2024-01-02') silently dropped that partition — row loss."""
+    import datetime as dt
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(
+            spark,
+            [
+                ("s1", "2024-01-01 22:30:00", 1.0, "2024-01-01 23:00:00", 1),
+                ("s1", "2024-01-02 03:00:00", 2.0, "2024-01-02 04:00:00", 2),
+                ("s1", "2024-01-01 10:00:00", 3.0, "2024-01-01 11:00:00", 3),
+            ],
+        ),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    tz3 = dt.timezone(dt.timedelta(hours=3))
+    start = dt.datetime(2024, 1, 2, 1, 0, tzinfo=tz3)  # == 01-01 22:00 UTC
+    got = sorted(
+        r.value
+        for r in read_observations_versioned(spark, scratch, start=start).collect()
+    )
+    assert got == [1.0, 2.0]  # 22:30 UTC row survives; 10:00 filtered
+    # Mirror case on the end bound with a negative offset: end
+    # 2024-01-01T23:00-03:00 == 2024-01-02 02:00 UTC must keep the
+    # 01-02 partition's early row OUT (03:00 > 02:00) but must also
+    # not mis-prune: values <= bound only.
+    tzm3 = dt.timezone(dt.timedelta(hours=-3))
+    end = dt.datetime(2024, 1, 1, 23, 0, tzinfo=tzm3)  # == 01-02 02:00 UTC
+    got = sorted(
+        r.value
+        for r in read_observations_versioned(spark, scratch, end=end).collect()
+    )
+    assert got == [1.0, 3.0]
+
+
+def test_parallel_stats_registers_only_kernel_module(spark, scratch):
+    """The parallel footer job must not flip the WHOLE versioned module
+    to by-value pickling (a process-global side effect that ships
+    mutated store globals into every later unrelated closure). Only
+    the pure _stats_kernel module may be registered."""
+    from pyspark import cloudpickle
+
+    from gas_data_pipeline_spark.pipeline import _stats_kernel
+    from gas_data_pipeline_spark.pipeline import versioned as _v
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        upsert_observations_versioned,
+    )
+
+    # Force the Spark-job path regardless of commit size.
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(
+            spark,
+            [("s1", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1)],
+        ),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+        stats_local_max=0,
+    )
+    m = read_manifest(scratch)
+    assert m["stats"]  # the job actually ran and recorded stats
+    registry = {
+        m if isinstance(m, str) else m.__name__
+        for m in cloudpickle.list_registry_pickle_by_value()
+    }
+    assert _v.__name__ not in registry
+    assert _stats_kernel.__name__ in registry
+
+
+def test_stats_local_max_is_a_store_option(spark, scratch):
+    """VERDICT r13 #7: the local-vs-job crossover is a per-call knob
+    now, not a module constant edit. Both settings commit identical
+    stats (shared kernel)."""
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        upsert_observations_versioned,
+    )
+
+    rows = [
+        (f"s{i}", f"2024-02-0{1 + i % 3} 0{i}:00:00", float(i),
+         f"2024-02-0{1 + i % 3} 12:00:00", i)
+        for i in range(9)
+    ]
+    a_root, b_root = os.path.join(scratch, "a"), os.path.join(scratch, "b")
+    upsert_observations_versioned(
+        spark, _vs_batch(spark, rows), a_root,
+        order_cols=["ingestion_time", "event_id"],
+        stats_local_max=0,  # always the Spark job
+    )
+    upsert_observations_versioned(
+        spark, _vs_batch(spark, rows), b_root,
+        order_cols=["ingestion_time", "event_id"],
+        stats_local_max=10**9,  # always the local driver path
+    )
+    ma, mb = read_manifest(a_root), read_manifest(b_root)
+    assert ma["stats"] == mb["stats"]
+
+    def _names_stripped(fs):
+        # file names differ between commits; compare per-partition
+        # VALUE sets only.
+        return {
+            d: sorted(map(str, sorted(per.values(), key=str)))
+            for d, per in fs.items()
+        }
+
+    assert _names_stripped(ma["file_stats"]) == _names_stripped(mb["file_stats"])
