@@ -128,14 +128,75 @@ def _manifest_path(root: str, version: int | None = None) -> str:
     return os.path.join(root, name)
 
 
-def read_manifest(root: str, version: int | None = None) -> dict | None:
+def read_manifest(
+    root: str, version: int | None = None, with_stats: bool = True
+) -> dict | None:
     """The committed snapshot: ``{"version": N, "partitions":
-    {iso_date: relative_dir}}`` — or None for an empty table."""
+    {iso_date: relative_dir}}`` — or None for an empty table.
+
+    File-grain stats are SHARDED (round 14 — Iceberg's manifest-list
+    shape, VERDICT r13 #4): the manifest itself stays O(partitions)
+    (the partition map, schema, and partition-grain ``stats``), while
+    the O(files) ``file_stats`` payload lives in per-month shard
+    files under ``<root>/shards/`` referenced by ``fs_shards``. With
+    ``with_stats=True`` (the default) the shards are parsed and the
+    flat ``file_stats`` dict is materialized inline, so every
+    existing consumer sees exactly the pre-shard manifest shape;
+    metadata-only callers (commit fence reads, vacuum, changelog)
+    pass ``with_stats=False`` and never parse a shard. Pre-shard
+    manifests (inline ``file_stats``) read unchanged either way."""
     io = io_for(root)
     p = _manifest_path(root, version)
     if not io.exists(p):
         return None
-    return json.loads(io.read_text(p))
+    m = json.loads(io.read_text(p))
+    if with_stats and m.get("fs_shards"):
+        m["file_stats"] = _read_fs_shards(root, m)
+    return m
+
+
+_SHARD_DIR = "shards"
+
+
+def _shard_key(d: str) -> str:
+    """Shard assignment for a partition date: calendar month (the
+    natural range grain for time-partitioned commits — an hourly
+    upsert touches one month, a backfill a handful). Non-date
+    partition names (the Hive null partition) key on the same prefix
+    rule, deterministically."""
+    return d[:7]
+
+
+def _read_fs_shards(root: str, m: dict, keys=None) -> dict:
+    """Materialize ``file_stats`` from a manifest's shard refs —
+    optionally only the shards in ``keys`` (the manifest-list prune:
+    a filtered read parses just the months its surviving partitions
+    live in). A missing or unreadable shard contributes nothing:
+    absent file stats degrade to directory-grain reads, never to
+    wrong results."""
+    io = io_for(root)
+    out: dict = {}
+    for key, rel in sorted(m.get("fs_shards", {}).items()):
+        if keys is not None and key not in keys:
+            continue
+        try:
+            out.update(json.loads(io.read_text(os.path.join(root, rel))))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def file_stats_for(root: str, m: dict, dates) -> dict:
+    """The read path's file-grain lookup: inline stats when the
+    manifest is flat (pre-shard), else ONLY the shards covering
+    ``dates``. This is the point of the hierarchy at scale — a
+    one-series one-day read over a 10^5-file table parses one month
+    shard, not the whole file inventory."""
+    if m.get("file_stats") is not None:
+        return m["file_stats"]  # flat manifest, or already materialized
+    if not m.get("fs_shards"):
+        return {}
+    return _read_fs_shards(root, m, keys={_shard_key(d) for d in dates})
 
 
 def _write_atomic(path: str, manifest: dict) -> None:
@@ -186,18 +247,30 @@ def publish_version(
     exists to fix (ADVICE r11).
 
     ``stats`` maps partition date -> ``{col: [min, max]}`` (see
-    :func:`_partition_stats`). ``stats=None`` carries forward the
-    previous manifest's stats ONLY for partitions whose directory
-    entry is unchanged — a direct caller that rewrote a partition
-    without recomputing stats must not publish stale bounds the new
-    files may violate (wrong pruning is silent data loss; no stats is
-    merely no pruning). ``file_stats`` (partition date -> {filename ->
-    {col: [min, max]}}, the FILE grain from :func:`_collect_stats`)
-    carries forward under the exact same rule: version directories
-    are immutable once committed, so an unchanged entry's file list
-    and bounds cannot have changed."""
+    :func:`_partition_stats`), published INLINE (O(partitions) —
+    the same size class as the partition map itself). ``file_stats``
+    (partition date -> {filename -> {col: [min, max]}}, the FILE
+    grain from :func:`_collect_stats`) is O(files) and goes to
+    per-month SHARD files (round 14, Iceberg's manifest list —
+    VERDICT r13 #4): the manifest records only ``fs_shards``
+    {month: shard_relpath}, untouched months carry their shard REF
+    forward without even parsing it, and only months this commit
+    touched are rewritten — a commit touching 1 of N months writes
+    O(1) shards, and manifest history stops duplicating the file
+    inventory per version.
+
+    Both grains resolve per partition date under ONE rule: an entry
+    present in the given map is authoritative for this commit (falsy
+    drops it); a date whose directory entry is UNCHANGED from the
+    previous snapshot carries its previous bounds (version dirs are
+    immutable, so carried bounds cannot be stale); a date whose
+    entry changed without fresh bounds in the given map publishes
+    none (stale bounds the new files may violate would be silent
+    data loss; no stats is merely no pruning). Callers therefore
+    pass DELTAS — just the dates they rewrote — and ``None`` means
+    "nothing touched, carry what's still valid"."""
     with _commit_lock(root):
-        now = read_manifest(root)
+        now = read_manifest(root, with_stats=False)
         now_version = now["version"] if now else 0
         if now_version != version - 1:
             raise ConcurrentCommitError(
@@ -208,29 +281,115 @@ def publish_version(
             )
         if schema is None and now is not None:
             schema = now.get("schema")
+        prev_parts = now["partitions"] if now else {}
 
-        def _carry(key: str, given):
-            if given is not None or now is None:
-                return given or {}
-            prev_parts = now["partitions"]
-            prev = now.get(key, {})
-            return {
-                d: prev[d]
-                for d in partitions
-                if d in prev and partitions[d] == prev_parts.get(d)
-            }
+        def _resolve(given, prev_entry):
+            """The per-date carry rule for one stats grain.
+            ``prev_entry(d)`` lazily fetches the previous bounds."""
+            given = given or {}
+            out = {}
+            for d in partitions:
+                if d in given:
+                    if given[d]:
+                        out[d] = given[d]
+                elif partitions[d] == prev_parts.get(d):
+                    pv = prev_entry(d)
+                    if pv:
+                        out[d] = pv
+            return out
 
-        stats = _carry("stats", stats)
-        file_stats = _carry("file_stats", file_stats)
+        prev_stats = (now or {}).get("stats", {})
+        stats = _resolve(stats, prev_stats.get)
+        fs_shards = _shard_out_file_stats(
+            root, now, version, partitions, prev_parts, file_stats
+        )
         manifest = {"version": version, "partitions": partitions}
         if schema is not None:
             manifest["schema"] = schema
         if stats:
             manifest["stats"] = stats
-        if file_stats:
-            manifest["file_stats"] = file_stats
+        if fs_shards:
+            manifest["fs_shards"] = fs_shards
         _commit_manifest(root, manifest)
+    if fs_shards:
+        manifest = dict(manifest)
+        manifest["file_stats"] = _read_fs_shards(root, manifest)
     return manifest
+
+
+def _shard_out_file_stats(
+    root: str,
+    prev: dict | None,
+    version: int,
+    partitions: dict,
+    prev_parts: dict,
+    given: dict | None,
+) -> dict:
+    """Resolve the file-grain stats into shard files and return the
+    ``fs_shards`` ref map for the new manifest.
+
+    Shard-level carry: a month none of whose dates were touched
+    (present in ``given``), repointed, or removed carries its
+    previous shard FILE by reference — no parse, no write. Touched
+    months load their previous shard once (or the previous manifest's
+    inline ``file_stats`` — the pre-shard migration path), apply the
+    per-date rule from :func:`publish_version`, and write ONE new
+    immutable shard file. History manifests keep referencing their
+    own shard files (structural sharing, like version dirs), and
+    :func:`vacuum` reclaims shards no retained snapshot references."""
+    given = given or {}
+    prev = prev or {}
+    prev_refs = prev.get("fs_shards", {})
+    prev_inline = prev.get("file_stats")  # pre-shard manifest migration
+
+    by_key: dict[str, set] = {}
+    for d in partitions:
+        by_key.setdefault(_shard_key(d), set()).add(d)
+    # A previous month vanishing entirely (every date deleted) simply
+    # drops its ref; months only in prev need no rewrite pass.
+    touched: set = set()
+    for d in given:
+        touched.add(_shard_key(d))
+    for d in prev_parts:
+        if partitions.get(d) != prev_parts[d]:
+            touched.add(_shard_key(d))
+    if prev_inline is not None and not prev_refs:
+        # First sharded commit over a flat manifest: every month with
+        # content must materialize as a shard once.
+        touched |= set(by_key)
+
+    out: dict = {}
+    nonce = uuid.uuid4().hex[:8]
+    io = io_for(root)
+    for key, dates in by_key.items():
+        if key not in touched:
+            if key in prev_refs:
+                out[key] = prev_refs[key]
+            continue
+        if prev_inline is not None:
+            prev_entries = prev_inline
+        elif key in prev_refs:
+            prev_entries = _read_fs_shards(root, prev, keys={key})
+        else:
+            prev_entries = {}
+        content = {}
+        for d in sorted(dates):
+            if d in given:
+                if given[d]:
+                    content[d] = given[d]
+            elif partitions[d] == prev_parts.get(d):
+                pv = prev_entries.get(d)
+                if pv:
+                    content[d] = pv
+        if content:
+            rel = os.path.join(
+                _SHARD_DIR, f"fs-{key}-v{version}-{nonce}.json"
+            )
+            full = os.path.join(root, rel)
+            io.makedirs(os.path.dirname(full))
+            io.write_text_atomic(full, json.dumps(content, sort_keys=True))
+            out[key] = rel
+    return out
 
 
 # Scan-time-safe widenings for the manifest schema: a file written
@@ -546,11 +705,14 @@ def upsert_observations_versioned(
     costs 20-50 ms. Values are path-independent."""
     order_cols = order_cols or ["ingestion_time"]
     os.makedirs(root, exist_ok=True)
-    current = read_manifest(root)
+    current = read_manifest(root, with_stats=False)
     version = (current["version"] + 1) if current else 1
     partitions = dict(current["partitions"]) if current else {}
-    stats = dict(current.get("stats", {})) if current else {}
-    fstats = dict(current.get("file_stats", {})) if current else {}
+    # Stats DELTAS: only the dates this commit rewrites — untouched
+    # dates carry inside publish_version (partition grain inline,
+    # file grain by shard ref, no parse).
+    stats: dict = {}
+    fstats: dict = {}
 
     batch = batch.withColumn(PARTITION_COL, F.to_date("observation_time")).withColumn(
         "__prio", F.lit(1)
@@ -723,7 +885,11 @@ def read_observations_versioned(
     are kept — absent stats degrade to no pruning, never to wrong
     results. The row-level filters still apply on top, so pruning is
     a pure IO optimization."""
-    m = read_manifest(root, version)
+    # Metadata-only load: the file-grain shards parse AFTER the
+    # date/stats pruning below, and only for surviving months — the
+    # manifest-list prune (a narrow read over a 10^5-file table
+    # touches one month's shard, not the whole file inventory).
+    m = read_manifest(root, version, with_stats=False)
     if m is None or not m["partitions"]:
         raise FileNotFoundError(f"no committed snapshot under {root}")
     # The snapshot's DECLARED schema (manifest metadata, evolved at
@@ -791,7 +957,9 @@ def read_observations_versioned(
     # drops out entirely, and an unfiltered or pre-file-stats read
     # passes the directory to Spark exactly as before.
     paths: list[str] = []
-    all_fstats = m.get("file_stats", {}) if filtering else {}
+    all_fstats = (
+        file_stats_for(root, m, {d for d, _ in items}) if filtering else {}
+    )
     for d, p in items:
         per_file = all_fstats.get(d)
         if not per_file:
@@ -923,8 +1091,8 @@ def compact_versioned(
     with _stats_bearing_writes(spark):
         out.write.mode("overwrite").partitionBy(_PDATE).parquet(vdir)
     partitions = dict(current["partitions"])
-    stats = dict(current.get("stats", {}))
-    fstats = dict(current.get("file_stats", {}))
+    stats: dict = {}
+    fstats: dict = {}
     written = {
         d: os.path.join(root, f"{vtag}/{_PDATE}={d}")
         for d in fragmented
@@ -1012,8 +1180,8 @@ def delete_versioned(
     with _stats_bearing_writes(spark):
         survivors.write.mode("overwrite").partitionBy(_PDATE).parquet(vdir)
     partitions = dict(current["partitions"])
-    stats = dict(current.get("stats", {}))
-    fstats = dict(current.get("file_stats", {}))
+    stats: dict = {}
+    fstats: dict = {}
     written = {
         d: os.path.join(root, f"{vtag}/{_PDATE}={d}")
         for d in hit_dates
@@ -1055,8 +1223,8 @@ def _churned_sides(
     and read each side under its OWN snapshot's declared schema.
     Raises ``FileNotFoundError`` when either manifest is missing or
     both snapshots are empty — same contract as a pinned read."""
-    old_m = read_manifest(root, from_version)
-    new_m = read_manifest(root, to_version)
+    old_m = read_manifest(root, from_version, with_stats=False)
+    new_m = read_manifest(root, to_version, with_stats=False)
     if old_m is None or new_m is None:
         missing = from_version if old_m is None else to_version
         raise FileNotFoundError(
@@ -1187,7 +1355,7 @@ def vacuum(
     if not io.exists(_manifest_path(root)):
         return []
     with _commit_lock(root):
-        m = read_manifest(root)
+        m = read_manifest(root, with_stats=False)
         if m is None:
             return []
         hpat = re.compile(r"^manifest-v(\d+)\.json$")
@@ -1218,9 +1386,10 @@ def vacuum(
             max(0, len(hist_versions) - (retain_last_n - 1)):
         ] if retain_last_n > 1 else []
         live = {p.split("/", 1)[0] for p in m["partitions"].values()}
+        live_shards = set(m.get("fs_shards", {}).values())
         for v in retained:
             try:
-                hist = read_manifest(root, v)
+                hist = read_manifest(root, v, with_stats=False)
             except (ValueError, OSError):
                 # Corrupt snapshot INSIDE the retention window (a
                 # pre-atomic-write crash artifact): keeping the file
@@ -1231,6 +1400,7 @@ def vacuum(
                 continue
             if hist is not None:
                 live |= {p.split("/", 1)[0] for p in hist["partitions"].values()}
+                live_shards |= set(hist.get("fs_shards", {}).values())
         now = time.time()
         gone: list[str] = []
         vpat = re.compile(r"^v(\d+)(-[0-9a-f]{8})?$")
@@ -1257,4 +1427,25 @@ def vacuum(
         for v in hist_versions:
             if v not in retained:
                 io.remove(_manifest_path(root, v))
+        # Reclaim file-stats shard files no retained snapshot
+        # references (they structurally share across versions exactly
+        # like data dirs, so a shard stays live as long as ANY
+        # retained manifest points at it). The same min-age guard
+        # protects an in-flight writer's freshly staged shards — they
+        # are written before its manifest CAS publishes the refs.
+        shard_dir = os.path.join(root, _SHARD_DIR)
+        if io.isdir(shard_dir):
+            for entry in sorted(io.listdir(shard_dir)):
+                rel = os.path.join(_SHARD_DIR, entry)
+                if rel in live_shards:
+                    continue
+                full = os.path.join(root, rel)
+                try:
+                    age = now - io.getmtime(full)
+                except OSError:
+                    continue
+                if age < min_age_seconds:
+                    continue
+                io.remove(full)
+                gone.append(rel)
     return gone

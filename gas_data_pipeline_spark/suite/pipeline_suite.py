@@ -799,7 +799,13 @@ def silver_versioned_file_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = "spark.sql.files.maxRecordsPerFile"
     old = spark.conf.get(key, "0")
-    spark.conf.set(key, "500")
+    # 2000 rows/file plants a fragmented-but-not-absurd layout
+    # (VERDICT r13 #5: the old 500-row cap made this the suite's
+    # heaviest fs load — ~4x the files for the SAME pruning
+    # assertion; the strict-subset skip only needs >1 file per
+    # partition pre-compaction, which 2000 still guarantees at bench
+    # scale).
+    spark.conf.set(key, "2000")
     try:
         upsert_observations_versioned(
             spark, page, root, order_cols=["ingestion_time", "event_id"]

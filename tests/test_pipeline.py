@@ -1488,7 +1488,10 @@ def test_versioned_stats_prune_skips_nonmatching_partitions(spark, scratch):
     assert all("__pdate=2024-01-01" in f for f in df.inputFiles())
     # Stats-less manifest at BOTH grains (pre-stats store): pruning
     # degrades to the row filter — same rows, both partitions listed.
+    # (fs_shards are the sharded home of the file grain now — a truly
+    # pre-stats manifest has neither the inline dict nor the refs.)
     m2.pop("file_stats")
+    m2.pop("fs_shards", None)
     with open(os.path.join(scratch, "manifest.json"), "w") as fh:
         _json.dump(m2, fh)
     df = read_observations_versioned(spark, scratch, series_ids="A_9")
@@ -1844,7 +1847,12 @@ def test_versioned_vacuum_keeps_referenced_versions(spark, scratch):
         scratch,
         order_cols=["ingestion_time", "event_id"],
     )
-    assert vacuum(scratch, min_age_seconds=0) == []  # v1 still owns 2024-01-01
+    # v1 still owns 2024-01-01, so NO data dir is reclaimable; v1's
+    # January SHARD was superseded by v2's rewrite (sharded manifests
+    # structurally share by month, and this month was touched), so
+    # only that metadata file goes.
+    gone = vacuum(scratch, min_age_seconds=0)
+    assert [g for g in gone if not g.startswith("shards/")] == []
     upsert_observations_versioned(
         spark,
         _vs_batch(
@@ -1853,7 +1861,10 @@ def test_versioned_vacuum_keeps_referenced_versions(spark, scratch):
         scratch,
         order_cols=["ingestion_time", "event_id"],
     )
-    gone = vacuum(scratch, min_age_seconds=0)  # fully superseded now
+    gone = [
+        g for g in vacuum(scratch, min_age_seconds=0)
+        if not g.startswith("shards/")
+    ]  # fully superseded now
     assert len(gone) == 1 and gone[0].startswith("v1-")
     rows = {
         (r.series_id, str(r.observation_time)): r.value
@@ -1882,8 +1893,8 @@ def test_versioned_concurrent_commit_fenced(spark, scratch):
     real = V.read_manifest
     state = {"raced": False}
 
-    def racy(root, version=None):
-        m = real(root, version)
+    def racy(root, version=None, **kw):
+        m = real(root, version, **kw)
         # First manifest read of the losing writer: interleave a
         # competing commit AFTER the snapshot is taken.
         if version is None and not state["raced"]:
@@ -2272,6 +2283,7 @@ def test_versioned_file_grain_pruning_after_range_compaction(spark, scratch):
 
     m3 = dict(m2)
     m3.pop("file_stats")
+    m3.pop("fs_shards", None)  # sharded refs are the file grain's home now
     with open(os.path.join(scratch, "manifest.json"), "w") as fh:
         _json.dump(m3, fh)
     df = read_observations_versioned(spark, scratch, series_ids="S_007")
@@ -2403,8 +2415,8 @@ def test_versioned_upsert_with_retry_lands_both_writers(spark, scratch):
     real = V.read_manifest
     state = {"raced": False}
 
-    def racy(root, version=None):
-        m = real(root, version)
+    def racy(root, version=None, **kw):
+        m = real(root, version, **kw)
         if version is None and not state["raced"]:
             state["raced"] = True
             V.upsert_observations_versioned(
@@ -3178,3 +3190,239 @@ def test_stats_local_max_is_a_store_option(spark, scratch):
         }
 
     assert _names_stripped(ma["file_stats"]) == _names_stripped(mb["file_stats"])
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical manifests (VERDICT r13 #4): file-grain stats live in
+# per-month shard files; a commit touching 1 of N months rewrites O(1)
+# shards; reads equal the flat-manifest view; vacuum GCs orphan shards.
+# ---------------------------------------------------------------------------
+
+
+def _shard_files(root):
+    import os
+
+    d = os.path.join(root, "shards")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_sharded_manifest_commit_rewrites_one_shard(spark, scratch):
+    """Three months in the table; a commit touching only March must
+    write exactly ONE new shard file and carry the other months' shard
+    REFS unchanged (same relpaths as the previous manifest)."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        upsert_observations_versioned,
+    )
+
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    up(
+        _vs_batch(
+            spark,
+            [
+                ("s1", "2024-01-05 00:00:00", 1.0, "2024-01-05 01:00:00", 1),
+                ("s1", "2024-02-05 00:00:00", 2.0, "2024-02-05 01:00:00", 2),
+                ("s1", "2024-03-05 00:00:00", 3.0, "2024-03-05 01:00:00", 3),
+            ],
+        )
+    )
+    m1 = read_manifest(scratch, with_stats=False)
+    assert set(m1["fs_shards"]) == {"2024-01", "2024-02", "2024-03"}
+    before = set(_shard_files(scratch))
+
+    up(_vs_batch(spark, [("s2", "2024-03-06 00:00:00", 4.0, "2024-03-06 01:00:00", 4)]))
+    m2 = read_manifest(scratch, with_stats=False)
+    new_files = set(_shard_files(scratch)) - before
+    # Exactly one shard written, and it is March's.
+    assert len(new_files) == 1, new_files
+    assert next(iter(new_files)).startswith("fs-2024-03-")
+    # Untouched months carry by REF — identical relpaths, no rewrite.
+    assert m2["fs_shards"]["2024-01"] == m1["fs_shards"]["2024-01"]
+    assert m2["fs_shards"]["2024-02"] == m1["fs_shards"]["2024-02"]
+    assert m2["fs_shards"]["2024-03"] != m1["fs_shards"]["2024-03"]
+    # The manifest list itself carries no O(files) payload inline.
+    assert "file_stats" not in m2
+    # Materialized view covers all four partitions.
+    full = read_manifest(scratch)
+    assert set(full["file_stats"]) == {
+        "2024-01-05", "2024-02-05", "2024-03-05", "2024-03-06",
+    }
+
+
+def test_sharded_manifest_reads_match_flat_view(spark, scratch):
+    """The selective shard loader (what the read path uses) must agree
+    with the fully materialized view for every date subset, and the
+    pruned read returns the same rows as an unfiltered scan + filter."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        file_stats_for,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    rows = [
+        (f"s{i}", f"2024-0{1 + i % 3}-0{1 + i % 5} 0{i}:00:00", float(i),
+         f"2024-0{1 + i % 3}-0{1 + i % 5} 12:00:00", i)
+        for i in range(9)
+    ]
+    upsert_observations_versioned(
+        spark, _vs_batch(spark, rows), scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    full = read_manifest(scratch)["file_stats"]
+    raw = read_manifest(scratch, with_stats=False)
+    for dates in [set(full), {d for d in full if d.startswith("2024-01")}, set()]:
+        got = file_stats_for(scratch, raw, dates)
+        want = {
+            d: v for d, v in full.items()
+            if {d[:7] for d in dates} >= {d[:7]} or not dates
+        } if dates else {}
+        # Selective load returns whole shards — at least the asked
+        # dates, never entries from unasked months.
+        for d in dates:
+            assert got.get(d) == full[d]
+        for d in got:
+            assert d[:7] in {x[:7] for x in dates}
+    res = read_observations_versioned(
+        spark, scratch, series_ids=["s1", "s4"]
+    ).collect()
+    allrows = read_observations_versioned(spark, scratch).collect()
+    assert sorted((r.series_id, r.value) for r in res) == sorted(
+        (r.series_id, r.value) for r in allrows if r.series_id in ("s1", "s4")
+    )
+
+
+def test_sharded_manifest_migrates_flat_manifest(spark, scratch):
+    """A store whose current manifest predates sharding (inline
+    file_stats) commits straight into the sharded format, carrying
+    the inline entries for unchanged partitions."""
+    import json as _json
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        upsert_observations_versioned,
+    )
+
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    up(_vs_batch(spark, [("s1", "2024-01-05 00:00:00", 1.0, "2024-01-05 01:00:00", 1)]))
+    # Rewrite the manifest into the pre-shard FLAT form.
+    m = read_manifest(scratch)
+    flat = {k: v for k, v in m.items() if k != "fs_shards"}
+    for p in ("manifest.json", f"manifest-v{m['version']}.json"):
+        with open(os.path.join(scratch, p), "w") as fh:
+            _json.dump(flat, fh)
+    jan_stats = flat["file_stats"]["2024-01-05"]
+    assert jan_stats  # the migration payload actually exists
+
+    up(_vs_batch(spark, [("s2", "2024-02-05 00:00:00", 2.0, "2024-02-05 01:00:00", 2)]))
+    m2raw = read_manifest(scratch, with_stats=False)
+    assert set(m2raw["fs_shards"]) == {"2024-01", "2024-02"}
+    assert "file_stats" not in m2raw
+    m2 = read_manifest(scratch)
+    assert m2["file_stats"]["2024-01-05"] == jan_stats  # carried from inline
+    assert m2["file_stats"]["2024-02-05"]
+
+
+def test_vacuum_reclaims_unreferenced_shards(spark, scratch):
+    """Shard files structurally share across versions like data dirs:
+    vacuum keeps every shard a retained snapshot references and
+    reclaims the rest (past min_age)."""
+    import os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        upsert_observations_versioned,
+        vacuum,
+    )
+
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    # v1..v3 all touch January -> three January shard generations.
+    for i in range(1, 4):
+        up(_vs_batch(spark, [
+            (f"s{i}", f"2024-01-0{i} 00:00:00", float(i), f"2024-01-0{i} 01:00:00", i)
+        ]))
+    assert len(_shard_files(scratch)) == 3
+    gone = vacuum(scratch, retain_last_n=1, min_age_seconds=0.0)
+    kept = _shard_files(scratch)
+    live_ref = read_manifest(scratch, with_stats=False)["fs_shards"]["2024-01"]
+    assert [os.path.join("shards", f) for f in kept] == [live_ref]
+    assert any(g.startswith("shards/") for g in gone)
+    # The survivor still materializes every live partition's stats.
+    assert set(read_manifest(scratch)["file_stats"]) == {
+        "2024-01-01", "2024-01-02", "2024-01-03",
+    }
+
+
+def test_filtered_read_parses_only_needed_shards(spark, scratch):
+    """The manifest-list prune, observed through the FileIO seam: a
+    read filtered to one month's dates must parse THAT month's shard
+    only — the other months' file inventories are never even read.
+    This is the scale property the hierarchy buys: metadata IO per
+    read scales with the months a query touches, not with table
+    size."""
+
+    class CountingIO:
+        """Delegates to the local FileIO, counting shard reads."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.shard_reads = []
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def read_text(self, path):
+            if "/shards/" in path:
+                self.shard_reads.append(os.path.basename(path))
+            return self._inner.read_text(path)
+
+    import os
+
+    from gas_data_pipeline_spark.pipeline.fileio import (
+        io_for,
+        register_fileio,
+        unregister_fileio,
+    )
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    rows = [
+        ("s1", "2024-01-05 00:00:00", 1.0, "2024-01-05 01:00:00", 1),
+        ("s2", "2024-02-05 00:00:00", 2.0, "2024-02-05 01:00:00", 2),
+        ("s3", "2024-03-05 00:00:00", 3.0, "2024-03-05 01:00:00", 3),
+    ]
+    upsert_observations_versioned(
+        spark, _vs_batch(spark, rows), scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    counter = CountingIO(io_for("/nonexistent-default"))
+    register_fileio(scratch, counter)
+    try:
+        df = read_observations_versioned(
+            spark,
+            scratch,
+            start="2024-02-01 00:00:00",
+            end="2024-02-28 00:00:00",
+        )
+        got = [(r.series_id, r.value) for r in df.collect()]
+        assert got == [("s2", 2.0)]
+        assert counter.shard_reads, "file grain should have been consulted"
+        assert all(n.startswith("fs-2024-02-") for n in counter.shard_reads), (
+            counter.shard_reads
+        )
+        # An unfiltered read parses NO shards at all (no pruning, no
+        # metadata io beyond the manifest itself).
+        counter.shard_reads.clear()
+        assert read_observations_versioned(spark, scratch).count() == 3
+        assert counter.shard_reads == []
+    finally:
+        unregister_fileio(scratch)
