@@ -1306,6 +1306,7 @@ def cosine_topk_ivfpq_kcenter(
     quantum: float = 1e6,
     driver_probe_bound: int = 1024,
     index: DataFrame | None = None,
+    rescore: int | None = None,
 ) -> DataFrame:
     """X2 composed IVF+PQ with DETERMINISTIC k-center quantizers at
     BOTH levels — the production FAISS shape (IVF prunes which
@@ -1323,7 +1324,14 @@ def cosine_topk_ivfpq_kcenter(
     -> broadcast probe set ⋈ the code-carrying inverted lists
     (~n_probe/n_cells of the compressed corpus per query) -> ADC
     expressions against the broadcast query subvectors -> per-query
-    top-k window over candidate rows only."""
+    top-k window over candidate rows only.
+
+    ``rescore`` applies the same exact-refinement stage as
+    :func:`cosine_topk_pq_kcenter`: the ADC ranking keeps a bounded
+    ``rescore``-candidate pool per query, whose FULL vectors are
+    fetched in one broadcast-candidates corpus scan and re-scored
+    with exact fixed-point cosine — FAISS's refine step on top of
+    IVF+PQ. Output column becomes ``cos_sim`` (the score IS exact)."""
     from gas_data_pipeline_spark.functions.exprs import bind
     from gas_data_pipeline_spark.operators.selection import dlit
 
@@ -1372,14 +1380,43 @@ def cosine_topk_ivfpq_kcenter(
     w = Window.partitionBy("query_id").orderBy(
         F.col("s_fp").desc(), F.col("neighbor_id")
     )
+    if rescore is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rank",
+                F.round(F.col("s_fp") / F.lit(quantum), 6).alias("approx_cos"),
+            )
+        )
+    cands = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= rescore)
+        .select("query_id", "neighbor_id")
+    )
+    corp_nv = corpus.select(F.col(id_col).alias("neighbor_id"), nv.alias("nv"))
+    refined = corp_nv.join(
+        F.broadcast(cands.join(qdf, "query_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("qv"), F.col("nv")) * F.lit(quantum), 0)
+        .cast("bigint")
+        .alias("e_fp"),
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("e_fp").desc(), F.col("neighbor_id")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        refined.withColumn("rank", F.row_number().over(w_ex).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
             "neighbor_id",
             "rank",
-            F.round(F.col("s_fp") / F.lit(quantum), 6).alias("approx_cos"),
+            F.round(F.col("e_fp") / F.lit(quantum), 6).alias("cos_sim"),
         )
     )
 

@@ -72,9 +72,11 @@ def _load_all() -> None:
 #     start path now retries once, VERDICT r13 #2) — must re-green;
 #   - silver_versioned_file_prune — the only never-driver-checked
 #     query (registered post-window in r13);
-#   - 1 first driver row: ann_pq_rescored (REGISTERED this round:
-#     exact-rescore refinement stage over the ADC pool, VERDICT r13
-#     #6 — recall 0.21 -> 0.7 at the same codebook budget);
+#   - 2 first driver rows: ann_pq_rescored and ann_ivfpq_rescored
+#     (REGISTERED this round: exact-rescore refinement stage over
+#     the ADC pool, VERDICT r13 #6 — PQ recall 0.21 -> 0.7 at the
+#     same codebook budget; the composed IVF+PQ variant reaches its
+#     router's ceiling, 0.2 -> 0.425);
 #   - touched-this-round re-certifications: the versioned store's
 #     stats kernel moved to _stats_kernel + tz-aware prune cutoffs +
 #     sharded manifests (silver_versioned_time_prune,
@@ -85,7 +87,7 @@ def _load_all() -> None:
 #     kernel gained the rescore branch;
 #   - the FULL r9-era cohort (28 rows — the stalest anywhere after
 #     the r13 window);
-#   - the 2 alphabetically-first r10-era rows to fill the window.
+#   - the alphabetically-first r10-era row to fill the window.
 # After this window runs, the union staleness ceiling moves to r10.
 # Rotating OUT: the r13 greens (re-proven last round) and the 4
 # rows-only approximations (refreshed r13; exact twins ann_ivf /
@@ -105,8 +107,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- must-prove: r13's red row + the never-driver-checked query --
     "stream_rest_datasource_ingest",
     "silver_versioned_file_prune",
-    # -- first driver row (registered this round) --
+    # -- first driver rows (registered this round) --
     "ann_pq_rescored",
+    "ann_ivfpq_rescored",
     # -- touched this round: re-certification --
     "silver_versioned_time_prune",
     "silver_versioned_stats_prune",
@@ -145,9 +148,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_hourly_rollup",
     "stream_session_window",
     "stream_sliding_window",
-    # -- oldest r10 rows filling the window --
+    # -- oldest r10 row filling the window --
     "ann_lsh_signed",
-    "anomaly_mad_outliers",
 )
 
 

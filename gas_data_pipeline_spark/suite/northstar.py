@@ -879,6 +879,11 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_RESCORE = 100  # ADC pool size per query for the refinement stage
+# The composed variant probes ~n_probe/n_cells of the corpus; its pool
+# must cover the probed candidates at test scale (500 vecs, 4/16 cells
+# ~ 125 candidates) so the rescored answer equals the exact ranking of
+# the probed cells. At production scale 200 is a tiny fixed pool.
+_IVFPQ_RESCORE = 200
 
 
 @register(
@@ -973,9 +978,7 @@ _IVFPQ_ADC_JOINS = " ".join(
 )
 
 
-@register(
-    "ann_ivfpq_kcenter",
-    oracle=f"""
+_IVFPQ_ORACLE_CTES = f"""
         WITH RECURSIVE pts AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1053,6 +1056,12 @@ _IVFPQ_ADC_JOINS = " ".join(
             JOIN qn ON qn.query_id = c.query_id
             {_IVFPQ_ADC_JOINS}
         )
+"""
+
+
+@register(
+    "ann_ivfpq_kcenter",
+    oracle=f"""{_IVFPQ_ORACLE_CTES}
         SELECT query_id, neighbor_id, rank, approx_cos FROM (
             SELECT query_id, neighbor_id,
                    round(s_fp / 1e6, 6) AS approx_cos,
@@ -1121,6 +1130,65 @@ def _corpus_ivfpq_index(
         )
         _IVFPQ_INDEX_CACHE[key] = idx
     return idx
+
+
+@register(
+    "ann_ivfpq_rescored",
+    oracle=f"""{_IVFPQ_ORACLE_CTES},
+        pool AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY s_fp DESC, neighbor_id
+                       ) AS adc_rank
+                FROM scored
+            ) WHERE adc_rank <= {_IVFPQ_RESCORE}
+        ),
+        refined AS (
+            SELECT p.query_id, p.neighbor_id,
+                   CAST(round(list_dot_product(qn.qnv, n.nv) * 1e6, 0)
+                        AS BIGINT) AS e_fp
+            FROM pool p
+            JOIN qn ON qn.query_id = p.query_id
+            JOIN npts n ON n.vec_id = p.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim FROM (
+            SELECT query_id, neighbor_id,
+                   round(e_fp / 1e6, 6) AS cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY e_fp DESC, neighbor_id
+                   ) AS BIGINT) AS rank
+            FROM refined
+        ) WHERE rank <= 10
+    """,
+)
+def ann_ivfpq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_ivfpq_kcenter` with FAISS's refine step (VERDICT r13 #6
+    applied to the composed index): the IVF-pruned ADC scan ranks a
+    bounded 100-candidate pool per query, then ONLY the pool is
+    re-scored with exact fixed-point cosine against the full vectors
+    — compressed candidates decide WHAT to look at, exact math
+    decides the answer. The extra cost is one broadcast-candidates
+    corpus scan, independent of corpus size; recall floor vs the
+    exact scan pinned in tests/test_northstar.py. The whole path —
+    coarse routing, codebooks, encoding, probing, ADC pool, exact
+    rescore — value-oracles in SQL (shared CTE prefix with
+    `ann_ivfpq_kcenter`)."""
+    from gas_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivfpq_kcenter,
+    )
+    from gas_data_pipeline_spark.suite.selection_suite import _corpus_kcenter
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centers = _corpus_kcenter(spark, sf_dir, "full", emb, k=16)
+    books = _corpus_pq_books(spark, sf_dir)
+    index = _corpus_ivfpq_index(spark, sf_dir, emb, centers, books)
+    return cosine_topk_ivfpq_kcenter(
+        emb, queries, centers, books, k=10, n_probe=4, index=index,
+        rescore=_IVFPQ_RESCORE,
+    )
 
 
 # rows-only: doubly-approximate — no SQL oracle can reproduce quantized
