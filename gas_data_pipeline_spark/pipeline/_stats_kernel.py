@@ -33,6 +33,32 @@ STATS_COLS = ("series_id", "observation_time")
 # never correctness (absent stats = partition kept).
 _STATS_MAX_LEN = 1024
 
+# Key-fingerprint parameters (the Parquet/Iceberg bloom-filter
+# analog, round 14): each data file's manifest entry carries the
+# file's DISTINCT set of KEY_FP_COL values — exact (a sorted list)
+# up to _FP_SET_MAX distinct keys, a fixed-parameter bloom bitmap
+# beyond that, absent past _FP_DISTINCT_CAP or on any read failure.
+# An equality read can then prune files whose [min, max] RANGE is
+# wide (interleaved writers make every file span the keyspace) but
+# whose actual key SET misses every wanted id — min/max answers
+# "could this range overlap", the fingerprint answers "is this key
+# plausibly PRESENT". Blooms admit false positives (pruning just
+# doesn't fire) and never false negatives (double hashing over a
+# process-independent blake2b digest — Python's hash() is salted
+# per process and would silently break cross-process pruning).
+KEY_FP_COL = "series_id"
+FP_KEY = "series_id~fp"  # '~' cannot appear in a parquet column name here
+_FP_SET_MAX = 64
+# Fixed bloom parameters for every fingerprint: equal parameters are
+# what lets partition-grain rollups OR file blooms together instead
+# of degrading to None. 8192 bits (1 KiB raw, ~1.4 KiB base64 in the
+# monthly shard JSON) holds ~800 keys at ~1% false-positive with
+# k=4; a saturated bloom (thousands of distinct keys in one file)
+# just stops pruning — it cannot go wrong.
+_FP_BLOOM_M = 8192
+_FP_BLOOM_K = 4
+_FP_DISTINCT_CAP = 65536
+
 # Fixed-width timestamp key: lexicographic order == chronological
 # order, and both the stats writer and the reader's bound
 # normalization MUST use the same format or pruning silently breaks.
@@ -74,21 +100,153 @@ def _stat_value(v):
     return None
 
 
+def _fp_hash_pair(value: str) -> tuple[int, int]:
+    """Two independent 64-bit hashes of ``value`` for double hashing
+    (bit i = (h1 + i*h2) mod m). blake2b is keyless and identical in
+    every process and on every platform — the fingerprint written by
+    an executor must test identically on the driver. h2 is forced odd
+    so the probe sequence cycles through all m positions."""
+    import hashlib
+
+    d = hashlib.blake2b(value.encode("utf-8"), digest_size=16).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+def _bloom_insert(bits: bytearray, value: str, m: int, k: int) -> None:
+    h1, h2 = _fp_hash_pair(value)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        bits[pos >> 3] |= 1 << (pos & 7)
+
+
+def _bloom_from_values(values) -> dict:
+    import base64
+
+    bits = bytearray(_FP_BLOOM_M >> 3)
+    for v in values:
+        _bloom_insert(bits, v, _FP_BLOOM_M, _FP_BLOOM_K)
+    return {
+        "m": _FP_BLOOM_M,
+        "k": _FP_BLOOM_K,
+        "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def fp_from_values(values) -> "list | dict | None":
+    """Fingerprint a collection of distinct key strings: a sorted
+    exact list up to ``_FP_SET_MAX``, a bloom dict up to
+    ``_FP_DISTINCT_CAP``, None (no fingerprint — reads keep the file)
+    beyond that or when any value is not a string."""
+    vals = [v for v in values if v is not None]
+    if not all(isinstance(v, str) for v in vals):
+        return None
+    vals = sorted(set(vals))
+    if not vals:
+        return []
+    if len(vals) <= _FP_SET_MAX:
+        return vals
+    if len(vals) <= _FP_DISTINCT_CAP:
+        return _bloom_from_values(vals)
+    return None
+
+
+def fp_merge(a, b):
+    """Associative, commutative combine of two fingerprints (the
+    partition-grain rollup). None (unknown) is ABSORBING — a grain
+    containing an unfingerprinted file cannot prune. Set+set unions
+    (re-blooming past the set cap); blooms OR when their parameters
+    match, else the merge degrades to None (parameter drift between
+    store versions must disable pruning, never corrupt it)."""
+    import base64
+
+    if a is None or b is None:
+        return None
+    if isinstance(a, list) and isinstance(b, list):
+        u = sorted(set(a) | set(b))
+        return u if len(u) <= _FP_SET_MAX else _bloom_from_values(u)
+    if isinstance(a, list):
+        a, b = b, a  # normalize: a = bloom, b = list | bloom
+    if isinstance(b, dict):
+        if a.get("m") != b.get("m") or a.get("k") != b.get("k"):
+            return None
+        ab = bytes(
+            x | y
+            for x, y in zip(
+                base64.b64decode(a["b64"]), base64.b64decode(b["b64"])
+            )
+        )
+        return {"m": a["m"], "k": a["k"], "b64": base64.b64encode(ab).decode("ascii")}
+    m, k = a.get("m"), a.get("k")
+    if m != _FP_BLOOM_M or k != _FP_BLOOM_K:
+        return None
+    bits = bytearray(base64.b64decode(a["b64"]))
+    for v in b:
+        if not isinstance(v, str):
+            return None
+        _bloom_insert(bits, v, m, k)
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def fp_might_contain(fp, value: str) -> bool:
+    """Could a file with this fingerprint hold ``value``? Exact for
+    the set form; one-sided for blooms (no false negatives). A
+    malformed fingerprint answers True — degrade to no pruning."""
+    import base64
+
+    if isinstance(fp, list):
+        return value in fp
+    if not isinstance(fp, dict):
+        return True
+    try:
+        m, k = fp["m"], fp["k"]
+        bits = base64.b64decode(fp["b64"])
+        h1, h2 = _fp_hash_pair(value)
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                return False
+        return True
+    except Exception:
+        return True
+
+
+def _file_key_fingerprint(pf, idx: dict) -> "list | dict | None":
+    """Distinct-key fingerprint of one parquet file — the kernel's
+    only non-footer read: it decodes the single KEY_FP_COL column
+    (dictionary-encoded business keys; a few percent of the file at
+    most). Nulls are dropped — an equality predicate never matches
+    null. Any failure returns None: the file stays unprunable, never
+    wrong."""
+    if KEY_FP_COL not in idx:
+        return None
+    try:
+        import pyarrow.compute as pc
+
+        col = pf.read(columns=[KEY_FP_COL]).column(0)
+        vals = pc.unique(pc.drop_null(col.combine_chunks())).to_pylist()
+        return fp_from_values(vals)
+    except Exception:
+        return None
+
+
 def _file_stats(path: str) -> dict:
     """Footer min/max of ONE parquet file: ``{col: [min, max] | None}``
-    over STATS_COLS. ``None`` marks the column untrustworthy in this
-    file (missing from the schema, no row-group stats, or a value the
-    JSON manifest can't compare safely). An unreadable footer returns
-    all-None (every column disqualified); a zero-row-group file
-    returns ``{}`` (the merge identity — it contributes nothing and
-    disqualifies nothing). This is the shared kernel of the serial
-    reader and the parallelized commit job, so the two cannot
-    drift."""
+    over STATS_COLS, plus the file's distinct-key fingerprint under
+    ``FP_KEY`` (round 14 — see the parameter block above). ``None``
+    marks the column untrustworthy in this file (missing from the
+    schema, no row-group stats, or a value the JSON manifest can't
+    compare safely). An unreadable footer returns all-None (every
+    column disqualified); a zero-row-group file returns ``{}`` (the
+    merge identity — it contributes nothing and disqualifies
+    nothing). This is the shared kernel of the serial reader and the
+    parallelized commit job, so the two cannot drift."""
     import pyarrow.parquet as pq
 
     bad = {c: None for c in STATS_COLS}
+    bad[FP_KEY] = None
     try:
-        md = pq.ParquetFile(path).metadata
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
     except Exception:
         return bad
     if md.num_row_groups == 0:
@@ -114,4 +272,5 @@ def _file_stats(path: str) -> dict:
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
         out[c] = [lo, hi] if ok and lo is not None else None
+    out[FP_KEY] = _file_key_fingerprint(pf, idx)
     return out

@@ -67,12 +67,15 @@ _PDATE = "__pdate"
 # closure). Re-exported here so callers and tests keep one import
 # surface.
 from gas_data_pipeline_spark.pipeline._stats_kernel import (  # noqa: E402
+    FP_KEY,
     STATS_COLS,
     _STATS_MAX_LEN,
     _TS_KEY_FMT,
     _file_stats,
     _stat_value,
     format_ts_key,
+    fp_merge,
+    fp_might_contain,
 )
 # Hive's on-disk name for a null partition value — what partitionBy
 # writes when observation_time (hence obs_date) is null.
@@ -542,7 +545,9 @@ def _stats_bearing_writes(spark: SparkSession):
 def _merge_file_stats(a: dict, b: dict) -> dict:
     """Associative, commutative combine of two :func:`_file_stats`
     results: a column survives only if BOTH sides carry trustworthy
-    bounds (min of mins, max of maxes); ``{}`` is the identity."""
+    bounds (min of mins, max of maxes); ``{}`` is the identity. The
+    ``FP_KEY`` entry merges as a key fingerprint (set union / bloom
+    OR — :func:`fp_merge`), not as a bounds pair."""
     if not a:
         return dict(b)
     if not b:
@@ -550,7 +555,9 @@ def _merge_file_stats(a: dict, b: dict) -> dict:
     out: dict = {}
     for c in set(a) | set(b):
         va, vb = a.get(c), b.get(c)
-        if va is None or vb is None:
+        if c == FP_KEY:
+            out[c] = fp_merge(va, vb)
+        elif va is None or vb is None:
             out[c] = None
         else:
             out[c] = [min(va[0], vb[0]), max(va[1], vb[1])]
@@ -558,9 +565,12 @@ def _merge_file_stats(a: dict, b: dict) -> dict:
 
 
 def _partition_stats(pdir: str) -> dict:
-    """Per-partition column stats from parquet FOOTERS only — no data
-    pages are read (Iceberg collects file stats the same way: the
-    writer already paid for them). Returns ``{col: [min, max]}`` for
+    """Per-partition column stats from parquet FOOTERS — plus ONE
+    data-page read per file, the dictionary-encoded key column that
+    feeds the distinct-key fingerprint (round 14; Iceberg collects
+    min/max the same way — the writer already paid for them — and
+    ships per-file blooms beside them). Returns ``{col: [min, max]}``
+    (and ``FP_KEY`` -> fingerprint) for
     every STATS_COLS column whose min/max is present and trustworthy
     in EVERY row group of every file; a column missing stats anywhere
     is omitted (absent stats disable pruning for it, never break it).
@@ -938,6 +948,18 @@ def read_observations_versioned(
         if wanted is not None:
             b = st.get("series_id")
             if b is not None and not any(b[0] <= s <= b[1] for s in wanted):
+                return False
+            # Key fingerprint (round 14 — the Parquet/Iceberg bloom
+            # analog): prune when NO wanted id is plausibly PRESENT,
+            # even though the [min, max] range overlaps (interleaved
+            # writers make every file span the keyspace, so range
+            # checks stop discriminating exactly when tables get
+            # big). Exact for small per-file key sets; one-sided
+            # (no false negatives) for the bloom form.
+            fp = st.get(FP_KEY)
+            if fp is not None and not any(
+                fp_might_contain(fp, s) for s in wanted
+            ):
                 return False
         b = st.get("observation_time")
         if b is not None:

@@ -87,7 +87,11 @@ def _load_all() -> None:
 #     kernel gained the rescore branch;
 #   - the FULL r9-era cohort (28 rows — the stalest anywhere after
 #     the r13 window);
-#   - the alphabetically-first r10-era row to fill the window.
+#   - silver_versioned_point_prune — first driver row for the round's
+#     key-fingerprint pruning (distinct-key sets/blooms in the
+#     manifest; the Parquet/Iceberg bloom analog). Fills the last
+#     slot in place of the r10 filler ann_lsh_signed, which rotates
+#     next round as the stalest row.
 # After this window runs, the union staleness ceiling moves to r10.
 # Rotating OUT: the r13 greens (re-proven last round) and the 4
 # rows-only approximations (refreshed r13; exact twins ann_ivf /
@@ -148,8 +152,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_hourly_rollup",
     "stream_session_window",
     "stream_sliding_window",
-    # -- oldest r10 row filling the window --
-    "ann_lsh_signed",
+    # -- first driver row for this round's key-fingerprint pruning
+    #    (registered in-window so no query is ever driver-unchecked;
+    #    displaces the r10 filler ann_lsh_signed, which rotates next
+    #    round as the stalest row) --
+    "silver_versioned_point_prune",
 )
 
 

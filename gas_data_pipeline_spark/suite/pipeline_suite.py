@@ -821,6 +821,67 @@ def silver_versioned_file_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "silver_versioned_point_prune",
+    oracle="""
+        SELECT series_id, observation_time, value
+        FROM (
+            SELECT 'PP_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+            WHERE (user_id + CAST(strftime(ts, '%d') AS INT)) % 3 = 0
+        )
+        WHERE rn = 1 AND series_id IN ('PP_7', 'PP_10')
+    """,
+)
+def silver_versioned_point_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-pruned point lookup on the versioned store (round
+    14 — the Parquet/Iceberg bloom-filter analog, pipeline/
+    _stats_kernel.py:_file_key_fingerprint): every commit records each
+    grain's DISTINCT key set (exact up to 64 keys, an 8192-bit bloom
+    beyond), and an equality read prunes grains whose recorded set
+    misses every wanted id even though their [min, max] RANGE admits
+    it. Series here appear only on dates where (user + day) % 3 == 0,
+    so every partition's range spans the keyspace — range checks admit
+    everything — and only the key set discriminates: the read touches
+    the ~1/3 of partitions that actually hold the wanted series
+    (pinned by inputFiles in tests/test_pipeline.py). At 100 TB this
+    is the sparse-series case min/max can never prune: a series that
+    exists on 30 of 3650 days reads 30 partitions, not the table.
+    Blooms are one-sided (false positives keep a grain, never drop
+    one) and the row-level isin applies on top, so the result is
+    exact with or without fingerprints."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+    page = e.filter(
+        ((F.col("user_id") + F.dayofmonth(F.col("ts"))) % 3) == 0
+    ).select(
+        F.concat(F.lit("PP_"), F.col("user_id").cast("string")).alias(
+            "series_id"
+        ),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+    upsert_observations_versioned(
+        spark, page, root, order_cols=["ingestion_time", "event_id"]
+    )
+    return read_observations_versioned(
+        spark, root, series_ids=["PP_7", "PP_10"]
+    ).select("series_id", "observation_time", "value")
+
+
+@register(
     "silver_versioned_time_prune",
     oracle="""
         WITH page AS (
