@@ -246,6 +246,19 @@ SCALE_PROBE_QUERIES = (
     # cheaper as file bounds tighten. First probe: per-copy 0.218 at
     # 8x, no flip.
     "silver_versioned_file_prune",
+    # fingerprint-pruned point lookup (registered round 14): one
+    # sparse-series upsert + an equality read pruned on the recorded
+    # distinct-key sets — scales like the upsert (the commit-time
+    # fingerprint adds ONE key-column read per file), with the read
+    # side relatively cheaper as the prune bites (~1/3 of partitions
+    # admitted by construction).
+    "silver_versioned_point_prune",
+    # merge-on-read delete via deletion vectors (registered round
+    # 14): upsert + one matched-rows scan + a deleted-rows-sized
+    # vector write + a subtracting read — zero data-file rewrite, so
+    # the commit should scale with the MATCHED rows while the read
+    # stays scan-bound with a broadcast anti-join on top.
+    "silver_versioned_delete_vectors",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

@@ -159,6 +159,18 @@ def read_manifest(
 
 
 _SHARD_DIR = "shards"
+# Deletion-vector home (round 14 — Iceberg v2's positional deletes /
+# merge-on-read DELETE): ``<root>/dv/<vtag>/__pdate=<d>/`` holds
+# parquet files of (__dv_file, __dv_pos) rows naming deleted
+# positions in committed data files. The manifest's ``dv`` map
+# ({date: [relpath, ...]}) is what makes them visible; unreferenced
+# tag dirs are vacuum-reclaimed like data dirs.
+_DV_DIR = "dv"
+# The last three path components — <vtag>/__pdate=<d>/<part-file> —
+# identify a data file uniquely within the store and survive a root
+# relocation (an absolute URI in the DV would break the moment the
+# table moves or is read through a different scheme).
+_DV_SUFFIX_PARTS = 3
 
 
 def _shard_key(d: str) -> str:
@@ -227,6 +239,7 @@ def publish_version(
     schema: dict | None = None,
     stats: dict | None = None,
     file_stats: dict | None = None,
+    dv: dict | None = None,
 ) -> dict:
     """The commit protocol, isolated from the merge: fence-read +
     atomic publish under ONE exclusive flock. A writer that merged
@@ -262,7 +275,19 @@ def publish_version(
     O(1) shards, and manifest history stops duplicating the file
     inventory per version.
 
-    Both grains resolve per partition date under ONE rule: an entry
+    ``dv`` maps partition date -> [deletion-vector relpaths] (round
+    14, Iceberg v2's merge-on-read DELETE): the refs that make
+    ``<root>/dv/`` vectors visible to readers of this snapshot. It
+    resolves under the SAME per-date rule as the stats grains —
+    which is exactly the lifecycle DVs need: a merge-on-read delete
+    passes the full per-date list (given wins), an untouched date
+    carries its vectors forward, and a rewrite (upsert/compact/
+    copy-on-write delete) that applied the vectors during its read
+    drops the refs with the changed directory entry (carrying them
+    would delete the rewritten rows a second time — positions in
+    NEW files that happen to collide with old ones).
+
+    All grains resolve per partition date under ONE rule: an entry
     present in the given map is authoritative for this commit (falsy
     drops it); a date whose directory entry is UNCHANGED from the
     previous snapshot carries its previous bounds (version dirs are
@@ -303,6 +328,8 @@ def publish_version(
 
         prev_stats = (now or {}).get("stats", {})
         stats = _resolve(stats, prev_stats.get)
+        prev_dv = (now or {}).get("dv", {})
+        dv = _resolve(dv, prev_dv.get)
         fs_shards = _shard_out_file_stats(
             root, now, version, partitions, prev_parts, file_stats
         )
@@ -311,6 +338,8 @@ def publish_version(
             manifest["schema"] = schema
         if stats:
             manifest["stats"] = stats
+        if dv:
+            manifest["dv"] = dv
         if fs_shards:
             manifest["fs_shards"] = fs_shards
         _commit_manifest(root, manifest)
@@ -758,8 +787,16 @@ def upsert_observations_versioned(
                 from pyspark.sql.types import StructType
 
                 reader = reader.schema(StructType.fromJson(current["schema"]))
+            # Deletion vectors on the affected dates apply BEFORE the
+            # merge — otherwise rows a merge-on-read DELETE removed
+            # would resurrect into the rewrite (the rewrite then
+            # clears those dates' DV refs via the publish carry rule:
+            # changed dir + no given entry = dropped).
             existing = (
-                reader.parquet(*old_paths)
+                _apply_dv(
+                    spark, root, reader.parquet(*old_paths),
+                    _dv_rels(current, affected),
+                )
                 .withColumn("__prio", F.lit(0))
             )
             merged = batch.unionByName(existing, allowMissingColumns=True)
@@ -861,6 +898,41 @@ def upsert_with_retry(
             if attempt == max_attempts - 1:
                 raise
     raise AssertionError("unreachable")  # pragma: no cover
+
+
+def _dv_rels(m: dict | None, dates=None) -> list[str]:
+    """Flatten a manifest's deletion-vector refs — all dates, or just
+    the given ones (a pruned read loads only the surviving dates'
+    vectors, the same metadata-proportionality rule as the stats
+    shards)."""
+    dvm = (m or {}).get("dv") or {}
+    keys = dvm.keys() if dates is None else (d for d in dates if d in dvm)
+    return [rel for d in sorted(keys) for rel in dvm[d]]
+
+
+def _apply_dv(
+    spark: SparkSession, root: str, df: DataFrame, rels: list[str]
+) -> DataFrame:
+    """Subtract deletion vectors from a parquet scan: tag every row
+    with its physical identity (file suffix + row position from the
+    scan's ``_metadata``) and LEFT ANTI join the referenced vectors.
+    The DV side is deleted-rows-sized — tiny next to the data — so
+    Catalyst broadcasts it and the subtraction never shuffles the
+    scan. No refs = the scan untouched (zero plan change; pinned in
+    tests). Must be applied DIRECTLY on the scan DataFrame —
+    ``_metadata`` is only resolvable against a file source."""
+    if not rels:
+        return df
+    dv = spark.read.parquet(*[os.path.join(root, r) for r in sorted(set(rels))])
+    tagged = df.withColumn(
+        "__dv_file",
+        F.substring_index(F.col("_metadata.file_path"), "/", -_DV_SUFFIX_PARTS),
+    ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+    return tagged.join(
+        F.broadcast(dv.select("__dv_file", "__dv_pos")),
+        ["__dv_file", "__dv_pos"],
+        "left_anti",
+    ).drop("__dv_file", "__dv_pos")
 
 
 def read_observations_versioned(
@@ -1000,6 +1072,12 @@ def read_observations_versioned(
             .limit(0)
         )
     df = reader.parquet(*paths)
+    # Subtract deletion vectors (merge-on-read DELETE, round 14) for
+    # the SURVIVING dates only — a pruned read loads vectors in
+    # proportion to what it scans. Rows a DV names are invisible to
+    # every reader of this snapshot; a pinned pre-delete version has
+    # no ``dv`` entry and reads them as before.
+    df = _apply_dv(spark, root, df, _dv_rels(m, {d for d, _ in items}))
     out = df
     if start is not None:
         out = out.filter(F.col("observation_time") >= start)
@@ -1056,6 +1134,7 @@ def compact_versioned(
         raise FileNotFoundError(f"no committed snapshot under {root}")
     fragmented = {}
     n_out = {}
+    dv_map = current.get("dv") or {}
     for d, rel in current["partitions"].items():
         pdir = os.path.join(root, rel)
         try:
@@ -1064,7 +1143,12 @@ def compact_versioned(
             ]
         except OSError:
             files = []
-        if len(files) >= min_files:
+        # A partition carrying deletion vectors compacts regardless of
+        # file count — compaction is the MATERIALIZATION point for
+        # merge-on-read deletes (round 14): the rewrite applies the
+        # vectors and the publish drops their refs, returning reads
+        # to a plain scan.
+        if files and (len(files) >= min_files or d in dv_map):
             fragmented[d] = rel
             size = sum(
                 os.path.getsize(os.path.join(pdir, f)) for f in files
@@ -1080,8 +1164,13 @@ def compact_versioned(
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(current["schema"]))
-    df = reader.parquet(
-        *[os.path.join(root, rel) for rel in fragmented.values()]
+    df = _apply_dv(
+        spark,
+        root,
+        reader.parquet(
+            *[os.path.join(root, rel) for rel in fragmented.values()]
+        ),
+        _dv_rels(current, sorted(fragmented)),
     )
     # PARTITION_COL rides in the data files (the physical dirs key on
     # the shadow column), so the partition identity reconstructs from
@@ -1134,9 +1223,19 @@ def compact_versioned(
             fstats[d] = new_fstats[d]
         else:
             fstats.pop(d, None)
-        # A fragmented partition that produced no output would mean
-        # data loss — its entry stays on the OLD dir so nothing
-        # vanishes (cannot happen for non-empty inputs; belt only).
+    # A fragmented partition that produced no output: for a
+    # DV-bearing date this is a LEGITIMATE outcome — every row was
+    # merge-on-read-deleted, the materializing rewrite emitted
+    # nothing, and the date vanishes from the manifest exactly as a
+    # full copy-on-write delete would end it (its old files survive
+    # for time travel until retention expires them). Without vectors
+    # it cannot happen for non-empty inputs, so the entry stays on
+    # the OLD dir — nothing vanishes (belt only).
+    for d in fragmented:
+        if d not in written and d in dv_map:
+            partitions.pop(d, None)
+            stats.pop(d, None)
+            fstats.pop(d, None)
     return publish_version(
         root, version, partitions, schema=None, stats=stats,
         file_stats=fstats,
@@ -1148,6 +1247,7 @@ def delete_versioned(
     root: str,
     predicate,
     stats_local_max: int | None = None,
+    mode: str = "copy-on-write",
 ) -> dict:
     """Row-level DELETE as a commit (Delta/Iceberg copy-on-write
     DELETE): partitions containing matches rewrite WITHOUT the matched
@@ -1156,6 +1256,15 @@ def delete_versioned(
     from the manifest (its files survive for time travel until
     retention expires them), and the publish goes through the same CAS
     fence as any writer.
+
+    ``mode="merge-on-read"`` (round 14 — Iceberg v2's positional
+    deletes) commits the SAME logical delete without rewriting any
+    data file: see :func:`_delete_versioned_mor`. Copy-on-write pays
+    a partition rewrite to keep reads plain; merge-on-read pays a
+    deleted-rows-sized vector write and a broadcast anti-join on
+    reads until compaction materializes it — at 100 TB, deleting a
+    handful of rows (GDPR erasure, a bad sensor hour) must not cost
+    a rewrite of every partition it touches.
 
     Null-safe three-valued logic the way SQL DELETE means it: only
     rows where ``predicate`` evaluates TRUE are removed — a NULL
@@ -1169,6 +1278,13 @@ def delete_versioned(
     rewrite of exactly those partitions. The matched-dates collect is
     metadata-sized (distinct partition values). A no-match delete
     publishes nothing and returns the current manifest."""
+    if mode == "merge-on-read":
+        return _delete_versioned_mor(spark, root, predicate)
+    if mode != "copy-on-write":
+        raise ValueError(
+            f"unknown delete mode {mode!r}: expected 'copy-on-write' "
+            "or 'merge-on-read'"
+        )
     current = read_manifest(root)
     if current is None or not current["partitions"]:
         raise FileNotFoundError(f"no committed snapshot under {root}")
@@ -1194,7 +1310,14 @@ def delete_versioned(
         if d in current["partitions"]
     ]
     survivors = (
-        reader.parquet(*paths)
+        # Prior deletion vectors on the rewritten dates subtract
+        # BEFORE the rewrite (their refs drop with the changed dirs
+        # at publish) — skipping this would resurrect MOR-deleted
+        # rows into the new files.
+        _apply_dv(
+            spark, root, reader.parquet(*paths),
+            _dv_rels(current, sorted(hit_dates)),
+        )
         .filter(~pred)
         .withColumn(_PDATE, F.col(PARTITION_COL).cast("string"))
         .repartition(F.col(PARTITION_COL))
@@ -1235,6 +1358,95 @@ def delete_versioned(
     )
 
 
+def _delete_versioned_mor(spark: SparkSession, root: str, predicate) -> dict:
+    """Merge-on-read DELETE (Iceberg v2 positional deletes / Delta
+    deletion vectors): instead of rewriting every partition holding a
+    match, ONE scan finds the matched rows' physical positions
+    (``_metadata.file_path`` + ``_metadata.row_index`` — Spark's
+    parquet row-position metadata, computed executor-side, never
+    collected) and writes them as a deleted-rows-sized parquet
+    "vector" under ``<root>/dv/``, keyed by the data file's
+    store-relative suffix so the table survives relocation. The
+    commit publishes the UNCHANGED partition map plus a ``dv`` ref
+    map; every reader then subtracts the vectors with a broadcast
+    anti-join (:func:`_apply_dv`), pinned snapshots before the
+    delete read the rows as before, and the next rewrite of a date
+    (upsert / compaction / copy-on-write delete) applies its vectors
+    and drops the refs — compaction is the materialization point.
+
+    Same three-valued logic as copy-on-write: only predicate-TRUE
+    rows are deleted. Prior vectors apply before matching, so an
+    already-deleted row can never be named twice. A no-match delete
+    publishes nothing. Cost at 100 TB: one pruned scan + a vector
+    write proportional to the DELETED rows — zero data-file IO —
+    versus copy-on-write's full rewrite of every touched partition."""
+    import shutil
+
+    current = read_manifest(root, with_stats=False)
+    if current is None or not current["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    pred = F.coalesce(predicate, F.lit(False))
+    version = current["version"] + 1
+    reader = spark.read
+    if current.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(current["schema"]))
+    paths = [
+        os.path.join(root, rel)
+        for _, rel in sorted(current["partitions"].items())
+    ]
+    scan = reader.parquet(*paths)
+    tagged = scan.withColumn(
+        "__dv_file",
+        F.substring_index(F.col("_metadata.file_path"), "/", -_DV_SUFFIX_PARTS),
+    ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+    prior = _dv_rels(current)
+    if prior:
+        dv_prior = spark.read.parquet(
+            *[os.path.join(root, r) for r in sorted(set(prior))]
+        )
+        tagged = tagged.join(
+            F.broadcast(dv_prior.select("__dv_file", "__dv_pos")),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        )
+    hits = (
+        tagged.filter(pred)
+        .select(
+            "__dv_file",
+            "__dv_pos",
+            F.coalesce(
+                F.col(PARTITION_COL).cast("string"), F.lit(_NULL_PART)
+            ).alias(_PDATE),
+        )
+        # One output file per touched date: the vector is deleted-
+        # rows-sized, and a thousand-task scan must not strew a
+        # thousand KB-sized files under dv/.
+        .repartition(F.col(_PDATE))
+    )
+    vtag = f"v{version}-{uuid.uuid4().hex[:8]}"
+    dvdir = os.path.join(root, _DV_DIR, vtag)
+    hits.write.mode("overwrite").partitionBy(_PDATE).parquet(dvdir)
+    try:
+        written = {
+            e.split("=", 1)[1]: f"{_DV_DIR}/{vtag}/{e}"
+            for e in os.listdir(dvdir)
+            if e.startswith(f"{_PDATE}=")
+        }
+    except OSError:
+        written = {}
+    if not written:
+        shutil.rmtree(dvdir, ignore_errors=True)
+        return current
+    prev_dv = current.get("dv") or {}
+    dv_delta = {d: prev_dv.get(d, []) + [rel] for d, rel in written.items()}
+    return publish_version(
+        root, version, dict(current["partitions"]), schema=None,
+        stats=None, file_stats=None, dv=dv_delta,
+    )
+
+
 def _churned_sides(
     spark: SparkSession, root: str, from_version: int, to_version: int | None
 ) -> tuple[DataFrame, DataFrame]:
@@ -1256,7 +1468,16 @@ def _churned_sides(
     po, pn = old_m["partitions"], new_m["partitions"]
     if not (po or pn):
         raise FileNotFoundError(f"no data partitions under {root}")
-    churned = sorted(d for d in set(po) | set(pn) if po.get(d) != pn.get(d))
+    # A date churns when its directory entry differs OR its
+    # deletion-vector refs differ (round 14): a merge-on-read DELETE
+    # changes no directory, only the ``dv`` map — keying churn on
+    # dirs alone would make the changelog silently skip it.
+    dvo, dvn = old_m.get("dv") or {}, new_m.get("dv") or {}
+    churned = sorted(
+        d
+        for d in set(po) | set(pn)
+        if po.get(d) != pn.get(d) or dvo.get(d) != dvn.get(d)
+    )
 
     def _side(m: dict) -> DataFrame:
         reader = spark.read
@@ -1267,7 +1488,12 @@ def _churned_sides(
         parts = m["partitions"]
         paths = [os.path.join(root, parts[d]) for d in churned if d in parts]
         if paths:
-            return reader.parquet(*paths)
+            # Each side subtracts its OWN snapshot's vectors, so a
+            # MOR-deleted row shows on the old side only — a removal.
+            return _apply_dv(
+                spark, root, reader.parquet(*paths),
+                _dv_rels(m, [d for d in churned if d in parts]),
+            )
         anchor = next(iter((pn or po).values()))
         return reader.parquet(os.path.join(root, anchor)).limit(0)
 
@@ -1409,6 +1635,10 @@ def vacuum(
         ] if retain_last_n > 1 else []
         live = {p.split("/", 1)[0] for p in m["partitions"].values()}
         live_shards = set(m.get("fs_shards", {}).values())
+        # Deletion-vector tag dirs (dv/<vtag>/...) stay live while ANY
+        # retained snapshot references one of their per-date vectors —
+        # the same structural-sharing rule as data dirs and shards.
+        live_dv = {rel.split("/")[1] for rel in _dv_rels(m)}
         for v in retained:
             try:
                 hist = read_manifest(root, v, with_stats=False)
@@ -1423,6 +1653,7 @@ def vacuum(
             if hist is not None:
                 live |= {p.split("/", 1)[0] for p in hist["partitions"].values()}
                 live_shards |= set(hist.get("fs_shards", {}).values())
+                live_dv |= {rel.split("/")[1] for rel in _dv_rels(hist)}
         now = time.time()
         gone: list[str] = []
         vpat = re.compile(r"^v(\d+)(-[0-9a-f]{8})?$")
@@ -1470,4 +1701,24 @@ def vacuum(
                     continue
                 io.remove(full)
                 gone.append(rel)
+        # Reclaim deletion-vector tag dirs no retained snapshot
+        # references; the min-age guard protects an in-flight
+        # merge-on-read delete that has staged its vectors but not
+        # yet published the refs.
+        dv_root = os.path.join(root, _DV_DIR)
+        if io.isdir(dv_root):
+            for entry in sorted(io.listdir(dv_root)):
+                if entry in live_dv:
+                    continue
+                full = os.path.join(dv_root, entry)
+                if not io.isdir(full):
+                    continue
+                try:
+                    age = now - io.getmtime(full)
+                except OSError:
+                    continue
+                if age < min_age_seconds:
+                    continue
+                io.rmtree(full)
+                gone.append(f"{_DV_DIR}/{entry}")
     return gone

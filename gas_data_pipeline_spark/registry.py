@@ -121,7 +121,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "silver_versioned_compaction",
     "silver_versioned_delete",
     "hourly_pipeline_e2e",
-    "hourly_pipeline_atomic_e2e",
+    # -- first driver row for the round's merge-on-read deletion
+    #    vectors (Iceberg v2 positional deletes; registered in-window
+    #    so no query is ever driver-unchecked). Takes the slot of
+    #    hourly_pipeline_atomic_e2e: its twin hourly_pipeline_e2e
+    #    stays in-window and exercises the IDENTICAL lifecycle +
+    #    run_stream_until retry path; the atomic variant rotates
+    #    back with the staleness mechanism next round. --
+    "silver_versioned_delete_vectors",
     "ann_pq",
     # -- stalest re-verification: the full r9-era cohort --
     "cube_revenue",

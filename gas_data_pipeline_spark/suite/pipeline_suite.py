@@ -882,6 +882,71 @@ def silver_versioned_point_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "silver_versioned_delete_vectors",
+    oracle="""
+        SELECT series_id, observation_time, value
+        FROM (
+            SELECT 'DV_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+          AND NOT COALESCE(
+              series_id IN ('DV_3', 'DV_8') OR value < 5.0, FALSE)
+    """,
+)
+def silver_versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (round 14 — Iceberg
+    v2's positional deletes, pipeline/versioned.py:
+    _delete_versioned_mor): the delete commit rewrites ZERO data
+    files — one scan records the matched rows' (file, row_position)
+    identities from Spark's parquet ``_metadata`` columns as a
+    deleted-rows-sized parquet vector under <root>/dv/, and every
+    subsequent read subtracts it with a broadcast anti-join on the
+    scan (plan-pinned in tests/test_pipeline.py; compaction later
+    materializes the vectors and returns reads to a plain scan). At
+    100 TB this is the difference between a GDPR-erasure of a few
+    thousand rows costing a rewrite of every touched partition and
+    costing a KB-sized vector write. Null-predicate rows are KEPT
+    (SQL DELETE's three-valued logic — the oracle's COALESCE
+    mirrors it)."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+    page = e.select(
+        F.concat(F.lit("DV_"), F.col("user_id").cast("string")).alias(
+            "series_id"
+        ),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+    upsert_observations_versioned(
+        spark, page, root, order_cols=["ingestion_time", "event_id"]
+    )
+    delete_versioned(
+        spark,
+        root,
+        F.col("series_id").isin("DV_3", "DV_8") | (F.col("value") < 5.0),
+        mode="merge-on-read",
+    )
+    return read_observations_versioned(spark, root).select(
+        "series_id", "observation_time", "value"
+    )
+
+
+@register(
     "silver_versioned_time_prune",
     oracle="""
         WITH page AS (

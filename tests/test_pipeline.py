@@ -3615,3 +3615,218 @@ def test_versioned_key_fingerprint_carries_across_commits(spark, scratch):
     df = read_observations_versioned(spark, scratch, series_ids="only_d1")
     assert [(r.series_id, r.value) for r in df.collect()] == [("only_d1", 1.0)]
     assert all("__pdate=2024-01-01" in f for f in df.inputFiles())
+
+
+# ---------------------------------------------------------------------------
+# round 14: merge-on-read deletion vectors (Iceberg v2 positional deletes)
+# ---------------------------------------------------------------------------
+
+
+def _dv_store(spark, scratch):
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        upsert_observations_versioned,
+    )
+
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [
+            ("a", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1),
+            ("b", "2024-01-01 01:00:00", 2.0, "2024-01-01 01:00:00", 2),
+            ("c", "2024-01-02 00:00:00", 3.0, "2024-01-02 01:00:00", 3),
+            ("b", "2024-01-02 02:00:00", 4.0, "2024-01-02 01:00:00", 4),
+        ]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+
+
+def test_mor_delete_rewrites_nothing_and_reads_exact(spark, scratch):
+    """A merge-on-read DELETE commits the identical logical result as
+    copy-on-write while touching ZERO data files: the partition map is
+    unchanged, a ``dv`` ref map appears, readers subtract the vectors,
+    a version pinned before the delete still sees the rows, and a
+    second delete applies the first's vectors before matching."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned,
+        read_manifest,
+        read_observations_versioned,
+    )
+
+    _dv_store(spark, scratch)
+    m1 = read_manifest(scratch)
+    m2 = delete_versioned(
+        spark, scratch, F.col("series_id") == "b", mode="merge-on-read"
+    )
+    assert m2["version"] == m1["version"] + 1
+    assert m2["partitions"] == m1["partitions"]  # zero data-file churn
+    assert set(m2["dv"]) == {"2024-01-01", "2024-01-02"}
+    got = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    )
+    assert got == [("a", 1.0), ("c", 3.0)]
+    # Pinned pre-delete snapshot reads the rows as before.
+    assert read_observations_versioned(
+        spark, scratch, version=m1["version"]
+    ).count() == 4
+    # Filtered reads subtract too (the DV join rides on the scan).
+    assert read_observations_versioned(
+        spark, scratch, series_ids="b"
+    ).count() == 0
+    # Second MOR delete: prior vectors apply before matching, refs
+    # APPEND per date.
+    m3 = delete_versioned(
+        spark, scratch, F.col("series_id") == "c", mode="merge-on-read"
+    )
+    assert len(m3["dv"]["2024-01-02"]) == 2
+    got = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    )
+    assert got == [("a", 1.0)]
+    # No-match delete publishes nothing.
+    m4 = delete_versioned(
+        spark, scratch, F.col("series_id") == "zzz", mode="merge-on-read"
+    )
+    assert m4["version"] == m3["version"]
+    # Null-predicate rows are KEPT (three-valued logic).
+    m5 = delete_versioned(
+        spark, scratch, F.col("value") > F.lit(None).cast("double"),
+        mode="merge-on-read",
+    )
+    assert m5["version"] == m3["version"]
+    # Unknown mode is refused.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        delete_versioned(spark, scratch, F.lit(True), mode="in-place")
+
+
+def test_mor_delete_refs_drop_on_rewrite_without_resurrection(spark, scratch):
+    """The rewrite lifecycle: an upsert over a DV-bearing date applies
+    the vectors during its merge read (deleted rows must NOT
+    resurrect) and the publish drops that date's refs with the changed
+    directory; untouched dates carry theirs."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    _dv_store(spark, scratch)
+    delete_versioned(
+        spark, scratch, F.col("series_id") == "b", mode="merge-on-read"
+    )
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [
+            ("d", "2024-01-01 05:00:00", 9.0, "2024-01-03 01:00:00", 9),
+        ]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    m = read_manifest(scratch)
+    assert "2024-01-01" not in (m.get("dv") or {})   # rewritten: dropped
+    assert "2024-01-02" in (m.get("dv") or {})       # untouched: carried
+    got = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    )
+    assert got == [("a", 1.0), ("c", 3.0), ("d", 9.0)]
+
+
+def test_mor_delete_compaction_materializes_and_vacuum_reclaims(
+    spark, scratch
+):
+    """Compaction is the materialization point: DV-bearing partitions
+    rewrite regardless of file count, the vectors apply, refs clear,
+    a fully-deleted date vanishes like a copy-on-write delete would
+    end it, pinned pre-compaction versions still subtract, and vacuum
+    reclaims unreferenced dv tag dirs while keeping referenced ones."""
+    import os as _os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned,
+        compact_versioned,
+        read_observations_versioned,
+        vacuum,
+    )
+
+    _dv_store(spark, scratch)
+    delete_versioned(
+        spark, scratch, F.col("series_id") == "b", mode="merge-on-read"
+    )
+    delete_versioned(
+        spark, scratch, F.col("series_id") == "c", mode="merge-on-read"
+    )
+    m = compact_versioned(spark, scratch, target_bytes=1024 * 1024)
+    assert not (m.get("dv") or {})
+    # Every 2024-01-02 row was deleted: the date is gone.
+    assert "2024-01-02" not in m["partitions"]
+    got = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    )
+    assert got == [("a", 1.0)]
+    # Pinned pre-compaction version still subtracts its vectors.
+    pre = read_observations_versioned(spark, scratch, version=m["version"] - 1)
+    assert sorted((r.series_id, r.value) for r in pre.collect()) == [("a", 1.0)]
+    # Compacted reads are PLAIN scans again: no anti-join in the plan.
+    plan = read_observations_versioned(
+        spark, scratch
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+    # Vacuum: collapsing retention reclaims the now-unreferenced dv
+    # tag dirs; with the DV snapshot retained they survive.
+    gone = vacuum(scratch, retain_last_n=1, min_age_seconds=0)
+    assert any(g.startswith("dv/") for g in gone)
+    dvdir = _os.path.join(scratch, "dv")
+    assert not (_os.path.isdir(dvdir) and _os.listdir(dvdir))
+    assert read_observations_versioned(spark, scratch).count() == 1
+
+
+def test_mor_delete_changelog_emits_removals(spark, scratch):
+    """A MOR delete changes no directories, so the changelog keys
+    churn on the dv map too: the deleted rows appear as removals,
+    each side subtracting its own snapshot's vectors."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        changelog_versioned,
+        delete_versioned,
+        read_manifest,
+    )
+
+    _dv_store(spark, scratch)
+    v1 = read_manifest(scratch)["version"]
+    delete_versioned(
+        spark, scratch, F.col("series_id") == "b", mode="merge-on-read"
+    )
+    cl = changelog_versioned(spark, scratch, v1, v1 + 1).collect()
+    assert sorted((r.series_id, r.change_type) for r in cl) == [
+        ("b", "delete"), ("b", "delete"),
+    ]
+
+
+def test_mor_delete_plan_broadcasts_dv_and_plain_without(spark, scratch):
+    """Plan pins: a DV-bearing read subtracts via a BROADCAST anti-
+    join on the scan (the vector side is deleted-rows-sized — the
+    scan must never shuffle for it); a store without vectors plans
+    the identical plain scan as before (zero regression)."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned,
+        read_observations_versioned,
+    )
+
+    _dv_store(spark, scratch)
+    plain = read_observations_versioned(
+        spark, scratch
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plain
+    delete_versioned(
+        spark, scratch, F.col("series_id") == "b", mode="merge-on-read"
+    )
+    df = read_observations_versioned(spark, scratch)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
