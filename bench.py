@@ -259,6 +259,11 @@ SCALE_PROBE_QUERIES = (
     # the commit should scale with the MATCHED rows while the read
     # stays scan-bound with a broadcast anti-join on top.
     "silver_versioned_delete_vectors",
+    # equality delete (registered round 14): upsert + a METADATA-ONLY
+    # key-erasure commit + a read whose subtraction is a compiled
+    # Catalyst filter — the whole query should scale exactly like the
+    # upsert that feeds it (the delete itself is constant-time).
+    "silver_versioned_delete_by_key",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

@@ -240,6 +240,8 @@ def publish_version(
     stats: dict | None = None,
     file_stats: dict | None = None,
     dv: dict | None = None,
+    dv_eq: dict | None = None,
+    dv_eq_sets: dict | None = None,
 ) -> dict:
     """The commit protocol, isolated from the merge: fence-read +
     atomic publish under ONE exclusive flock. A writer that merged
@@ -330,6 +332,22 @@ def publish_version(
         stats = _resolve(stats, prev_stats.get)
         prev_dv = (now or {}).get("dv", {})
         dv = _resolve(dv, prev_dv.get)
+        prev_dv_eq = (now or {}).get("dv_eq", {})
+        dv_eq = _resolve(dv_eq, prev_dv_eq.get)
+        # Key sets live beside the refs and are pruned WITH them: a
+        # set survives exactly while some date still references its
+        # tag (a rewrite that dropped the last ref drops the keys).
+        merged_sets = {
+            **((now or {}).get("dv_eq_sets") or {}),
+            **(dv_eq_sets or {}),
+        }
+        referenced = {t for tags in dv_eq.values() for t in tags}
+        missing = referenced - set(merged_sets)
+        if missing:
+            raise ValueError(
+                f"equality-delete refs without key sets: {sorted(missing)}"
+            )
+        dv_eq_sets = {t: merged_sets[t] for t in sorted(referenced)}
         fs_shards = _shard_out_file_stats(
             root, now, version, partitions, prev_parts, file_stats
         )
@@ -340,6 +358,9 @@ def publish_version(
             manifest["stats"] = stats
         if dv:
             manifest["dv"] = dv
+        if dv_eq:
+            manifest["dv_eq"] = dv_eq
+            manifest["dv_eq_sets"] = dv_eq_sets
         if fs_shards:
             manifest["fs_shards"] = fs_shards
         _commit_manifest(root, manifest)
@@ -796,6 +817,7 @@ def upsert_observations_versioned(
                 _apply_dv(
                     spark, root, reader.parquet(*old_paths),
                     _dv_rels(current, affected),
+                    _eq_delete_condition(current, affected),
                 )
                 .withColumn("__prio", F.lit(0))
             )
@@ -900,18 +922,69 @@ def upsert_with_retry(
     raise AssertionError("unreachable")  # pragma: no cover
 
 
-def _dv_rels(m: dict | None, dates=None) -> list[str]:
+def _dv_rels(m: dict | None, dates=None, kind: str = "dv") -> list[str]:
     """Flatten a manifest's deletion-vector refs — all dates, or just
     the given ones (a pruned read loads only the surviving dates'
     vectors, the same metadata-proportionality rule as the stats
-    shards)."""
-    dvm = (m or {}).get("dv") or {}
+    shards). ``kind`` selects the grain: ``"dv"`` positional vectors,
+    ``"dv_eq"`` equality vectors."""
+    dvm = (m or {}).get(kind) or {}
     keys = dvm.keys() if dates is None else (d for d in dates if d in dvm)
     return [rel for d in sorted(keys) for rel in dvm[d]]
 
 
+def _eq_delete_condition(m: dict | None, dates=None):
+    """Compile a snapshot's equality deletes (``dv_eq`` refs +
+    ``dv_eq_sets`` key lists, both manifest-resident — a key delete
+    is a METADATA-ONLY commit) into one Catalyst condition that is
+    TRUE exactly for deleted rows: OR over tags of (partition date IN
+    the tag's referencing dates AND series_id IN the tag's keys).
+    Equality refs are DATE-SCOPED — a tag referenced by one date must
+    not subtract the same key from another date a later re-insert
+    rewrote — which is why this is a (date, key) condition, never a
+    bare key anti-join. Returns None when no surviving date carries a
+    ref (zero plan change). A ref naming a missing key set is a
+    corrupt manifest and raises — failing open would silently
+    resurrect deleted rows."""
+    refs = (m or {}).get("dv_eq") or {}
+    sets = (m or {}).get("dv_eq_sets") or {}
+    keys = refs.keys() if dates is None else (d for d in dates if d in refs)
+    tag_dates: dict[str, list[str]] = {}
+    for d in keys:
+        for tag in refs[d]:
+            tag_dates.setdefault(tag, []).append(d)
+    if not tag_dates:
+        return None
+    pdate = F.coalesce(
+        F.col(PARTITION_COL).cast("string"), F.lit(_NULL_PART)
+    )
+    cond = None
+    for tag, ds in sorted(tag_dates.items()):
+        if tag not in sets:
+            raise ValueError(
+                f"corrupt manifest: equality-delete ref {tag!r} has no "
+                "key set (dv_eq_sets)"
+            )
+        c = pdate.isin(sorted(ds)) & F.col("series_id").isin(sets[tag])
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def _dv_dates_differ(a: dict | None, b: dict | None, d: str) -> bool:
+    """Does date ``d`` carry different delete state in two manifests
+    (either vector kind)? The changelog's churn test."""
+    for kind in ("dv", "dv_eq"):
+        if ((a or {}).get(kind) or {}).get(d) != ((b or {}).get(kind) or {}).get(d):
+            return True
+    return False
+
+
 def _apply_dv(
-    spark: SparkSession, root: str, df: DataFrame, rels: list[str]
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    rels: list[str],
+    eq_cond=None,
 ) -> DataFrame:
     """Subtract deletion vectors from a parquet scan: tag every row
     with its physical identity (file suffix + row position from the
@@ -920,19 +993,34 @@ def _apply_dv(
     Catalyst broadcasts it and the subtraction never shuffles the
     scan. No refs = the scan untouched (zero plan change; pinned in
     tests). Must be applied DIRECTLY on the scan DataFrame —
-    ``_metadata`` is only resolvable against a file source."""
-    if not rels:
-        return df
-    dv = spark.read.parquet(*[os.path.join(root, r) for r in sorted(set(rels))])
-    tagged = df.withColumn(
-        "__dv_file",
-        F.substring_index(F.col("_metadata.file_path"), "/", -_DV_SUFFIX_PARTS),
-    ).withColumn("__dv_pos", F.col("_metadata.row_index"))
-    return tagged.join(
-        F.broadcast(dv.select("__dv_file", "__dv_pos")),
-        ["__dv_file", "__dv_pos"],
-        "left_anti",
-    ).drop("__dv_file", "__dv_pos")
+    ``_metadata`` is only resolvable against a file source.
+
+    ``eq_cond`` is the compiled EQUALITY-delete condition
+    (:func:`_eq_delete_condition` — Iceberg's second delete-file
+    kind): rows matching it are subtracted with a plain Catalyst
+    FILTER — no join at all, and the predicate pushes toward the
+    scan like any other."""
+    if rels:
+        dv = spark.read.parquet(
+            *[os.path.join(root, r) for r in sorted(set(rels))]
+        )
+        tagged = df.withColumn(
+            "__dv_file",
+            F.substring_index(
+                F.col("_metadata.file_path"), "/", -_DV_SUFFIX_PARTS
+            ),
+        ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+        df = tagged.join(
+            F.broadcast(dv.select("__dv_file", "__dv_pos")),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        ).drop("__dv_file", "__dv_pos")
+    if eq_cond is not None:
+        # Keep a row unless the condition is TRUE — a NULL evaluation
+        # (null series_id) keeps the row, SQL DELETE's three-valued
+        # logic.
+        df = df.filter(~F.coalesce(eq_cond, F.lit(False)))
+    return df
 
 
 def read_observations_versioned(
@@ -1077,7 +1165,12 @@ def read_observations_versioned(
     # proportion to what it scans. Rows a DV names are invisible to
     # every reader of this snapshot; a pinned pre-delete version has
     # no ``dv`` entry and reads them as before.
-    df = _apply_dv(spark, root, df, _dv_rels(m, {d for d, _ in items}))
+    surviving = {d for d, _ in items}
+    df = _apply_dv(
+        spark, root, df,
+        _dv_rels(m, surviving),
+        _eq_delete_condition(m, surviving),
+    )
     out = df
     if start is not None:
         out = out.filter(F.col("observation_time") >= start)
@@ -1134,7 +1227,10 @@ def compact_versioned(
         raise FileNotFoundError(f"no committed snapshot under {root}")
     fragmented = {}
     n_out = {}
-    dv_map = current.get("dv") or {}
+    dv_map = {
+        **(current.get("dv") or {}),
+        **(current.get("dv_eq") or {}),
+    }
     for d, rel in current["partitions"].items():
         pdir = os.path.join(root, rel)
         try:
@@ -1171,6 +1267,7 @@ def compact_versioned(
             *[os.path.join(root, rel) for rel in fragmented.values()]
         ),
         _dv_rels(current, sorted(fragmented)),
+        _eq_delete_condition(current, sorted(fragmented)),
     )
     # PARTITION_COL rides in the data files (the physical dirs key on
     # the shadow column), so the partition identity reconstructs from
@@ -1317,6 +1414,7 @@ def delete_versioned(
         _apply_dv(
             spark, root, reader.parquet(*paths),
             _dv_rels(current, sorted(hit_dates)),
+            _eq_delete_condition(current, sorted(hit_dates)),
         )
         .filter(~pred)
         .withColumn(_PDATE, F.col(PARTITION_COL).cast("string"))
@@ -1411,6 +1509,9 @@ def _delete_versioned_mor(spark: SparkSession, root: str, predicate) -> dict:
             ["__dv_file", "__dv_pos"],
             "left_anti",
         )
+    prior_eq = _eq_delete_condition(current)
+    if prior_eq is not None:
+        tagged = tagged.filter(~F.coalesce(prior_eq, F.lit(False)))
     hits = (
         tagged.filter(pred)
         .select(
@@ -1447,6 +1548,82 @@ def _delete_versioned_mor(spark: SparkSession, root: str, predicate) -> dict:
     )
 
 
+def delete_versioned_by_key(
+    spark: SparkSession, root: str, series_ids
+) -> dict:
+    """EQUALITY delete (Iceberg's second delete-file kind): delete
+    every row of the given series with a METADATA-ONLY commit — zero
+    data reads, zero data writes, zero new files. Where a positional
+    delete (:func:`_delete_versioned_mor`) must scan to find matched
+    row positions, a key delete already knows its predicate is
+    ``series_id IN (...)``, so the commit only decides WHICH
+    partitions need a reference — and the manifest's own inline
+    per-partition stats answer that without touching data: a
+    partition whose recorded [min, max] range excludes every key, or
+    whose distinct-key fingerprint says none is present, is not
+    referenced at all. The round's two features compose: fingerprints
+    bound the delete's blast radius exactly as they bound a point
+    lookup's.
+
+    The key list itself lives IN the manifest (``dv_eq_sets``, one
+    entry per delete commit, referenced per date by ``dv_eq`` under
+    the standard carry rule) — deliberately: key deletes are
+    handfuls of series (GDPR erasure, a decommissioned sensor), and
+    a metadata-resident set means readers compile the subtraction
+    into a plain Catalyst FILTER with no extra IO and no join.
+    Readers keep a row unless (its date references the tag AND its
+    series is in the set) — date-scoped, so RE-INSERTING a deleted
+    series works: the upsert's rewrite drops the rewritten date's
+    refs and the new rows read back, while untouched dates stay
+    deleted. Rewrites materialize (upsert / compaction / copy-on-
+    write delete apply the condition during their reads), pinned
+    pre-delete versions read unchanged, and a delete whose keys no
+    partition can hold publishes nothing. At 100 TB this is erasure
+    by key as a constant-time commit."""
+    wanted = [series_ids] if isinstance(series_ids, str) else list(series_ids)
+    if not wanted or not all(isinstance(s, str) for s in wanted):
+        raise ValueError("series_ids must be one or more strings")
+    if len(wanted) > 10_000:
+        raise ValueError(
+            "equality deletes are for bounded key lists (<= 10000 "
+            "keys; manifest-resident by design) — use "
+            "delete_versioned(mode='merge-on-read') for broad "
+            "predicate deletes"
+        )
+    current = read_manifest(root, with_stats=False)
+    if current is None or not current["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+
+    def _could_hold(st: dict) -> bool:
+        b = st.get("series_id")
+        if b is not None and not any(b[0] <= s <= b[1] for s in wanted):
+            return False
+        fp = st.get(FP_KEY)
+        if fp is not None and not any(
+            fp_might_contain(fp, s) for s in wanted
+        ):
+            return False
+        return True
+
+    all_stats = current.get("stats", {})
+    affected = sorted(
+        d
+        for d in current["partitions"]
+        if _could_hold(all_stats.get(d, {}))
+    )
+    if not affected:
+        return current
+    version = current["version"] + 1
+    tag = f"eq-v{version}-{uuid.uuid4().hex[:8]}"
+    prev_eq = current.get("dv_eq") or {}
+    eq_delta = {d: prev_eq.get(d, []) + [tag] for d in affected}
+    return publish_version(
+        root, version, dict(current["partitions"]), schema=None,
+        stats=None, file_stats=None, dv=None, dv_eq=eq_delta,
+        dv_eq_sets={tag: sorted(set(wanted))},
+    )
+
+
 def _churned_sides(
     spark: SparkSession, root: str, from_version: int, to_version: int | None
 ) -> tuple[DataFrame, DataFrame]:
@@ -1472,11 +1649,10 @@ def _churned_sides(
     # deletion-vector refs differ (round 14): a merge-on-read DELETE
     # changes no directory, only the ``dv`` map — keying churn on
     # dirs alone would make the changelog silently skip it.
-    dvo, dvn = old_m.get("dv") or {}, new_m.get("dv") or {}
     churned = sorted(
         d
         for d in set(po) | set(pn)
-        if po.get(d) != pn.get(d) or dvo.get(d) != dvn.get(d)
+        if po.get(d) != pn.get(d) or _dv_dates_differ(old_m, new_m, d)
     )
 
     def _side(m: dict) -> DataFrame:
@@ -1490,9 +1666,11 @@ def _churned_sides(
         if paths:
             # Each side subtracts its OWN snapshot's vectors, so a
             # MOR-deleted row shows on the old side only — a removal.
+            side_dates = [d for d in churned if d in parts]
             return _apply_dv(
                 spark, root, reader.parquet(*paths),
-                _dv_rels(m, [d for d in churned if d in parts]),
+                _dv_rels(m, side_dates),
+                _eq_delete_condition(m, side_dates),
             )
         anchor = next(iter((pn or po).values()))
         return reader.parquet(os.path.join(root, anchor)).limit(0)

@@ -92,6 +92,12 @@ def _load_all() -> None:
 #     manifest; the Parquet/Iceberg bloom analog). Fills the last
 #     slot in place of the r10 filler ann_lsh_signed, which rotates
 #     next round as the stalest row.
+# Registered this round but OUT of the window (50 slots, all spoken
+# for): silver_versioned_delete_by_key (equality deletes — the
+# metadata-only key-erasure commit). It is the DESIGNATED first
+# must-prove row for the r15 window, same precedent as
+# silver_versioned_file_prune in r13->r14; its oracle is exact and
+# the builder-side parity gate covers it meanwhile.
 # After this window runs, the union staleness ceiling moves to r10.
 # Rotating OUT: the r13 greens (re-proven last round) and the 4
 # rows-only approximations (refreshed r13; exact twins ann_ivf /

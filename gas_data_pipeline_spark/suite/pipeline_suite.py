@@ -947,6 +947,64 @@ def silver_versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "silver_versioned_delete_by_key",
+    oracle="""
+        SELECT series_id, observation_time, value
+        FROM (
+            SELECT 'EQ_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1 AND series_id NOT IN ('EQ_3', 'EQ_8')
+    """,
+)
+def silver_versioned_delete_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality delete — key erasure as a METADATA-ONLY commit (round
+    14, Iceberg's second delete-file kind, pipeline/versioned.py:
+    delete_versioned_by_key): the commit reads no data and writes no
+    files — the key list lands in the manifest (`dv_eq_sets`),
+    per-date refs land under the standard carry rule, and the
+    manifest's inline stats + distinct-key fingerprints decide which
+    partitions are referenced at all (a partition whose recorded key
+    set excludes every key carries no ref — this round's fingerprint
+    and delete features composing). Readers compile the subtraction
+    into a plain Catalyst filter: no join, no extra IO, date-scoped
+    so a later re-insert of an erased series reads back correctly
+    (pinned in tests/test_pipeline.py). At 100 TB this is GDPR
+    erasure by key as a constant-time commit; the next rewrite of
+    each date (upsert/compaction) materializes it."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned_by_key,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+    page = e.select(
+        F.concat(F.lit("EQ_"), F.col("user_id").cast("string")).alias(
+            "series_id"
+        ),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+    upsert_observations_versioned(
+        spark, page, root, order_cols=["ingestion_time", "event_id"]
+    )
+    delete_versioned_by_key(spark, root, ["EQ_3", "EQ_8"])
+    return read_observations_versioned(spark, root).select(
+        "series_id", "observation_time", "value"
+    )
+
+
+@register(
     "silver_versioned_time_prune",
     oracle="""
         WITH page AS (

@@ -3830,3 +3830,158 @@ def test_mor_delete_plan_broadcasts_dv_and_plain_without(spark, scratch):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round 14: equality deletes (metadata-only key erasure)
+# ---------------------------------------------------------------------------
+
+
+def test_eq_delete_metadata_only_commit_and_read(spark, scratch):
+    """delete_versioned_by_key commits with ZERO data IO: unchanged
+    partition map, no files under <root>/dv, the key list resident in
+    the manifest, readers compile the subtraction into a plain filter
+    (no join in the plan), and the manifest's stats/fingerprints
+    bound which partitions are referenced at all."""
+    import os as _os
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned_by_key,
+        read_manifest,
+        read_observations_versioned,
+    )
+
+    _dv_store(spark, scratch)
+    m1 = read_manifest(scratch)
+    m2 = delete_versioned_by_key(spark, scratch, "b")
+    assert m2["partitions"] == m1["partitions"]
+    assert not _os.path.isdir(_os.path.join(scratch, "dv"))
+    assert set(m2["dv_eq"]) == {"2024-01-01", "2024-01-02"}
+    (tag,) = m2["dv_eq"]["2024-01-01"]
+    assert m2["dv_eq_sets"][tag] == ["b"]
+    df = read_observations_versioned(spark, scratch)
+    got = sorted((r.series_id, r.value) for r in df.collect())
+    assert got == [("a", 1.0), ("c", 3.0)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # pure Catalyst filter, no DV join
+    # Pinned pre-delete snapshot reads unchanged.
+    assert read_observations_versioned(
+        spark, scratch, version=m1["version"]
+    ).count() == 4
+    # Keys no partition can hold (stats/fingerprint-excluded):
+    # publishes NOTHING — the blast radius is stats-bounded.
+    m3 = delete_versioned_by_key(spark, scratch, "zzz_not_there")
+    assert m3["version"] == m2["version"]
+    # 'c' exists only on 2024-01-02: the fingerprint keeps date 1
+    # out of the new tag's refs.
+    m4 = delete_versioned_by_key(spark, scratch, ["c"])
+    assert len(m4["dv_eq"]["2024-01-02"]) == 2
+    assert len(m4["dv_eq"]["2024-01-01"]) == 1
+    assert sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    ) == [("a", 1.0)]
+    # Guard rails.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        delete_versioned_by_key(spark, scratch, [])
+    with _pytest.raises(ValueError):
+        delete_versioned_by_key(spark, scratch, ["x"] * 10_001)
+
+
+def test_eq_delete_is_date_scoped_reinsert_and_materialize(spark, scratch):
+    """The regression the design is built around: equality refs are
+    DATE-scoped. Re-inserting a deleted series rewrites one date —
+    that date's refs (and, once unreferenced, the key set) drop and
+    the new rows read back, while the untouched date stays deleted.
+    Compaction materializes the rest; the changelog emits removals
+    for the delete commit."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        changelog_versioned,
+        compact_versioned,
+        delete_versioned_by_key,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    _dv_store(spark, scratch)
+    v1 = read_manifest(scratch)["version"]
+    delete_versioned_by_key(spark, scratch, "b")
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [
+            ("b", "2024-01-01 09:00:00", 7.0, "2024-01-05 01:00:00", 9),
+        ]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    m = read_manifest(scratch)
+    assert "2024-01-01" not in (m.get("dv_eq") or {})
+    assert "2024-01-02" in (m.get("dv_eq") or {})
+    got = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    )
+    # date 1's new b row lives; date 2's old b row stays deleted.
+    assert got == [("a", 1.0), ("b", 7.0), ("c", 3.0)]
+    cl = changelog_versioned(spark, scratch, v1, v1 + 1).collect()
+    assert sorted((r.series_id, r.change_type) for r in cl) == [
+        ("b", "delete"), ("b", "delete"),
+    ]
+    m2 = compact_versioned(spark, scratch, target_bytes=1024 * 1024)
+    assert not (m2.get("dv_eq") or {})
+    assert not (m2.get("dv_eq_sets") or {})
+    got2 = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    )
+    assert got2 == got
+
+
+def test_eq_delete_composes_with_positional_vectors(spark, scratch):
+    """Both delete-file kinds stack: an equality delete followed by a
+    positional merge-on-read delete — the positional scan applies the
+    equality condition first (an erased row is never named in a
+    vector), reads subtract both, and an upsert's rewrite clears both
+    kinds for the rewritten date."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned,
+        delete_versioned_by_key,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    _dv_store(spark, scratch)
+    delete_versioned_by_key(spark, scratch, "b")
+    delete_versioned(
+        spark, scratch, F.col("value") >= 3.0, mode="merge-on-read"
+    )
+    got = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    )
+    assert got == [("a", 1.0)]
+    m = read_manifest(scratch)
+    # The positional vector names only the c row (value 3.0): b's
+    # rows were already equality-deleted, so date 1 (a=1.0, b erased)
+    # has nothing to name.
+    assert set(m["dv"]) == {"2024-01-02"}
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [
+            ("d", "2024-01-02 06:00:00", 8.0, "2024-01-06 01:00:00", 11),
+        ]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+    )
+    m2 = read_manifest(scratch)
+    assert "2024-01-02" not in (m2.get("dv") or {})
+    assert "2024-01-02" not in (m2.get("dv_eq") or {})
+    got = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    )
+    assert got == [("a", 1.0), ("d", 8.0)]
