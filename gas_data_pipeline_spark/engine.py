@@ -453,15 +453,33 @@ class GasDataEngine:
             self.spark, self.obs_path, from_version, to_version
         )
 
-    def delete_observations(self, predicate: Column) -> dict:
-        """Row-level DELETE as a commit (copy-on-write; NULL-evaluating
-        predicates keep their rows). Returns the committed manifest."""
+    def delete_observations(
+        self, predicate: Column, mode: str = "copy-on-write"
+    ) -> dict:
+        """Row-level DELETE as a commit (NULL-evaluating predicates
+        keep their rows). ``mode="merge-on-read"`` (round 14) commits
+        the same logical delete as a deleted-rows-sized deletion
+        vector instead of a partition rewrite — the small-delete path
+        on a large table. Returns the committed manifest."""
         self._require_atomic("delete_observations")
         from gas_data_pipeline_spark.pipeline.versioned import (
             delete_versioned,
         )
 
-        return delete_versioned(self.spark, self.obs_path, predicate)
+        return delete_versioned(self.spark, self.obs_path, predicate, mode=mode)
+
+    def erase_series(self, series_ids) -> dict:
+        """GDPR-style erasure by key: delete every row of the given
+        series as a METADATA-ONLY commit (round 14 — zero data reads
+        or writes; the manifest's stats and key fingerprints bound
+        which partitions are even referenced). The next rewrite of
+        each date materializes it. Returns the committed manifest."""
+        self._require_atomic("erase_series")
+        from gas_data_pipeline_spark.pipeline.versioned import (
+            delete_versioned_by_key,
+        )
+
+        return delete_versioned_by_key(self.spark, self.obs_path, series_ids)
 
     def compact_silver(
         self,

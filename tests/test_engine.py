@@ -601,3 +601,48 @@ def test_engine_table_maintenance_surface(spark):
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root + "_plain", ignore_errors=True)
+
+
+def test_engine_mor_delete_and_erase_series(spark):
+    """Round 14: both small-delete paths ride the engine facade —
+    delete_observations(mode="merge-on-read") commits a positional
+    vector without rewriting data, erase_series commits a
+    metadata-only key erasure — and the plain (manifest-less) path
+    refuses both."""
+    import tempfile
+
+    from gas_data_pipeline_spark.engine import GasDataEngine
+
+    root = tempfile.mkdtemp(prefix="gas_mor_")
+    try:
+        eng = GasDataEngine(spark, root)
+        eng.ingest_batch(
+            _wide_batch(spark), "GAS_QUALITY", "national_gas",
+            ["site_id"], "observed_at",
+        )
+        n1 = eng._read_obs().count()
+        series = [r.series_id for r in eng._read_obs().select("series_id").distinct().collect()]
+        victim = sorted(series)[0]
+        m = eng.delete_observations(
+            F.col("series_id") == victim, mode="merge-on-read"
+        )
+        assert m["partitions"]  # committed
+        assert (m.get("dv") or {})  # positional vectors present
+        n2 = eng._read_obs().count()
+        assert n2 < n1
+        assert eng.read_observations_at(1).count() == n1
+        victim2 = sorted(series)[1]
+        m2 = eng.erase_series(victim2)
+        assert (m2.get("dv_eq") or {})
+        assert eng._read_obs().count() < n2
+        assert eng.get_data(series_id=victim2).count() == 0
+        import pytest as _pytest
+
+        plain = GasDataEngine(spark, root + "_plain", atomic_silver=False)
+        with _pytest.raises(ValueError, match="versioned store"):
+            plain.erase_series("x")
+        with _pytest.raises(ValueError, match="versioned store"):
+            plain.delete_observations(F.lit(True), mode="merge-on-read")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root + "_plain", ignore_errors=True)

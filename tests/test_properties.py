@@ -612,3 +612,57 @@ def test_event_day_streaks_tolerates_all_null_ts_users(spark, tmp_path):
     got = event_day_streaks(spark, str(tmp_path)).collect()
     assert {r.user_id for r in got} == {200}
     assert got[0].streak_days == 2
+
+
+# ---------------------------------------------------------------------------
+# round 14: key-fingerprint invariants (pure kernel, no Spark)
+# ---------------------------------------------------------------------------
+
+KEYS_ST = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=0,
+    max_size=200,
+)
+
+
+@given(keys=KEYS_ST)
+@settings(max_examples=60, deadline=None)
+def test_fp_never_false_negative(keys):
+    """The load-bearing fingerprint invariant: EVERY inserted key
+    tests positive in whichever form fp_from_values chose — a false
+    negative would silently prune a file that holds matching rows
+    (data loss); false positives merely keep a file."""
+    from gas_data_pipeline_spark.pipeline import _stats_kernel as k
+
+    fp = k.fp_from_values(keys)
+    if fp is None:
+        return
+    for key in keys:
+        assert k.fp_might_contain(fp, key)
+
+
+@given(a=KEYS_ST, b=KEYS_ST, c=KEYS_ST)
+@settings(max_examples=40, deadline=None)
+def test_fp_merge_commutes_and_preserves_membership(a, b, c):
+    """Merging is commutative at the membership level and NEVER loses
+    a member: the partition-grain rollup must answer 'might contain'
+    for every key any merged file held, regardless of merge order or
+    which side crossed the set->bloom boundary first."""
+    from gas_data_pipeline_spark.pipeline import _stats_kernel as k
+
+    fa, fb, fc = (k.fp_from_values(x) for x in (a, b, c))
+    ab, ba = k.fp_merge(fa, fb), k.fp_merge(fb, fa)
+    # Commutative at membership grain (bit-identical for blooms,
+    # list-identical for sets).
+    assert ab == ba
+    left = k.fp_merge(ab, fc)
+    right = k.fp_merge(fa, k.fp_merge(fb, fc))
+    for key in (*a, *b, *c):
+        if left is not None:
+            assert k.fp_might_contain(left, key)
+        if right is not None:
+            assert k.fp_might_contain(right, key)
