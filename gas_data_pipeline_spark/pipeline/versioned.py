@@ -648,7 +648,10 @@ def _partition_stats(pdir: str) -> dict:
 
 
 def _collect_stats(
-    spark: SparkSession, pdirs: dict[str, str], local_max: int | None = None
+    spark: SparkSession,
+    pdirs: dict[str, str],
+    local_max: int | None = None,
+    fingerprints: bool = True,
 ) -> tuple[dict, dict]:
     """Footer stats for MANY partitions in ONE parallelized job
     (VERDICT r12 #3): the commit path used to read every affected part
@@ -699,7 +702,10 @@ def _collect_stats(
         # while wide commits (backfills, compactions of many dates)
         # still fan out. Same kernel either path, so values cannot
         # differ (both paths pinned by the equality test).
-        rows = [(d, fn, _file_stats(path)) for d, fn, path in pairs]
+        rows = [
+            (d, fn, _file_stats(path, fingerprints=fingerprints))
+            for d, fn, path in pairs
+        ]
     else:
         # The map closure must ship BY VALUE: cloudpickle's default
         # serializes a module-level function as a (module, qualname)
@@ -724,7 +730,7 @@ def _collect_stats(
         n = max(1, min(len(pairs), int(sc.defaultParallelism)))
         rows = (
             sc.parallelize(pairs, n)
-            .map(lambda t: (t[0], t[1], kernel(t[2])))
+            .map(lambda t: (t[0], t[1], kernel(t[2], fingerprints)))
             .collect()
         )
     per_file: dict = {}
@@ -753,6 +759,7 @@ def upsert_observations_versioned(
     root: str,
     order_cols: list[str] | None = None,
     stats_local_max: int | None = None,
+    key_fingerprints: bool = True,
 ) -> dict:
     """SNK2 with an atomic commit: same idempotent last-write-wins
     semantics as :func:`silver.upsert_observations`, published as a
@@ -857,7 +864,8 @@ def upsert_observations_versioned(
         # structural sharing keeps the untouched partitions' stats
         # as-is, exactly like their directory entries.
         new_stats, new_fstats = _collect_stats(
-            spark, written, local_max=stats_local_max
+            spark, written, local_max=stats_local_max,
+            fingerprints=key_fingerprints,
         )
         for d in affected:
             if d in written:
@@ -900,6 +908,7 @@ def upsert_with_retry(
     order_cols: list[str] | None = None,
     max_attempts: int = 3,
     stats_local_max: int | None = None,
+    key_fingerprints: bool = True,
 ) -> dict:
     """The Iceberg client loop around the fence: a writer refused at
     publish re-reads the NEW snapshot and re-merges the same batch
@@ -915,6 +924,7 @@ def upsert_with_retry(
             return upsert_observations_versioned(
                 spark, batch, root, order_cols,
                 stats_local_max=stats_local_max,
+                key_fingerprints=key_fingerprints,
             )
         except ConcurrentCommitError:
             if attempt == max_attempts - 1:
@@ -1191,6 +1201,7 @@ def compact_versioned(
     sort_within: bool = True,
     target_bytes: int = 128 * 1024 * 1024,
     stats_local_max: int | None = None,
+    key_fingerprints: bool = True,
 ) -> dict:
     """Layout-only commit (Iceberg's ``rewrite_data_files``): rewrite
     every partition whose directory holds >= ``min_files`` part files
@@ -1307,7 +1318,8 @@ def compact_versioned(
         if os.path.isdir(os.path.join(root, f"{vtag}/{_PDATE}={d}"))
     }
     new_stats, new_fstats = _collect_stats(
-        spark, written, local_max=stats_local_max
+        spark, written, local_max=stats_local_max,
+        fingerprints=key_fingerprints,
     )
     for d in written:
         partitions[d] = f"{vtag}/{_PDATE}={d}"
@@ -1345,6 +1357,7 @@ def delete_versioned(
     predicate,
     stats_local_max: int | None = None,
     mode: str = "copy-on-write",
+    key_fingerprints: bool = True,
 ) -> dict:
     """Row-level DELETE as a commit (Delta/Iceberg copy-on-write
     DELETE): partitions containing matches rewrite WITHOUT the matched
@@ -1431,7 +1444,8 @@ def delete_versioned(
         if os.path.isdir(os.path.join(root, f"{vtag}/{_PDATE}={d}"))
     }
     new_stats, new_fstats = _collect_stats(
-        spark, written, local_max=stats_local_max
+        spark, written, local_max=stats_local_max,
+        fingerprints=key_fingerprints,
     )
     for d in sorted(hit_dates):
         if d in written:

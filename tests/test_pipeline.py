@@ -3985,3 +3985,46 @@ def test_eq_delete_composes_with_positional_vectors(spark, scratch):
         for r in read_observations_versioned(spark, scratch).collect()
     )
     assert got == [("a", 1.0), ("d", 8.0)]
+
+
+def test_key_fingerprints_opt_out(spark, scratch):
+    """key_fingerprints=False (the high-cardinality deployment knob —
+    same precedent as stats_local_max): the commit skips the per-file
+    key-column read, no FP_KEY lands in either stats grain, and reads
+    degrade to min/max pruning with identical rows."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        FP_KEY,
+        compact_versioned,
+        read_manifest,
+        read_observations_versioned,
+        upsert_observations_versioned,
+    )
+
+    upsert_observations_versioned(
+        spark,
+        _vs_batch(spark, [
+            ("a", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00", 1),
+            ("b", "2024-01-02 01:00:00", 2.0, "2024-01-02 01:00:00", 2),
+        ]),
+        scratch,
+        order_cols=["ingestion_time", "event_id"],
+        key_fingerprints=False,
+    )
+    m = read_manifest(scratch)
+    assert all(FP_KEY not in st for st in m["stats"].values())
+    assert all(
+        FP_KEY not in st
+        for files in m["file_stats"].values()
+        for st in files.values()
+    )
+    got = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch, series_ids="a").collect()
+    )
+    assert got == [("a", 1.0)]
+    # Same knob on the layout rewrite.
+    m2 = compact_versioned(
+        spark, scratch, min_files=1, key_fingerprints=False
+    )
+    assert all(FP_KEY not in st for st in m2["stats"].values())
+    assert read_observations_versioned(spark, scratch).count() == 2
