@@ -500,6 +500,16 @@ class GasDataEngine:
             target_bytes=target_bytes,
         )
 
+    def silver_status(self) -> dict:
+        """Maintenance snapshot of the observation store (round 14 —
+        Iceberg's metadata tables, one dict): fragmentation
+        candidates, both delete-debt grains, fingerprint coverage,
+        and the time-travel window. Metadata-only."""
+        self._require_atomic("silver_status")
+        from gas_data_pipeline_spark.pipeline.versioned import table_status
+
+        return table_status(self.obs_path)
+
     def vacuum_silver(
         self, retain_last_n: int = 1, min_age_seconds: float = 86400.0
     ) -> list[str]:

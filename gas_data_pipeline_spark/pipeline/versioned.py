@@ -1748,6 +1748,102 @@ def changelog_versioned(
     return snapshot_diff(old_df, new_df, keys=list(KEYS))
 
 
+def table_status(root: str) -> dict:
+    """Operational snapshot report (Iceberg's metadata tables, one
+    dict): everything a maintenance scheduler needs to decide WHAT to
+    run next, computed from the manifest plane plus one listdir per
+    partition — no data pages are read.
+
+    Keys: ``version``; ``n_partitions``; ``n_files`` / ``bytes``
+    (live data files); ``fragmented_partitions`` (>= 2 files — the
+    compaction candidates); ``dv_debt`` (positional-vector state:
+    dates carrying vectors, vector file count, total named deleted
+    rows from the vectors' own parquet footers — merge-on-read debt
+    compaction would materialize); ``eq_debt`` (equality-delete
+    state: referencing dates, tag count, distinct keys);
+    ``fingerprint_coverage`` (fraction of partitions whose stats
+    carry a key fingerprint — how much of the table the point-prune
+    path can see); ``history_versions`` (time-travelable snapshots
+    on disk). A table with zero debt and zero fragmentation needs no
+    maintenance commit."""
+    m = read_manifest(root, with_stats=False)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    io = io_for(root)
+    n_files = 0
+    total_bytes = 0
+    fragmented = []
+    for d, rel in sorted(m["partitions"].items()):
+        pdir = os.path.join(root, rel)
+        try:
+            files = [
+                f for f in os.listdir(pdir) if f.endswith(".parquet")
+            ]
+        except OSError:
+            files = []
+        n_files += len(files)
+        total_bytes += sum(
+            os.path.getsize(os.path.join(pdir, f)) for f in files
+        )
+        if len(files) >= 2:
+            fragmented.append(d)
+    dvm = m.get("dv") or {}
+    dv_files = 0
+    dv_rows = 0
+    for rels in dvm.values():
+        for rel in set(rels):
+            ddir = os.path.join(root, rel)
+            try:
+                parts = [
+                    f for f in os.listdir(ddir) if f.endswith(".parquet")
+                ]
+            except OSError:
+                continue
+            dv_files += len(parts)
+            for f in parts:
+                try:
+                    import pyarrow.parquet as pq
+
+                    dv_rows += pq.ParquetFile(
+                        os.path.join(ddir, f)
+                    ).metadata.num_rows
+                except Exception:
+                    pass
+    eqm = m.get("dv_eq") or {}
+    eq_sets = m.get("dv_eq_sets") or {}
+    stats = m.get("stats", {})
+    with_fp = sum(
+        1 for d in m["partitions"] if stats.get(d, {}).get(FP_KEY) is not None
+    )
+    hpat = re.compile(r"^manifest-v(\d+)\.json$")
+    history = sorted(
+        int(hm.group(1))
+        for entry in io.listdir(root)
+        if (hm := hpat.match(entry))
+    )
+    return {
+        "version": m["version"],
+        "n_partitions": len(m["partitions"]),
+        "n_files": n_files,
+        "bytes": total_bytes,
+        "fragmented_partitions": fragmented,
+        "dv_debt": {
+            "dates": sorted(dvm),
+            "n_vector_files": dv_files,
+            "n_deleted_rows": dv_rows,
+        },
+        "eq_debt": {
+            "dates": sorted(eqm),
+            "n_tags": len(eq_sets),
+            "n_keys": len({k for keys in eq_sets.values() for k in keys}),
+        },
+        "fingerprint_coverage": (
+            with_fp / len(m["partitions"]) if m["partitions"] else 0.0
+        ),
+        "history_versions": history,
+    }
+
+
 def vacuum(
     root: str,
     retain_last_n: int = 1,

@@ -646,3 +646,29 @@ def test_engine_mor_delete_and_erase_series(spark):
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root + "_plain", ignore_errors=True)
+
+
+def test_engine_silver_status(spark):
+    """silver_status rides the facade; the plain store refuses it."""
+    import tempfile
+
+    from gas_data_pipeline_spark.engine import GasDataEngine
+
+    root = tempfile.mkdtemp(prefix="gas_status_")
+    try:
+        eng = GasDataEngine(spark, root)
+        eng.ingest_batch(
+            _wide_batch(spark), "GAS_QUALITY", "national_gas",
+            ["site_id"], "observed_at",
+        )
+        st = eng.silver_status()
+        assert st["version"] == 1 and st["n_partitions"] >= 1
+        assert st["dv_debt"]["dates"] == []
+        import pytest as _pytest
+
+        plain = GasDataEngine(spark, root + "_plain", atomic_silver=False)
+        with _pytest.raises(ValueError, match="versioned store"):
+            plain.silver_status()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root + "_plain", ignore_errors=True)

@@ -4028,3 +4028,39 @@ def test_key_fingerprints_opt_out(spark, scratch):
     )
     assert all(FP_KEY not in st for st in m2["stats"].values())
     assert read_observations_versioned(spark, scratch).count() == 2
+
+
+def test_table_status_reports_maintenance_state(spark, scratch):
+    """table_status is the maintenance scheduler's one-call input:
+    live file/byte counts, fragmentation candidates, both delete-debt
+    grains, fingerprint coverage, and the time-travel window — all
+    from the manifest plane plus per-partition listdirs, no data
+    pages."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        compact_versioned,
+        delete_versioned,
+        delete_versioned_by_key,
+        table_status,
+    )
+
+    _dv_store(spark, scratch)
+    st = table_status(scratch)
+    assert st["version"] == 1
+    assert st["n_partitions"] == 2 and st["n_files"] >= 2
+    assert st["bytes"] > 0
+    assert st["dv_debt"]["dates"] == [] and st["eq_debt"]["dates"] == []
+    assert st["fingerprint_coverage"] == 1.0
+    delete_versioned(
+        spark, scratch, F.col("series_id") == "b", mode="merge-on-read"
+    )
+    delete_versioned_by_key(spark, scratch, "c")
+    st = table_status(scratch)
+    assert st["dv_debt"]["dates"] == ["2024-01-01", "2024-01-02"]
+    assert st["dv_debt"]["n_deleted_rows"] == 2  # b's two rows, named
+    assert st["eq_debt"]["dates"] == ["2024-01-02"]  # fp bounds 'c' to d2
+    assert st["eq_debt"]["n_tags"] == 1 and st["eq_debt"]["n_keys"] == 1
+    assert len(st["history_versions"]) >= 2
+    compact_versioned(spark, scratch, target_bytes=1024 * 1024)
+    st = table_status(scratch)
+    assert st["dv_debt"]["dates"] == [] and st["eq_debt"]["dates"] == []
+    assert st["fragmented_partitions"] == []
