@@ -430,16 +430,21 @@ class GasDataEngine:
                 "plain silver store has no snapshot/manifest layer"
             )
 
-    def read_observations_at(self, version: int) -> DataFrame:
+    def read_observations_at(
+        self, version: int | None = None, as_of=None
+    ) -> DataFrame:
         """Time travel: the observation store as of a committed
-        version (until vacuum retention expires it)."""
+        version, or AS-OF a timestamp (round 14 — epoch float,
+        datetime, or ISO string; resolves to the newest snapshot
+        committed at or before the bound). Either, not both; until
+        vacuum retention expires the snapshot."""
         self._require_atomic("read_observations_at")
         from gas_data_pipeline_spark.pipeline.versioned import (
             read_observations_versioned,
         )
 
         return read_observations_versioned(
-            self.spark, self.obs_path, version=version
+            self.spark, self.obs_path, version=version, as_of=as_of
         )
 
     def changelog(self, from_version: int, to_version: int | None = None):

@@ -351,7 +351,21 @@ def publish_version(
         fs_shards = _shard_out_file_stats(
             root, now, version, partitions, prev_parts, file_stats
         )
-        manifest = {"version": version, "partitions": partitions}
+        import time as _time
+
+        # Commit timestamp (round 14 — the half of Iceberg's snapshot
+        # metadata that timestamp-based time travel needs): epoch
+        # float for AS-OF resolution, ISO for humans. Recorded at
+        # publish inside the lock, so timestamps are monotone with
+        # version numbers on one writer host.
+        manifest = {
+            "version": version,
+            "partitions": partitions,
+            "committed_at": _time.time(),
+            "committed_at_utc": __import__("datetime").datetime.now(
+                __import__("datetime").timezone.utc
+            ).isoformat(),
+        }
         if schema is not None:
             manifest["schema"] = schema
         if stats:
@@ -1033,6 +1047,47 @@ def _apply_dv(
     return df
 
 
+def resolve_version_at(root: str, as_of) -> int:
+    """Resolve an AS-OF timestamp to the newest version committed at
+    or before it (Iceberg's timestamp time travel). ``as_of`` is an
+    epoch float, a naive-UTC/aware datetime, or an ISO string.
+    Pre-timestamp manifests (older stores) never match — raising
+    beats silently resolving to an arbitrary snapshot. Raises
+    ``FileNotFoundError`` when no retained snapshot is old enough
+    (vacuumed history is genuinely unanswerable)."""
+    import datetime as _dt
+
+    if isinstance(as_of, str):
+        as_of = _dt.datetime.fromisoformat(as_of)
+    if isinstance(as_of, _dt.datetime):
+        if as_of.tzinfo is None:
+            as_of = as_of.replace(tzinfo=_dt.timezone.utc)
+        as_of = as_of.timestamp()
+    io = io_for(root)
+    best = None
+    hpat = re.compile(r"^manifest-v(\d+)\.json$")
+    candidates = ["manifest.json"] + [
+        e for e in io.listdir(root) if hpat.match(e)
+    ]
+    for entry in candidates:
+        try:
+            m = json.loads(io.read_text(os.path.join(root, entry)))
+        except (ValueError, OSError):
+            continue
+        ts = m.get("committed_at")
+        if ts is None or ts > as_of:
+            continue
+        if best is None or m["version"] > best:
+            best = m["version"]
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot under {root} committed at or before {as_of} "
+            "(expired by vacuum, or the store predates commit "
+            "timestamps)"
+        )
+    return best
+
+
 def read_observations_versioned(
     spark: SparkSession,
     root: str,
@@ -1040,6 +1095,7 @@ def read_observations_versioned(
     start=None,
     end=None,
     series_ids=None,
+    as_of=None,
 ) -> DataFrame:
     """Snapshot read. ``version=None`` resolves the current manifest
     atomically; a pinned version replays that historical snapshot
@@ -1069,6 +1125,10 @@ def read_observations_versioned(
     # date/stats pruning below, and only for surviving months — the
     # manifest-list prune (a narrow read over a 10^5-file table
     # touches one month's shard, not the whole file inventory).
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = resolve_version_at(root, as_of)
     m = read_manifest(root, version, with_stats=False)
     if m is None or not m["partitions"]:
         raise FileNotFoundError(f"no committed snapshot under {root}")

@@ -4064,3 +4064,51 @@ def test_table_status_reports_maintenance_state(spark, scratch):
     st = table_status(scratch)
     assert st["dv_debt"]["dates"] == [] and st["eq_debt"]["dates"] == []
     assert st["fragmented_partitions"] == []
+
+
+def test_timestamp_time_travel(spark, scratch):
+    """AS-OF time travel (Iceberg's timestamp snapshot resolution):
+    commits stamp committed_at at publish inside the lock, as_of
+    resolves to the newest snapshot at-or-before the bound (epoch
+    float, datetime, or ISO string), a bound older than every
+    snapshot raises instead of guessing, and version/as_of are
+    mutually exclusive."""
+    import time as _time
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_manifest,
+        read_observations_versioned,
+        resolve_version_at,
+        upsert_observations_versioned,
+    )
+
+    up = lambda b: upsert_observations_versioned(  # noqa: E731
+        spark, b, scratch, order_cols=["ingestion_time", "event_id"]
+    )
+    up(_vs_batch(spark, [("a", "2024-01-01 00:00:00", 1.0,
+                          "2024-01-01 01:00:00", 1)]))
+    t1 = read_manifest(scratch)["committed_at"]
+    up(_vs_batch(spark, [("a", "2024-01-01 00:00:00", 2.0,
+                          "2024-01-02 01:00:00", 2)]))
+    t2 = read_manifest(scratch)["committed_at"]
+    assert t2 > t1  # stamped inside the lock: monotone with versions
+    mid = (t1 + t2) / 2
+    assert resolve_version_at(scratch, mid) == 1
+    assert resolve_version_at(scratch, t2) == 2
+    got = read_observations_versioned(spark, scratch, as_of=mid).collect()
+    assert [(r.series_id, r.value) for r in got] == [("a", 1.0)]
+    got = read_observations_versioned(
+        spark, scratch, as_of=_time.time()
+    ).collect()
+    assert [(r.series_id, r.value) for r in got] == [("a", 2.0)]
+    # ISO-string bound resolves identically.
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(mid, _dt.timezone.utc).isoformat()
+    assert resolve_version_at(scratch, iso) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        resolve_version_at(scratch, t1 - 100)
+    with _pytest.raises(ValueError):
+        read_observations_versioned(spark, scratch, version=1, as_of=mid)
