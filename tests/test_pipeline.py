@@ -4112,3 +4112,65 @@ def test_timestamp_time_travel(spark, scratch):
         resolve_version_at(scratch, t1 - 100)
     with _pytest.raises(ValueError):
         read_observations_versioned(spark, scratch, version=1, as_of=mid)
+
+
+def test_mor_delete_fenced_by_interleaved_writer(spark, scratch, monkeypatch):
+    """A merge-on-read delete that computed its positions against a
+    snapshot an interleaved upsert has since replaced MUST be refused
+    at publish (its vector names positions in files the winner may
+    have rewritten), and its staged-but-unreferenced vector dir is
+    exactly what vacuum's min-age path reclaims."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from gas_data_pipeline_spark.pipeline import versioned as V
+
+    _dv_store(spark, scratch)
+    real_read = V.read_manifest
+    state = {"interleaved": False}
+
+    def interleaving_read(root, version=None, with_stats=True):
+        m = real_read(root, version, with_stats=with_stats)
+        if not state["interleaved"] and root == scratch:
+            state["interleaved"] = True  # guard BEFORE the recursive upsert
+            V.upsert_observations_versioned(
+                spark,
+                _vs_batch(spark, [
+                    ("z", "2024-01-01 03:00:00", 5.0,
+                     "2024-01-09 01:00:00", 99),
+                ]),
+                scratch,
+                order_cols=["ingestion_time", "event_id"],
+            )
+        return m
+
+    monkeypatch.setattr(V, "read_manifest", interleaving_read)
+    with _pytest.raises(V.ConcurrentCommitError):
+        V.delete_versioned(
+            spark, scratch, F.col("series_id") == "b", mode="merge-on-read"
+        )
+    monkeypatch.setattr(V, "read_manifest", real_read)
+    # The loser's staged vector dir is orphaned (no manifest refs it)…
+    dv_root = _os.path.join(scratch, "dv")
+    orphans = _os.listdir(dv_root) if _os.path.isdir(dv_root) else []
+    assert orphans
+    # …the winner's rows are intact, nothing was deleted…
+    got = sorted(
+        (r.series_id, r.value)
+        for r in V.read_observations_versioned(spark, scratch).collect()
+    )
+    assert got == [("a", 1.0), ("b", 2.0), ("b", 4.0), ("c", 3.0), ("z", 5.0)]
+    # …and vacuum reclaims the orphan (min-age 0: test posture).
+    gone = V.vacuum(scratch, retain_last_n=1, min_age_seconds=0)
+    assert any(g.startswith("dv/") for g in gone)
+    assert not (_os.path.isdir(dv_root) and _os.listdir(dv_root))
+    # A re-run against the current snapshot then succeeds.
+    V.delete_versioned(
+        spark, scratch, F.col("series_id") == "b", mode="merge-on-read"
+    )
+    got = sorted(
+        (r.series_id, r.value)
+        for r in V.read_observations_versioned(spark, scratch).collect()
+    )
+    assert got == [("a", 1.0), ("c", 3.0), ("z", 5.0)]
