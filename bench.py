@@ -264,6 +264,10 @@ SCALE_PROBE_QUERIES = (
     # Catalyst filter — the whole query should scale exactly like the
     # upsert that feeds it (the delete itself is constant-time).
     "silver_versioned_delete_by_key",
+    # copy-on-write UPDATE (registered round 14): upsert + a rewrite
+    # of exactly the matched partitions with per-row CASE WHEN — the
+    # same scale shape as the copy-on-write delete.
+    "silver_versioned_update_where",
 )
 # Key columns re-salted per copy: consistent offsets keep every FK->PK
 # relationship intact within a copy and disjoint across copies, so

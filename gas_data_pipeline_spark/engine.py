@@ -473,6 +473,19 @@ class GasDataEngine:
 
         return delete_versioned(self.spark, self.obs_path, predicate, mode=mode)
 
+    def update_observations(self, predicate: Column, assignments: dict) -> dict:
+        """Row-level UPDATE as a commit (copy-on-write; key and
+        partition columns are refused targets — a key change is
+        delete + insert). Returns the committed manifest."""
+        self._require_atomic("update_observations")
+        from gas_data_pipeline_spark.pipeline.versioned import (
+            update_versioned,
+        )
+
+        return update_versioned(
+            self.spark, self.obs_path, predicate, assignments
+        )
+
     def erase_series(self, series_ids) -> dict:
         """GDPR-style erasure by key: delete every row of the given
         series as a METADATA-ONLY commit (round 14 — zero data reads

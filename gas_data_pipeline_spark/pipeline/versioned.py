@@ -51,7 +51,7 @@ import os
 import re
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1524,6 +1524,109 @@ def delete_versioned(
             partitions.pop(d, None)
             stats.pop(d, None)
             fstats.pop(d, None)
+    return publish_version(
+        root, version, partitions, schema=None, stats=stats,
+        file_stats=fstats,
+    )
+
+
+def update_versioned(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    assignments: dict,
+    stats_local_max: int | None = None,
+    key_fingerprints: bool = True,
+) -> dict:
+    """Row-level UPDATE as a commit (Delta/Iceberg copy-on-write
+    UPDATE): partitions containing matches rewrite with the
+    assignments applied to exactly the matched rows (per-row CASE
+    WHEN — unmatched rows copy through bit-identical); untouched
+    partitions stay structurally shared and the publish goes through
+    the same CAS fence as any writer. ``assignments`` maps column
+    name -> Column expression or literal. The business keys
+    (``series_id``, ``observation_time``) and the partition column
+    are REFUSED as targets: updating a key is a delete+insert that
+    can move rows across partitions — express it as exactly that
+    (the two commits are each atomic and the intent is explicit)
+    rather than as a silent partition migration.
+
+    Same three-valued logic as DELETE: only predicate-TRUE rows
+    update. Prior deletion vectors on the rewritten dates apply
+    before the rewrite and their refs drop with the changed dirs —
+    an UPDATE is a materialization point like any rewrite. A
+    no-match update publishes nothing. Cost mirrors copy-on-write
+    DELETE: one scan to find affected partitions plus a rewrite of
+    exactly those."""
+    forbidden = {*KEYS, PARTITION_COL} & set(assignments)
+    if forbidden:
+        raise ValueError(
+            f"refusing to UPDATE key/partition columns {sorted(forbidden)}: "
+            "express a key change as delete + insert"
+        )
+    if not assignments:
+        raise ValueError("assignments must name at least one column")
+    current = read_manifest(root)
+    if current is None or not current["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    pred = F.coalesce(predicate, F.lit(False))
+    full = read_observations_versioned(spark, root)
+    hit_dates = {
+        str(r[0]) if r[0] is not None else _NULL_PART
+        for r in full.filter(pred).select(PARTITION_COL).distinct().collect()
+    }
+    if not hit_dates:
+        return current
+    version = current["version"] + 1
+    vtag = f"v{version}-{uuid.uuid4().hex[:8]}"
+    vdir = os.path.join(root, vtag)
+    reader = spark.read
+    if current.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(current["schema"]))
+    paths = [
+        os.path.join(root, current["partitions"][d])
+        for d in sorted(hit_dates)
+        if d in current["partitions"]
+    ]
+    sets = {
+        c: (v if isinstance(v, Column) else F.lit(v))
+        for c, v in assignments.items()
+    }
+    base = _apply_dv(
+        spark, root, reader.parquet(*paths),
+        _dv_rels(current, sorted(hit_dates)),
+        _eq_delete_condition(current, sorted(hit_dates)),
+    )
+    updated = base.withColumns(
+        {c: F.when(pred, expr).otherwise(F.col(c)) for c, expr in sets.items()}
+    )
+    out = (
+        updated.withColumn(_PDATE, F.col(PARTITION_COL).cast("string"))
+        .repartition(F.col(PARTITION_COL))
+    )
+    with _stats_bearing_writes(spark):
+        out.write.mode("overwrite").partitionBy(_PDATE).parquet(vdir)
+    partitions = dict(current["partitions"])
+    stats: dict = {}
+    fstats: dict = {}
+    written = {
+        d: os.path.join(root, f"{vtag}/{_PDATE}={d}")
+        for d in hit_dates
+        if os.path.isdir(os.path.join(root, f"{vtag}/{_PDATE}={d}"))
+    }
+    new_stats, new_fstats = _collect_stats(
+        spark, written, local_max=stats_local_max,
+        fingerprints=key_fingerprints,
+    )
+    for d in sorted(hit_dates):
+        if d in written:
+            partitions[d] = f"{vtag}/{_PDATE}={d}"
+            if new_stats.get(d):
+                stats[d] = new_stats[d]
+            if new_fstats.get(d):
+                fstats[d] = new_fstats[d]
     return publish_version(
         root, version, partitions, schema=None, stats=stats,
         file_stats=fstats,

@@ -94,10 +94,11 @@ def _load_all() -> None:
 #     next round as the stalest row.
 # Registered this round but OUT of the window (50 slots, all spoken
 # for): silver_versioned_delete_by_key (equality deletes — the
-# metadata-only key-erasure commit). It is the DESIGNATED first
-# must-prove row for the r15 window, same precedent as
-# silver_versioned_file_prune in r13->r14; its oracle is exact and
-# the builder-side parity gate covers it meanwhile.
+# metadata-only key-erasure commit) and
+# silver_versioned_update_where (copy-on-write UPDATE). They are the
+# DESIGNATED first must-prove rows for the r15 window, same
+# precedent as silver_versioned_file_prune in r13->r14; both oracles
+# are exact and the builder-side parity gate covers them meanwhile.
 # After this window runs, the union staleness ceiling moves to r10.
 # Rotating OUT: the r13 greens (re-proven last round) and the 4
 # rows-only approximations (refreshed r13; exact twins ann_ivf /

@@ -1005,6 +1005,68 @@ def silver_versioned_delete_by_key(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "silver_versioned_update_where",
+    oracle="""
+        SELECT series_id, observation_time,
+               CASE WHEN user_id % 7 = 0 THEN round(value * 2, 6)
+                    ELSE value END AS value
+        FROM (
+            SELECT 'UP_' || CAST(user_id AS VARCHAR) AS series_id,
+                   date_trunc('hour', ts) AS observation_time,
+                   CAST(value AS DOUBLE) AS value,
+                   user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+)
+def silver_versioned_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE as a commit (round 14 — Delta/Iceberg's
+    UPDATE, pipeline/versioned.py:update_versioned): partitions with
+    matches rewrite with per-row CASE WHEN assignments (unmatched
+    rows copy through bit-identical), untouched partitions stay
+    structurally shared, pinned pre-update versions still read the
+    old values, and key/partition columns are refused as targets (a
+    key change is delete + insert, never a silent partition
+    migration). Completes the store's DML surface: insert/upsert,
+    DELETE in all three forms (copy-on-write, positional vectors,
+    metadata-only equality), and UPDATE."""
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        read_observations_versioned,
+        update_versioned,
+        upsert_observations_versioned,
+    )
+
+    root = _scratch()
+    e = table(spark, sf_dir, "events")
+    page = e.select(
+        F.concat(F.lit("UP_"), F.col("user_id").cast("string")).alias(
+            "series_id"
+        ),
+        F.date_trunc("hour", F.col("ts")).alias("observation_time"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("ingestion_time"),
+        F.col("event_id"),
+    )
+    upsert_observations_versioned(
+        spark, page, root, order_cols=["ingestion_time", "event_id"]
+    )
+    update_versioned(
+        spark,
+        root,
+        F.substring("series_id", 4, 10).cast("long") % 7 == 0,
+        {"value": F.round(F.col("value") * 2, 6)},
+    )
+    return read_observations_versioned(spark, root).select(
+        "series_id", "observation_time", "value"
+    )
+
+
+@register(
     "silver_versioned_time_prune",
     oracle="""
         WITH page AS (

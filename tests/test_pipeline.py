@@ -4174,3 +4174,55 @@ def test_mor_delete_fenced_by_interleaved_writer(spark, scratch, monkeypatch):
         for r in V.read_observations_versioned(spark, scratch).collect()
     )
     assert got == [("a", 1.0), ("c", 3.0), ("z", 5.0)]
+
+
+def test_update_versioned_cow_lifecycle(spark, scratch):
+    """Copy-on-write UPDATE: matched rows get the assignments,
+    unmatched copy through bit-identical, pinned pre-update versions
+    read the old values, a no-match update publishes nothing, prior
+    deletion vectors on rewritten dates apply (no resurrection) and
+    their refs drop, and key/partition columns are refused targets."""
+    import pytest as _pytest
+
+    from gas_data_pipeline_spark.pipeline.versioned import (
+        delete_versioned,
+        read_manifest,
+        read_observations_versioned,
+        update_versioned,
+    )
+
+    _dv_store(spark, scratch)
+    m = update_versioned(
+        spark, scratch, F.col("series_id") == "b",
+        {"value": F.col("value") * 10},
+    )
+    assert m["version"] == 2
+    got = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    )
+    assert got == [("a", 1.0), ("b", 20.0), ("b", 40.0), ("c", 3.0)]
+    old = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch, version=1).collect()
+    )
+    assert old == [("a", 1.0), ("b", 2.0), ("b", 4.0), ("c", 3.0)]
+    assert update_versioned(
+        spark, scratch, F.col("series_id") == "zz", {"value": 0.0}
+    )["version"] == 2
+    delete_versioned(
+        spark, scratch, F.col("series_id") == "a", mode="merge-on-read"
+    )
+    m2 = update_versioned(
+        spark, scratch, F.col("series_id") == "b", {"value": 7.0}
+    )
+    assert "2024-01-01" not in (m2.get("dv") or {})
+    got = sorted(
+        (r.series_id, r.value)
+        for r in read_observations_versioned(spark, scratch).collect()
+    )
+    assert got == [("b", 7.0), ("b", 7.0), ("c", 3.0)]
+    with _pytest.raises(ValueError, match="key/partition"):
+        update_versioned(spark, scratch, F.lit(True), {"series_id": "x"})
+    with _pytest.raises(ValueError, match="at least one"):
+        update_versioned(spark, scratch, F.lit(True), {})
