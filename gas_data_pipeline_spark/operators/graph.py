@@ -123,48 +123,74 @@ def pagerank(
         )
         if checkpoint:
             hubs = hubs.localCheckpoint(eager=True)
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iters):
-        rank_src = ranks.select(F.col("node").alias("src"), "rank")
-        if salted:
-            # Replicate ONLY hub rank rows across the salt range so the
-            # salted edge partitions each find their (src, salt) match;
-            # non-hub ranks ship once with salt 0.
-            rank_src = (
-                rank_src.join(
-                    F.broadcast(hubs.withColumnRenamed("node", "src")),
-                    "src",
-                    "left",
-                )
-                .select(
-                    "src",
-                    "rank",
-                    F.explode(
-                        F.when(
-                            F.col("__is_hub"),
-                            F.sequence(F.lit(0), F.lit(hub_salts - 1)),
-                        ).otherwise(F.array(F.lit(0)))
-                    ).alias("__salt"),
-                )
-            )
-            joined = e.join(rank_src, ["src", "__salt"])
+
+    # Loop state is the CONTRIBUTION table, not the rank table
+    # (optimization r14, guide §2.4 — remove shuffles outright): a
+    # node's rank is a pure function of its incoming contribution,
+    # rank(u) = (1-d) + d * coalesce(contrib(u), 0) (round 1: every
+    # rank is the 1.0 seed), so the per-round "materialize ranks for
+    # ALL nodes" join against `nodes` is computable INSIDE the next
+    # round's edge join instead of as its own join + exchange. One
+    # round = one left equi-join (edges ⋈ contrib on src) + one
+    # dst-sum — half the joins of the rank-state formulation (round 1
+    # is a pure aggregate, no join at all). The rank expression is
+    # evaluated identically, per source row, before the division by
+    # odeg, so per-edge contributions are bit-identical to the
+    # rank-state loop; only the dst-side summation order can differ,
+    # which the callers' round(_, 6) grain absorbs (values are O(1) by
+    # the N-scaled formulation). Nodes with no in-edges never appear
+    # in contrib and fall out of the final left join at (1-d), exactly
+    # as before.
+    def _rank_of_src(c):
+        return F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
+            c, F.lit(0.0)
+        )
+
+    contrib = None
+    for i in range(iters):
+        if i == 0:
+            # Every rank is the 1.0 seed: contributions need no join.
+            joined = e.withColumn("rank", F.lit(1.0))
         else:
-            joined = e.join(rank_src, "src")
+            cs = contrib.withColumnRenamed("node", "src")
+            if salted:
+                # Replicate ONLY hub contribution rows across the salt
+                # range so the salted edge partitions each find their
+                # (src, salt) match; non-hub rows ship once with salt 0.
+                cs = (
+                    cs.join(
+                        F.broadcast(hubs.withColumnRenamed("node", "src")),
+                        "src",
+                        "left",
+                    )
+                    .select(
+                        "src",
+                        "contrib",
+                        F.explode(
+                            F.when(
+                                F.col("__is_hub"),
+                                F.sequence(F.lit(0), F.lit(hub_salts - 1)),
+                            ).otherwise(F.array(F.lit(0)))
+                        ).alias("__salt"),
+                    )
+                )
+                join_keys = ["src", "__salt"]
+            else:
+                join_keys = ["src"]
+            # LEFT join: a source absent from contrib (no in-edges)
+            # still contributes at the teleport floor (1-d).
+            joined = e.join(cs, join_keys, "left").withColumn(
+                "rank", _rank_of_src(F.col("contrib"))
+            )
         contrib = (
             joined.groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            contrib = contrib.localCheckpoint(eager=True)
+    if contrib is None:  # iters == 0: every node keeps the 1.0 seed
+        return nodes.withColumn("rank", F.lit(1.0))
+    return nodes.join(contrib, "node", "left").select(
+        "node", _rank_of_src(F.col("contrib")).alias("rank")
+    )

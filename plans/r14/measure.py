@@ -80,15 +80,18 @@ def main() -> None:
             continue
         fn = queries[name]
         if plans_suffix:
+            import io as _io
+            from contextlib import redirect_stdout
+
             reset_model_seams()
             df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            buf = _io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
             with open(
                 os.path.join(_HERE, f"{name}_{plans_suffix}.txt"), "w"
             ) as fh:
-                fh.write(plan)
+                fh.write(buf.getvalue())
         times = []
         for r in range(runs):
             gc.collect()
