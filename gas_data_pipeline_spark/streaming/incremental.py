@@ -278,6 +278,75 @@ def run_stream_until(
             raise
 
 
+def run_staged_stream(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    drops,
+    interval: str = "50 milliseconds",
+    state_partitions: int | None = 8,
+    timeout_sec: float = 180.0,
+    poll_sec: float = 0.025,
+) -> None:
+    """Feed pre-staged files through ONE long-lived ProcessingTime
+    micro-batch loop (optimization r14, guide §1.2 — remove work the
+    result never needed): the suite's multi-cycle streaming queries
+    used to run a fresh AvailableNow query per staged file, paying a
+    full stream start/stop (checkpoint resolve, source listing, offset
+    planning, shutdown — measured ~0.7-1 s each at sf0.1 on local[32])
+    per cycle. The production analog (the reference's APScheduler loop)
+    is one long-lived query, so this runner matches the hourly
+    lifecycle's shape: start once, then for each ``drop`` (a callable
+    that moves ONE staged file into the watched dir) await one
+    committed non-empty micro-batch before the next drop — cycles stay
+    strictly sequential, so batch boundaries and contents are identical
+    to the N sequential AvailableNow drains over the same checkpoint.
+
+    ``batch_fn(batch_df, seq)`` receives ``seq`` = number of prior
+    non-empty batches (0, 1, …) — the same numbering the sequential
+    drains produced — independent of Spark's internal batch ids, so a
+    skipped empty trigger can never shift the sequence. The start is
+    retry-hardened through :func:`run_stream_until` (a transient
+    worker-spawn failure gets one bounded restart)."""
+    done: list[int] = []
+
+    def _wrapped(bdf: DataFrame, _bid: int) -> None:
+        if bdf.isEmpty():
+            return
+        batch_fn(bdf, len(done))
+        done.append(len(done))
+
+    def _start():
+        return start_processing_time_stream(
+            stream_df,
+            _wrapped,
+            checkpoint,
+            interval=interval,
+            state_partitions=state_partitions,
+        )
+
+    drops = list(drops)
+    drops[0]()
+    q = run_stream_until(
+        _start,
+        lambda: len(done) >= 1,
+        timeout_sec=timeout_sec,
+        poll_sec=poll_sec,
+    )
+    try:
+        for i, drop in enumerate(drops[1:], start=2):
+            drop()
+            await_processed_batches(
+                q,
+                lambda n=i: len(done) >= n,
+                timeout_sec=timeout_sec,
+                poll_sec=poll_sec,
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
 DEFAULT_LOOKBACK_DAYS = 30  # reference app/db/models.py:36 column default
 
 
@@ -386,6 +455,31 @@ def run_gie_delete_reload(
     ``stats``, when given, collects delete_reload's per-batch stats
     dicts (mode/affected/dropped) for observability and tests.
     """
+    run_foreach_batch(
+        stream_df,
+        gie_delete_reload_batch_fn(
+            path,
+            now=now,
+            lookback_days=lookback_days,
+            date_col=date_col,
+            stats=stats,
+        ),
+        checkpoint,
+        state_partitions=state_partitions,
+    )
+
+
+def gie_delete_reload_batch_fn(
+    path: str,
+    now=None,
+    lookback_days: int = GIE_DELETE_LOOKBACK_DAYS,
+    date_col: str = "obs_date",
+    stats: list | None = None,
+):
+    """The per-micro-batch GIE delete-reload writer, factored out so it
+    can run under either drain shape (:func:`run_gie_delete_reload`'s
+    per-snapshot AvailableNow drains, or one :func:`run_staged_stream`
+    loop). Semantics documented on :func:`run_gie_delete_reload`."""
     from datetime import datetime, timedelta
 
     from gas_data_pipeline_spark.pipeline.dims import delete_reload
@@ -407,9 +501,7 @@ def run_gie_delete_reload(
         if stats is not None:
             stats.append(s)
 
-    run_foreach_batch(
-        stream_df, write_batch, checkpoint, state_partitions=state_partitions
-    )
+    return write_batch
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "1 day") -> DataFrame:

@@ -21,6 +21,7 @@ from gas_data_pipeline_spark.streaming.incremental import (
     events_stream,
     hourly_rollup,
     run_foreach_batch,
+    run_staged_stream,
     run_stream_to_table,
 )
 
@@ -467,7 +468,7 @@ def stream_gie_delete_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gas_data_pipeline_spark.catalog import table
     from gas_data_pipeline_spark.streaming.incremental import (
-        run_gie_delete_reload,
+        gie_delete_reload_batch_fn,
     )
 
     scratch = tempfile.mkdtemp(prefix="gas_stream_gie_")
@@ -478,52 +479,87 @@ def stream_gie_delete_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
 
-    def daily_of(events: DataFrame) -> DataFrame:
-        return events.groupBy(
+    # ONE events pass feeds everything (optimization r14, same device
+    # as the hourly lifecycle's polls): the full-data aggregates plus
+    # even-id conditional aggregates per (date, series) — identical
+    # rows to aggregating the even subset separately (a group with no
+    # even-id rows is excluded from the provisional snapshot by the
+    # n_obs_half filter, exactly as the subset aggregate would exclude
+    # it; sum(when(even, v)) over the group IS the subset sum). The
+    # old shape re-ran the events groupBy four times (now_day action,
+    # seed write, both snapshot stages); localCheckpoint makes each
+    # consumer a cheap filter over the materialized aggregate.
+    even = F.col("event_id") % 2 == 0
+    dec_val = F.col("value").cast("decimal(18,4)")
+    daily = (
+        ev.groupBy(
             F.date_trunc("day", F.col("ts")).cast("date").alias("obs_date"),
             F.col("user_id").alias("series_id"),
-        ).agg(
-            F.count(F.lit(1)).alias("n_obs"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("sum_value"),
         )
-
-    daily = daily_of(ev)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(dec_val).cast("double").alias("sum_value"),
+            F.count(F.when(even, F.lit(1))).alias("n_obs_half"),
+            F.sum(F.when(even, dec_val)).cast("double").alias("sum_value_half"),
+        )
+        .localCheckpoint(eager=True)
+    )
     now_day = daily.agg(F.max("obs_date")).first()[0]  # 1-value stats action
     cutoff = F.date_sub(F.lit(now_day), 10)
 
     # Seed the out-of-window history the stream must never touch.
     (
         daily.filter(F.col("obs_date") < cutoff)
+        .select("obs_date", "series_id", "n_obs", "sum_value")
         .repartition(F.col("obs_date"))
         .write.partitionBy("obs_date")
         .parquet(target)
     )
 
-    def drop_snapshot(df: DataFrame, name: str) -> None:
+    def stage_snapshot(df: DataFrame, name: str) -> str:
         stage = os.path.join(scratch, f"stage_{name}")
         df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
-        shutil.rmtree(stage)
-
-    snap_schema = "obs_date date, series_id bigint, n_obs bigint, sum_value double"
-
-    def snapshot_stream() -> DataFrame:
-        return spark.readStream.schema(snap_schema).parquet(src)
+        return os.path.join(stage, part)
 
     # Batch 1: provisional poll — half the events, full window.
-    drop_snapshot(
-        daily_of(ev.filter(F.col("event_id") % 2 == 0)).filter(
-            F.col("obs_date") >= cutoff
-        ),
-        "b0",
-    )
-    run_gie_delete_reload(snapshot_stream(), target, ckpt, now=now_day)
     # Batch 2: authoritative poll — full data, oldest window day gone.
-    drop_snapshot(daily.filter(F.col("obs_date") > cutoff), "b1")
-    run_gie_delete_reload(snapshot_stream(), target, ckpt, now=now_day)
+    staged = {
+        "b0": stage_snapshot(
+            daily.filter(
+                (F.col("n_obs_half") > 0) & (F.col("obs_date") >= cutoff)
+            ).select(
+                "obs_date",
+                "series_id",
+                F.col("n_obs_half").alias("n_obs"),
+                F.col("sum_value_half").alias("sum_value"),
+            ),
+            "b0",
+        ),
+        "b1": stage_snapshot(
+            daily.filter(F.col("obs_date") > cutoff).select(
+                "obs_date", "series_id", "n_obs", "sum_value"
+            ),
+            "b1",
+        ),
+    }
+
+    def drop(name: str):
+        def _move() -> None:
+            shutil.move(staged[name], os.path.join(src, f"{name}.parquet"))
+
+        return _move
+
+    snap_schema = "obs_date date, series_id bigint, n_obs bigint, sum_value double"
+    # ONE long-lived ProcessingTime stream replaces the two per-snapshot
+    # AvailableNow drains (see run_staged_stream) — identical batch
+    # boundaries, one fewer stream start/stop.
+    run_staged_stream(
+        spark.readStream.schema(snap_schema).parquet(src),
+        gie_delete_reload_batch_fn(target, now=now_day),
+        ckpt,
+        [drop("b0"), drop("b1")],
+    )
 
     return spark.read.parquet(target).select(
         # DATE internally (clean partition dirs); TIMESTAMP on the
@@ -596,13 +632,6 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def drop_batch(df: DataFrame, name: str) -> None:
-        stage = os.path.join(scratch, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
-        shutil.rmtree(stage)
-
     state = BloomDedupState()
     empty = docs.filter(F.lit(False)).select("doc_id", "text")
 
@@ -615,15 +644,36 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         admitted.write.mode("append").parquet(corpus)
         state.absorb(admitted)
 
-    stream_schema = "doc_id bigint, text string, batch_id bigint"
-    # One file per batch, dropped between AvailableNow drains so each
-    # run consumes exactly one new file — same determinism device as
-    # stream_gie_delete_reload.
-    for b in (0, 1, 2):
-        drop_batch(batched.filter(F.col("batch_id") == b), f"b{b}")
-        run_foreach_batch(
-            spark.readStream.schema(stream_schema).parquet(src), admit, ckpt
-        )
+    # All three batch files staged in ONE write (optimization r14,
+    # guide §1.2: the per-batch coalesce(1) writes re-ran the donor
+    # join three times), then ONE long-lived 50 ms ProcessingTime
+    # stream consumes them via awaited atomic moves — batch contents
+    # and boundaries identical to the old three AvailableNow drains,
+    # minus two stream start/stop cycles and two staging jobs.
+    staged = os.path.join(scratch, "staged")
+    batched.repartition(F.col("batch_id")).write.partitionBy(
+        "batch_id"
+    ).parquet(staged)
+
+    def drop(b: int):
+        def _move() -> None:
+            pdir = os.path.join(staged, f"batch_id={b}")
+            part = next(
+                f for f in os.listdir(pdir) if f.endswith(".parquet")
+            )
+            shutil.move(
+                os.path.join(pdir, part), os.path.join(src, f"b{b}.parquet")
+            )
+
+        return _move
+
+    stream_schema = "doc_id bigint, text string"
+    run_staged_stream(
+        spark.readStream.schema(stream_schema).parquet(src),
+        admit,
+        ckpt,
+        [drop(b) for b in (0, 1, 2)],
+    )
 
     return spark.read.parquet(corpus).select("doc_id")
 
@@ -1087,20 +1137,34 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds_path, base_hist_path, scratch, log_path, feature_cols
     )
 
-    def drop_batch(df: DataFrame, name: str) -> None:
-        stage = os.path.join(scratch, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
-        shutil.rmtree(stage)
-
+    # Both micro-batch files staged in ONE write, consumed by ONE
+    # long-lived ProcessingTime stream (optimization r14 — see
+    # run_staged_stream): contents and batch numbering identical to
+    # the old two AvailableNow drains, minus one stream start/stop
+    # and one staging job.
     cur = feats.filter(F.col("event_id") % 2 == 1)
+    staged = os.path.join(scratch, "staged")
+    cur.withColumn(
+        "batch", F.when(F.col("event_id") % 4 == 1, 0).otherwise(1)
+    ).repartition(F.col("batch")).write.partitionBy("batch").parquet(staged)
+
+    def drop(b: int):
+        def _move() -> None:
+            pdir = os.path.join(staged, f"batch={b}")
+            part = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+            shutil.move(
+                os.path.join(pdir, part), os.path.join(src, f"b{b}.parquet")
+            )
+
+        return _move
+
     stream_schema = "event_id bigint, value double, hour_of_day double"
-    for n, part_filter in ((0, F.col("event_id") % 4 == 1), (1, F.col("event_id") % 4 == 3)):
-        drop_batch(cur.filter(part_filter), f"b{n}")
-        run_foreach_batch(
-            spark.readStream.schema(stream_schema).parquet(src), monitor, ckpt
-        )
+    run_staged_stream(
+        spark.readStream.schema(stream_schema).parquet(src),
+        monitor,
+        ckpt,
+        [drop(0), drop(1)],
+    )
 
     return spark.read.parquet(os.path.join(log_path, "batch_*")).select(
         "batch_seq", "feature", "n_base", "n_cur", "psi"
@@ -1174,16 +1238,24 @@ def stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         good.write.mode("append").parquet(silver)
         bad.write.mode("append").parquet(quar)
 
-    def drop_batch(df: DataFrame, name: str) -> None:
-        stage = os.path.join(scratch, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").text(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".txt"))
-        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.txt"))
-        shutil.rmtree(stage)
+    # Both batch files staged in ONE write, consumed by ONE long-lived
+    # ProcessingTime stream (optimization r14 — see run_staged_stream):
+    # same contents and batch numbering as the old two AvailableNow
+    # drains, minus one stream start/stop and one staging job.
+    staged = os.path.join(scratch, "staged")
+    batched.repartition(F.col("batch")).write.partitionBy("batch").text(staged)
 
-    for b in (0, 1):
-        drop_batch(batched.filter(F.col("batch") == b).select("value"), f"b{b}")
-        run_foreach_batch(spark.readStream.text(src), split, ckpt)
+    def drop(b: int):
+        def _move() -> None:
+            pdir = os.path.join(staged, f"batch={b}")
+            part = next(f for f in os.listdir(pdir) if f.endswith(".txt"))
+            shutil.move(
+                os.path.join(pdir, part), os.path.join(src, f"b{b}.txt")
+            )
+
+        return _move
+
+    run_staged_stream(spark.readStream.text(src), split, ckpt, [drop(0), drop(1)])
 
     per_lang = (
         spark.read.parquet(silver)
@@ -1329,24 +1401,32 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     monitor = cms_monitor_writer(scratch, log_dir, tracked)
 
-    def drop_batch(df: DataFrame, name: str) -> None:
-        stage = os.path.join(scratch, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.move(
-            os.path.join(stage, part), os.path.join(src, f"{name}.parquet")
-        )
-        shutil.rmtree(stage)
+    # Both batch files staged in ONE write, consumed by ONE long-lived
+    # ProcessingTime stream (optimization r14 — see run_staged_stream):
+    # same contents and batch numbering as the old two AvailableNow
+    # drains, minus one stream start/stop and one staging job.
+    staged = os.path.join(scratch, "staged")
+    ev.withColumn("batch", (F.col("event_id") % 2).cast("int")).repartition(
+        F.col("batch")
+    ).write.partitionBy("batch").parquet(staged)
+
+    def drop(b: int):
+        def _move() -> None:
+            pdir = os.path.join(staged, f"batch={b}")
+            part = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+            shutil.move(
+                os.path.join(pdir, part), os.path.join(src, f"b{b}.parquet")
+            )
+
+        return _move
 
     stream_schema = "event_id bigint, user_id bigint"
-    for n, part_filter in (
-        (0, F.col("event_id") % 2 == 0),
-        (1, F.col("event_id") % 2 == 1),
-    ):
-        drop_batch(ev.filter(part_filter), f"b{n}")
-        run_foreach_batch(
-            spark.readStream.schema(stream_schema).parquet(src), monitor, ckpt
-        )
+    run_staged_stream(
+        spark.readStream.schema(stream_schema).parquet(src),
+        monitor,
+        ckpt,
+        [drop(0), drop(1)],
+    )
 
     return spark.read.parquet(os.path.join(log_dir, "batch_*")).select(
         "batch_seq", "user_id", "cms_estimate"
