@@ -1204,11 +1204,28 @@ def incremental_dedup(
     survivors = new_h.join(ex_h, "__h", "left_anti").drop("__h")
 
     def postings(df: DataFrame, suffix: str) -> DataFrame:
-        sh = word_shingles(F.col(text_col), n)
-        return df.select(
+        # Materialize the hashed shingle array as a column FIRST: it is
+        # consumed twice (size + explode), and inlining the expression
+        # into both slots made Spark shingle every document twice per
+        # side (plan-audited r14 — the Generate and its sibling Project
+        # each carried the full split/transform tree).
+        hashed = df.select(
             F.col(id_col).alias(f"id_{suffix}"),
-            F.size(sh).alias(f"n_{suffix}"),
-            F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("g"),
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ).alias("__sh"),
+        )
+        # explode_outer, not explode: InferFiltersFromGenerate turns a
+        # plain explode into a pushed-down `size(sh)>0 AND isnotnull(sh)`
+        # guard that re-evaluates the whole shingle tree BELOW the
+        # spread exchange (on the scan's 1-2 splits). The outer form
+        # infers no guard; its extra null-gram row for empty docs can
+        # never survive the inner join on `g`, so pair counts are
+        # identical.
+        return hashed.select(
+            f"id_{suffix}",
+            F.size("__sh").alias(f"n_{suffix}"),
+            F.explode_outer("__sh").alias("g"),
         )
 
     # Per-side posting streams, built DIRECTLY from each corpus: a
