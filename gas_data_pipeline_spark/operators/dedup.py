@@ -586,16 +586,24 @@ def minhash_near_dup_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows_per_band = k // bands
-    base = df.select(F.col(id_col).alias("id"), shingle_col.alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    base = df.select(F.col(id_col).alias("id"), shingle_col.alias("shingles"))
     # Shingle string-hashing stays JVM-side; the k-permutation XOR-min
     # runs vectorized in numpy (identical output to the expression
     # formulation, ~30x faster on wide shingle sets).
     sig_udf = minhash_signature_pandas(k)
     sig = base.withColumn(
         "sig", sig_udf(F.transform("shingles", lambda s: F.xxhash64(s)))
-    )
+    ).filter(F.size("shingles") > 0)
+    # ^ The empty-shingle guard (empty docs would share the all-MAX
+    # signature and all-pairs explode in every band bucket) sits ABOVE
+    # the nondeterministic sig projection, which Catalyst refuses to
+    # push predicates through. Filtering `base` directly let the
+    # optimizer substitute the shingle expression into the predicate
+    # and push it below the spread exchange, so the whole shingle tree
+    # ran twice per doc — once serially on the scan's 1-2 splits
+    # (plan-audited r14). Same rows dropped before banding either way;
+    # sig_udf maps an empty array to the MAX sentinel, so the extra
+    # empty rows it sees are well-defined.
     # Band keys only — the shingle arrays must NOT ride through the
     # band explode (a `bands`-fold payload blowup in the shuffle);
     # they re-attach once per verified candidate below.
