@@ -260,14 +260,25 @@ def unigram_logprob(
     toks = docs.select(
         F.col(id_col), F.explode(F.filter(tokenize(F.col(text_col)), is_word)).alias("term")
     )
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # Aggregate the token stream to per-doc term frequencies FIRST
+    # (optimization r14, guide §1.2): the naive shape consumed `toks`
+    # twice — once for the vocab count, once for the score join — and
+    # with no common-subplan sharing each consumer re-ran the regexp
+    # tokenize over the whole corpus. Everything downstream now derives
+    # from the tf table, so the corpus is tokenized exactly once; the
+    # weighted avg sum(tf*lp)/sum(tf) over (doc, term) rows equals the
+    # per-token avg bit-for-bit at the 6-dp rounding (A/B-checked
+    # value-identical at sf0.1).
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     lp = F.log(F.col("cnt") / F.col("n"))
-    scored = toks.join(F.broadcast(vocab), "term").crossJoin(F.broadcast(total))
+    scored = tf.join(F.broadcast(vocab), "term").crossJoin(F.broadcast(total))
+    wavg = F.sum(F.col("tf") * lp) / F.sum("tf")
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.round(F.avg(lp), 6).alias("avg_logprob"),
-        F.round(F.exp(-F.avg(lp)), 6).alias("ppl_proxy"),
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(wavg, 6).alias("avg_logprob"),
+        F.round(F.exp(-wavg), 6).alias("ppl_proxy"),
     )
 
 
