@@ -110,17 +110,58 @@ class _state_partitions:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
 
 
+class _no_data_batches:
+    """Temporarily toggle ``spark.sql.streaming.noDataMicroBatches.
+    enabled`` around one stream start. The engine's trailing no-data
+    micro-batch exists to let WATERMARK-GATED operators emit/evict once
+    the watermark advances past buffered state; it pays a full
+    state-store commit cycle across every store instance (measured: the
+    interval join's empty batch 1 costs the same order as its data
+    batch — all of it commitTimeMs + eviction). Queries whose sinks are
+    already complete after the last data batch — inner stream-stream
+    joins (matches emit eagerly), eager-emit dedup, NoTimeout
+    applyInPandasWithState, and complete-mode aggregations (the sink
+    rewrites the same state-derived table) — get identical results
+    without it, so skipping it removes one commit cycle per run at any
+    scale. Watermark-gated APPEND emission (session/tumbling windows in
+    append mode) NEEDS the flush batch: callers keep the default there.
+    The conf is captured by the stream's cloned session at start, so
+    save/restore around ``start()`` scopes it to this query."""
+
+    _KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    def __init__(self, spark, skip: bool):
+        self.spark, self.skip = spark, skip
+
+    def __enter__(self):
+        if self.skip:
+            self.saved = self.spark.conf.get(self._KEY)
+            self.spark.conf.set(self._KEY, "false")
+
+    def __exit__(self, *exc):
+        if self.skip:
+            self.spark.conf.set(self._KEY, self.saved)
+
+
 def run_stream_to_table(
     df: DataFrame,
     name: str | None = None,
     output_mode: str = "append",
     state_partitions: int | None = 8,
+    flush_no_data: bool = True,
 ) -> DataFrame:
     """Run a streaming plan to completion (AvailableNow) into a memory
     sink and return the materialized result — the deterministic test
-    harness for every streaming operator (SURVEY §7 Phase 4)."""
+    harness for every streaming operator (SURVEY §7 Phase 4).
+
+    ``flush_no_data=False`` skips the trailing no-data micro-batch (see
+    ``_no_data_batches``) — pass it ONLY for queries whose output is
+    complete after the last data batch."""
     name = name or f"stream_{uuid.uuid4().hex[:12]}"
-    with _state_partitions(df.sparkSession, state_partitions):
+    spark = df.sparkSession
+    with _state_partitions(spark, state_partitions), _no_data_batches(
+        spark, not flush_no_data
+    ):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -129,7 +170,7 @@ def run_stream_to_table(
             .start()
         )
         q.awaitTermination()
-    return df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def run_foreach_batch(

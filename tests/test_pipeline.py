@@ -3041,6 +3041,51 @@ def test_run_stream_until_retry_budget_is_bounded():
     assert all(q.stopped for q in starts)
 
 
+def test_flush_no_data_skip_same_rows_and_conf_restored(spark, tmp_path):
+    """r14 optimization: ``run_stream_to_table(flush_no_data=False)``
+    skips the trailing no-data micro-batch. For an eager-emit stateful
+    plan (watermarked dropDuplicates) the emitted rows must be
+    IDENTICAL either way — the flush batch only evicts state — and the
+    session conf must be restored after the run so later watermark-
+    gated queries (session windows) still get their emission batch."""
+    from datetime import datetime
+
+    from gas_data_pipeline_spark.streaming.incremental import (
+        run_stream_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10), 1.0),
+            (1, datetime(2024, 1, 1, 10), 2.0),
+            (2, datetime(2024, 1, 1, 11), 3.0),
+        ],
+        "k int, ts timestamp, v double",
+    ).write.parquet(src)
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(key)
+
+    def deduped():
+        stream = spark.readStream.schema("k int, ts timestamp, v double").parquet(src)
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["k", "ts"])
+            .select("k", "ts")
+        )
+
+    base = sorted(map(tuple, run_stream_to_table(deduped()).collect()))
+    skip = sorted(
+        map(
+            tuple,
+            run_stream_to_table(deduped(), flush_no_data=False).collect(),
+        )
+    )
+    assert skip == base == [(1, datetime(2024, 1, 1, 10)), (2, datetime(2024, 1, 1, 11))]
+    assert spark.conf.get(key) == before
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r13 fixes: stats-key zero padding, tz-aware date-grain pruning,
 # scoped by-value pickling, and the stats_local_max store option.
