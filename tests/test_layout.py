@@ -80,6 +80,38 @@ def test_jaccard_kernels_agree(spark):
     assert rows(jaccard_pairs_bitset_gemm(docs, "doc_id", sh, 0.5)) == base
 
 
+def test_prefix_filter_length_bound_keeps_boundary_pair(spark):
+    """r14 optimization: the PPJoin length filter added to
+    jaccard_pairs_prefix_filter must be LOSSLESS at the boundary. A
+    pair with min/max == J == t exactly (x ⊂ y, |x| = t·|y|) sits on
+    both compares at once — if the length filter's double arithmetic
+    were any stricter than the verify stage's, this pair would vanish.
+    Also pins the small-corpus verify regime end-to-end (this corpus
+    takes the broadcast-hinted path)."""
+    from gas_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+    )
+
+    words = [f"w{i}" for i in range(8)]
+    docs = spark.createDataFrame(
+        [
+            # J(1,2) = 4/8 = 0.5 exactly, with |x|=4, |y|=8: min/max = t.
+            (1, " ".join(words[:4])),
+            (2, " ".join(words)),
+            # A sub-threshold pair the length filter should help drop:
+            # shares one shingle with doc 2, J = 1/9 < 0.5.
+            (3, words[0] + " z1"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = F.array_distinct(F.split(F.col("text"), " "))
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs_prefix_filter(docs, "doc_id", sh, 0.5).collect()
+    )
+    assert got == [(1, 2, 0.5)]
+
+
 def test_approx_percentiles_close_to_exact(spark):
     """t-digest sketch at accuracy=10000 must land within 1% relative
     error of the exact per-series percentiles."""
