@@ -222,7 +222,14 @@ def _file_key_fingerprint(pf, idx: dict) -> "list | dict | None":
     try:
         import pyarrow.compute as pc
 
-        col = pf.read(columns=[KEY_FP_COL]).column(0)
+        # use_threads=False deliberately (r14): this kernel runs either
+        # serially on the driver (small commits — arrow's per-read
+        # thread dispatch costs more than decoding one dictionary
+        # column: measured 150 -> 81 ms over 30 warm files) or inside a
+        # Spark task (one file per task — a nested arrow pool would
+        # oversubscribe the executor's cores, which belong to Spark's
+        # own task parallelism).
+        col = pf.read(columns=[KEY_FP_COL], use_threads=False).column(0)
         vals = pc.unique(pc.drop_null(col.combine_chunks())).to_pylist()
         return fp_from_values(vals)
     except Exception:
